@@ -1,0 +1,53 @@
+"""SparkSession bootstrap tuned for the driver harness.
+
+Local mode is ``local[$SPARK_GRAFT_CPUS]`` (single JVM); on a real cluster the
+same conf applies minus ``master``/driver-memory. Shuffle partitions default to
+the core count — at 100 TB you would raise ``spark.sql.shuffle.partitions``
+(or let AQE coalesce) to keep post-shuffle partitions in the 128–512 MB range.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "vers_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    AQE is on: runtime partition coalescing and skew-join splitting are the
+    scale story for the shuffle-heavy operators (exact KNN re-rank, minhash
+    band join). Arrow is on for the pandas-UDF vector kernels.
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
+        # convert in the scan layer (sources.tables) — DuckDB truncates the
+        # same way (its TIMESTAMP is microseconds).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

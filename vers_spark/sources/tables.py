@@ -1,0 +1,49 @@
+"""Parquet scan layer for the driver's synthetic star schema (TESTDATA.md).
+
+Reads stay plain ``spark.read.parquet`` so Catalyst's parquet source gets
+predicate pushdown + column pruning for free — every downstream operator
+filters/projects declaratively and the scan shows ``PushedFilters`` /
+narrowed ``ReadSchema`` in ``.explain``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor (region and
+# nation are bounded by geography, not SF; supplier/part/customer grow with SF
+# and must NOT be assumed broadcastable at 100 TB).
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong conf);
+    # truncate to microseconds exactly like DuckDB's micro-resolution reader.
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so operators can use spark.sql."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
