@@ -1,0 +1,87 @@
+"""Vector kernels vs numpy, exact KNN (both strategies agree), dedup, and
+DuckDB oracle matches for the SQL-expressible vector queries."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from tests.oracle import assert_oracle_match
+from vers_spark.functions import vector as V
+from vers_spark.operators import knn as K
+from vers_spark.operators.vector_queries import ORACLE_SQL, QUERIES
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_oracle_match(spark, sf_dir, name):
+    assert_oracle_match(spark, sf_dir, name, QUERIES[name], ORACLE_SQL[name])
+
+
+def test_kernels_vs_numpy(spark):
+    rng = np.random.default_rng(42)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)], [float(x) for x in rng.normal(size=16)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    got = df.select(
+        "id",
+        V.dot("a", "b").alias("dot"),
+        V.sq_euclidean("a", "b").alias("sqe"),
+        V.magnitude("a").alias("mag"),
+        V.cosine_distance("a", "b").alias("cosd"),
+    ).collect()
+    for r in got:
+        i = r["id"]
+        a = np.array(rows[i][1], dtype=np.float32).astype(np.float64)
+        b = np.array(rows[i][2], dtype=np.float32).astype(np.float64)
+        assert math.isclose(r["dot"], float(a @ b), rel_tol=1e-12)
+        assert math.isclose(r["sqe"], float(((a - b) ** 2).sum()), rel_tol=1e-12)
+        assert math.isclose(r["mag"], float(np.linalg.norm(a)), rel_tol=1e-12)
+        assert math.isclose(
+            r["cosd"], 1.0 - float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), rel_tol=1e-9
+        )
+
+
+def test_normalize_degenerate_guard(spark):
+    """normalize() is the identity below the 1e-6 magnitude guard (base.rs:99-105)."""
+    df = spark.createDataFrame(
+        [(1, [1e-9, -1e-9, 0.0]), (2, [3.0, 4.0, 0.0])], "id long, a array<float>"
+    )
+    rows = {r["id"]: r for r in df.select("id", V.normalize("a").alias("n")).collect()}
+    assert rows[1]["n"][0] == pytest.approx(1e-9)
+    assert rows[2]["n"][:2] == pytest.approx([0.6, 0.8])
+
+
+def test_blocked_knn_matches_expr_knn(spark, sf_dir):
+    from vers_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    c = emb.filter(F.col("vec_id") >= 8)
+    for metric in ("sq_euclidean", "cosine"):
+        a = K.exact_knn(q, c, k=10, metric=metric).collect()
+        b = K.exact_knn_blocked(q, c, k=10, metric=metric).collect()
+        ka = {(r["query_id"], r["rank"]): (r["neighbour_id"], r["distance"]) for r in a}
+        kb = {(r["query_id"], r["rank"]): (r["neighbour_id"], r["distance"]) for r in b}
+        assert ka.keys() == kb.keys()
+        for key in ka:
+            assert ka[key][0] == kb[key][0], (metric, key)
+            assert ka[key][1] == pytest.approx(kb[key][1], rel=1e-9)
+
+
+def test_knn_distances_monotone_and_recomputable(spark, sf_dir):
+    from vers_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = K.exact_knn(emb.filter(F.col("vec_id") < 3), emb, k=5, metric="sq_euclidean").collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["distance"])
+    for dists in by_q.values():
+        assert dists == sorted(dists)
+        assert dists[0] == 0.0  # query is in the corpus → self-match at rank 1

@@ -1,0 +1,113 @@
+"""Vector kernel as JVM-side column expressions (SURVEY.md §2.A).
+
+Re-expresses the reference's scalar vector ops (`vers/src/indexes/base.rs:62-293`
+— add/subtract/scale/average, dot, magnitude, normalize, squared Euclidean,
+cosine) as Catalyst higher-order functions over ``array<float>`` columns, so
+they run inside whole-stage codegen with no Python boundary.
+
+Numeric contract: all reductions fold LEFT-TO-RIGHT in float64 with a 0.0
+initial accumulator. That makes every result bit-deterministic and lets the
+DuckDB oracle (`list_reduce`/`list_transform`, same fold order) match exactly.
+The reference computes in f32 (`base.rs:15`); we deliberately upgrade to f64 —
+documented divergence, better accuracy, same ordering semantics.
+
+The SIMD variants (`base.rs:158-293`) need no counterpart: vectorization comes
+from codegen here and from numpy/BLAS in :mod:`vers_spark.functions.vector_np`
+on the throughput paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Guard threshold below which normalize() is the identity (base.rs:99-105).
+NORMALIZE_EPSILON = 1e-6
+
+
+def _f64(x: Column) -> Column:
+    return x.cast("double")
+
+
+def vec_add(a: Column, b: Column) -> Column:
+    """Element-wise a + b (base.rs:62-72)."""
+    return F.zip_with(a, b, lambda x, y: _f64(x) + _f64(y))
+
+
+def vec_sub(a: Column, b: Column) -> Column:
+    """Element-wise a - b. (The reference's ``subtract_from`` computes b - a
+    with reversed naming, base.rs:85-89 — a trap we don't reproduce.)"""
+    return F.zip_with(a, b, lambda x, y: _f64(x) - _f64(y))
+
+
+def vec_scale(a: Column, s: Column | float) -> Column:
+    """Element-wise a * s; ``divide_by_scalar`` (base.rs:74-83) is scale(1/s)."""
+    s = F.lit(s) if not isinstance(s, Column) else s
+    return F.transform(a, lambda x: _f64(x) * _f64(s))
+
+
+def vec_avg(a: Column, b: Column) -> Column:
+    """Element-wise midpoint (a+b)/2 (base.rs:107-111)."""
+    return F.zip_with(a, b, lambda x, y: (_f64(x) + _f64(y)) / F.lit(2.0))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ, left-fold in f64 (base.rs:91-93)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _f64(x) * _f64(y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def magnitude(a: Column) -> Column:
+    """‖a‖₂ (base.rs:95-97)."""
+    return F.sqrt(dot(a, a))
+
+
+def normalize(a: Column) -> Column:
+    """a/‖a‖, identity when ‖a‖ < 1e-6 (degenerate guard, base.rs:99-105).
+
+    Emits array<double>.
+    """
+    mag = magnitude(a)
+    return F.when(mag < F.lit(NORMALIZE_EPSILON), F.transform(a, _f64)).otherwise(
+        F.transform(a, lambda x: _f64(x) / mag)
+    )
+
+
+def sq_euclidean(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)², left-fold in f64 (base.rs:119-126)."""
+    d = F.zip_with(a, b, lambda x, y: (_f64(x) - _f64(y)) * (_f64(x) - _f64(y)))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_similarity(a: Column, b: Column, assume_normalized: bool = False) -> Column:
+    """cos(a,b). The reference's un-normalized branch (base.rs:128-156) mixes
+    similarity/distance semantics; we expose similarity and distance cleanly."""
+    if assume_normalized:
+        return dot(a, b)
+    return dot(a, b) / (magnitude(a) * magnitude(b))
+
+
+def cosine_distance(a: Column, b: Column, assume_normalized: bool = False) -> Column:
+    """1 − cos(a,b) ∈ [0,2], smaller = closer — the form every reference call
+    site actually uses (hnsw.rs:146,258,273)."""
+    return F.lit(1.0) - cosine_similarity(a, b, assume_normalized)
+
+
+# The reference's HashKey (bit-exact identity via f32::to_bits, base.rs:113-117)
+# has no Spark SQL builtin (no float->raw-bits expression). Vector dedup keys
+# therefore use the array VALUE itself (Spark arrays are groupable; 0.0 == -0.0,
+# NaN normalized — divergence documented in SURVEY §1.2). When true
+# bit-exactness matters, vector_np.bitexact_key_udf hashes the packed bytes.
+def value_key(a: Column) -> Column:
+    """Grouping key for dedup by vector value (array semantics: 0.0 == -0.0)."""
+    return a
+
+
+DISTANCE_FNS = {
+    "sq_euclidean": sq_euclidean,
+    "cosine": cosine_distance,
+    "dot": lambda a, b: -dot(a, b),  # max inner product as a "distance"
+}

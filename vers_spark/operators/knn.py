@@ -1,0 +1,121 @@
+"""Exact K-nearest-neighbour search — the oracle every ANN index is judged
+against (reference `search_exhaustive`, vers/src/utils.rs:68-82).
+
+Two physical strategies, one logical semantics (top-k per query, distance
+ascending, ties broken by ascending corpus id):
+
+- ``exact_knn`` — declarative: crossJoin + distance expression + ranking
+  window. Catalyst handles it; bit-deterministic (left-fold f64 kernels), so
+  it IS the DuckDB-oracle path. Fine for query batches × corpora that fit a
+  shuffle; the window's per-query group limit (Spark ≥3.5 WindowGroupLimit)
+  keeps the sort bounded.
+
+- ``exact_knn_blocked`` — block nested loop for scale: broadcast the query
+  block (small side), stream the corpus through ``mapInPandas`` computing a
+  BLAS distance matrix per Arrow batch and keeping only the per-batch top-k
+  (partial), then a global per-query top-k (final). The classic partial/final
+  aggregate shape: corpus is scanned once, never shuffled; only
+  O(batches × Q × k) candidate rows move. This is the 100 TB path — at 1000
+  executors each scans its split, and the shuffle is candidates only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from vers_spark.functions import vector as V
+from vers_spark.functions import vector_np as VN
+
+
+def _ranked(joined: DataFrame, dist_col: str, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.asc(dist_col), F.asc("neighbour_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbour_id", F.col(dist_col).alias("distance"), F.col("rn").alias("rank"))
+    )
+
+
+def exact_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    metric: str = "sq_euclidean",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Declarative exact KNN: returns (query_id, neighbour_id, distance, rank)."""
+    if metric not in V.DISTANCE_FNS:
+        raise ValueError(f"unknown metric {metric!r}; expected {sorted(V.DISTANCE_FNS)}")
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_vec"))
+    c = corpus.select(F.col(corpus_id).alias("neighbour_id"), F.col(corpus_vec).alias("c_vec"))
+    dist = V.DISTANCE_FNS[metric](F.col("q_vec"), F.col("c_vec"))
+    joined = q.crossJoin(c).withColumn("_dist", dist)
+    return _ranked(joined, "_dist", k)
+
+
+def exact_knn_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    metric: str = "sq_euclidean",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Block-nested-loop exact KNN (the scale path; see module docstring).
+
+    The query block is collected and broadcast — callers keep it small
+    (≤ ~10⁵ × dim floats); the corpus side is never materialized on the
+    driver.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    q_rows = queries.select(query_id, query_vec).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "query_id long, neighbour_id long, distance double, rank int")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, metric, k))
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, m, kk = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["neighbour_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            d = VN.pairwise_distances(mat, c_mat, m)  # (Q, B)
+            take = min(kk, d.shape[1])
+            # per-query partial top-k inside the batch: argpartition then
+            # exact sort of the k survivors (ties by corpus id)
+            part = np.argpartition(d, take - 1, axis=1)[:, :take]
+            out_q, out_c, out_d = [], [], []
+            for qi in range(d.shape[0]):
+                cols = part[qi]
+                order = np.lexsort((c_ids[cols], d[qi, cols]))
+                sel = cols[order]
+                out_q.append(np.full(take, ids[qi]))
+                out_c.append(c_ids[sel])
+                out_d.append(d[qi, sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbour_id": np.concatenate(out_c),
+                    "_dist": np.concatenate(out_d),
+                }
+            )
+
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias("neighbour_id"), F.col(corpus_vec).alias("c_vec")
+    )
+    candidates = c.mapInPandas(partial_topk, "query_id long, neighbour_id long, _dist double")
+    return _ranked(candidates, "_dist", k)

@@ -1,0 +1,187 @@
+"""Driver-facing vector queries (SURVEY.md §2.A/§2.C): kernel expressions,
+exact KNN (both physical strategies), vector dedup — each SQL-expressible one
+paired with a bit-matching DuckDB oracle (same f64 left-fold order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vers_spark.functions import vector as V
+from vers_spark.operators import knn as K
+from vers_spark.operators.dedup import dedup_exact, dedup_group_stats
+from vers_spark.sources.tables import load_table
+
+# DuckDB fragments mirroring the f64 left-fold kernels (list_reduce without an
+# init folds from the first element; 0.0 + x == x bitwise, so it matches the
+# Spark aggregate with a 0.0 accumulator).
+_D_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x,y) -> x + y)"
+)
+_D_SQE = (
+    "list_reduce(list_transform(list_zip({a}, {b}), s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x,y) -> x + y)"
+)
+_D_MAG = "sqrt(" + _D_DOT + ")"
+
+
+def _d_mag(a: str) -> str:
+    return _D_MAG.format(a=a, b=a)
+
+
+def vk_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every §2.A kernel exercised on consecutive embedding pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("pair_id"), F.col("embedding").alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("pair_id"), F.col("embedding").alias("vb"))
+    va, vb = F.col("va"), F.col("vb")
+    return (
+        a.join(b, "pair_id")
+        .select(
+            "pair_id",
+            V.dot(va, vb).alias("dot_ab"),
+            V.sq_euclidean(va, vb).alias("sq_euclid"),
+            V.cosine_distance(va, vb).alias("cos_dist"),
+            V.magnitude(va).alias("mag_a"),
+            V.magnitude(V.vec_avg(va, vb)).alias("mag_mid"),
+            V.magnitude(V.vec_sub(va, vb)).alias("mag_diff"),
+            V.magnitude(V.normalize(va)).alias("mag_unit"),
+            V.dot(V.vec_add(va, vb), V.vec_scale(va, 0.5)).alias("dot_sum_half"),
+        )
+    )
+
+
+def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force oracle KNN, cosine distance (utils.rs:68-82 semantics)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.exact_knn(
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") >= 5),
+        k=10,
+        metric="cosine",
+    )
+
+
+def knn_exact_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force oracle KNN, squared Euclidean (ivfflat.rs:175 metric)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.exact_knn(
+        emb.filter(F.col("vec_id") % 97 == 0),
+        emb.filter(F.col("vec_id") % 97 != 0),
+        k=10,
+        metric="sq_euclidean",
+    )
+
+
+def knn_blocked_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-nested-loop KNN (scale path) — same logical result as
+    knn_exact_euclidean; BLAS summation order differs in last-ulp so this is
+    a rows-only check here and an id-equality assertion in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.exact_knn_blocked(
+        emb.filter(F.col("vec_id") % 97 == 0),
+        emb.filter(F.col("vec_id") % 97 != 0),
+        k=10,
+        metric="sq_euclidean",
+    )
+
+
+def dedup_vectors_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector value dedup over a corpus with injected duplicates (the data has
+    none): every embedding appears twice, survivor = min id (lsh.rs:113-130
+    first-wins semantics in aggregate form)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return dedup_group_stats(emb.unionByName(dup), ["embedding"], "vec_id").select(
+        "keep_id", "n_dupes"
+    )
+
+
+def dedup_docs_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-form dedup: first document (by doc_id) per (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["lang", "source"], ["doc_id"]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_KNN_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE {qfilter}),
+    c AS (SELECT vec_id AS neighbour_id, embedding AS cv FROM embeddings WHERE {cfilter}),
+    d AS (SELECT query_id, neighbour_id, {dist} AS distance FROM q CROSS JOIN c),
+    r AS (SELECT query_id, neighbour_id, distance,
+                 row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbour_id ASC) AS rank
+          FROM d)
+    SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "vk_vector_ops": f"""
+        SELECT a.vec_id AS pair_id,
+               {_D_DOT.format(a='a.embedding', b='b.embedding')} AS dot_ab,
+               {_D_SQE.format(a='a.embedding', b='b.embedding')} AS sq_euclid,
+               1.0 - {_D_DOT.format(a='a.embedding', b='b.embedding')}
+                     / ({_d_mag('a.embedding')} * {_d_mag('b.embedding')}) AS cos_dist,
+               {_d_mag('a.embedding')} AS mag_a,
+               {_D_MAG.format(
+                   a="list_transform(list_zip(a.embedding, b.embedding), s -> (CAST(s[1] AS DOUBLE) + CAST(s[2] AS DOUBLE)) / 2.0)",
+                   b="list_transform(list_zip(a.embedding, b.embedding), s -> (CAST(s[1] AS DOUBLE) + CAST(s[2] AS DOUBLE)) / 2.0)")} AS mag_mid,
+               {_D_MAG.format(
+                   a="list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))",
+                   b="list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))")} AS mag_diff,
+               {_D_MAG.format(
+                   a=f"list_transform(a.embedding, x -> CAST(x AS DOUBLE) / {_d_mag('a.embedding')})",
+                   b=f"list_transform(a.embedding, x -> CAST(x AS DOUBLE) / {_d_mag('a.embedding')})")} AS mag_unit,
+               {_D_DOT.format(
+                   a="list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) + CAST(s[2] AS DOUBLE))",
+                   b="list_transform(a.embedding, x -> CAST(x AS DOUBLE) * 0.5)")} AS dot_sum_half
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+    "knn_exact_cosine": _KNN_SQL.format(
+        qfilter="vec_id < 5",
+        cfilter="vec_id >= 5",
+        k=10,
+        dist=(
+            "1.0 - "
+            + _D_DOT.format(a="qv", b="cv")
+            + " / ("
+            + _d_mag("qv")
+            + " * "
+            + _d_mag("cv")
+            + ")"
+        ),
+    ),
+    "knn_exact_euclidean": _KNN_SQL.format(
+        qfilter="vec_id % 97 = 0",
+        cfilter="vec_id % 97 <> 0",
+        k=10,
+        dist=_D_SQE.format(a="qv", b="cv"),
+    ),
+    "dedup_vectors_stats": """
+        SELECT min(vec_id) AS keep_id, count(*) AS n_dupes
+        FROM (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings
+        )
+        GROUP BY embedding
+    """,
+    "dedup_docs_first_wins": """
+        SELECT doc_id, lang, source, n_chars
+        FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+            FROM documents
+        )
+        WHERE rn = 1
+    """,
+}
+
+QUERIES = {
+    "vk_vector_ops": vk_vector_ops,
+    "knn_exact_cosine": knn_exact_cosine,
+    "knn_exact_euclidean": knn_exact_euclidean,
+    "knn_blocked_euclidean": knn_blocked_euclidean,
+    "dedup_vectors_stats": dedup_vectors_stats,
+    "dedup_docs_first_wins": dedup_docs_first_wins,
+}
