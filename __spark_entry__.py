@@ -22,18 +22,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from vers_spark.operators import relational, vector_queries
+    from vers_spark.operators import index_queries, relational, vector_queries
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(vector_queries.QUERIES)
+    out.update(index_queries.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from vers_spark.operators import relational, vector_queries
+    from vers_spark.operators import index_queries, relational, vector_queries
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE_SQL)
     out.update(vector_queries.ORACLE_SQL)
+    out.update(index_queries.ORACLE_SQL)
     return out

@@ -1,0 +1,95 @@
+"""IVFFlat: recall vs exact oracle, degenerate ≡ exact, fill rule, Lloyd
+properties, persistence round-trip (SURVEY §5 strategy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vers_spark.indexes.ivfflat import IVFFlatIndex
+from vers_spark.operators.knn import exact_knn
+from vers_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def index(spark, emb):
+    return IVFFlatIndex.build(emb, num_clusters=16, max_iterations=10, seed=42)
+
+
+def _recall(approx_rows, exact_rows):
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r["query_id"], set()).add(r["neighbour_id"])
+    hits = total = 0
+    for r in exact_rows:
+        total += 1
+        hits += r["neighbour_id"] in approx.get(r["query_id"], set())
+    return hits / total
+
+
+def test_search_probe_all_equals_exact(spark, emb, index):
+    """n_probes = num_clusters ≡ brute force (degenerate check, SURVEY §5)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    got = index.search(q, k=10, n_probes=16).collect()
+    want = exact_knn(q, emb, k=10, metric="sq_euclidean").collect()
+    gk = {(r["query_id"], r["rank"]): (r["neighbour_id"], r["distance"]) for r in got}
+    wk = {(r["query_id"], r["rank"]): (r["neighbour_id"], r["distance"]) for r in want}
+    assert gk == wk
+
+
+def test_recall_monotone_in_probes(spark, emb, index):
+    q = emb.filter(F.col("vec_id") < 20)
+    want = exact_knn(q, emb, k=10, metric="sq_euclidean").collect()
+    r4 = _recall(index.search(q, k=10, n_probes=4).collect(), want)
+    r8 = _recall(index.search(q, k=10, n_probes=8).collect(), want)
+    assert r4 >= 0.5
+    assert r8 >= r4
+
+
+def test_fill_rule_returns_k(spark, emb, index):
+    """Even with n_probes=1 and a tiny nearest cluster, every query gets k
+    results (underflow expansion, ivfflat.rs:166-195)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    got = index.search(q, k=50, n_probes=1).collect()
+    per_q = {}
+    for r in got:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert set(per_q.values()) == {50}
+
+
+def test_lloyd_backend_and_multirestart(spark, emb):
+    i1 = IVFFlatIndex.build(emb, num_clusters=8, max_iterations=5, seed=1, backend="lloyd")
+    i3 = IVFFlatIndex.build(
+        emb, num_clusters=8, max_iterations=5, seed=1, num_attempts=3, backend="lloyd"
+    )
+    assert i3.params["cost"] <= i1.params["cost"]  # argmin over restarts incl. seed=1
+    assert i1.cluster_stats().count() <= 8
+    total = i1.cluster_stats().agg(F.sum("n_vectors")).collect()[0][0]
+    assert total == emb.count()
+
+
+def test_save_load_roundtrip(spark, emb, index, tmp_path):
+    """save → load → identical search results (utils.rs:140-148 property)."""
+    q = emb.filter(F.col("vec_id") < 3)
+    before = index.search(q, k=5, n_probes=2).collect()
+    path = str(tmp_path / "ivf")
+    index.save(path)
+    loaded = IVFFlatIndex.load(spark, path)
+    assert loaded.params == index.params
+    after = loaded.search(q, k=5, n_probes=2).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_add_honors_ids(spark, emb, index):
+    new = spark.createDataFrame(
+        [(999999, [0.1] * index.params["dim"])], "vec_id long, embedding array<float>"
+    )
+    idx2 = index.add(new)
+    assert idx2.assignments.filter(F.col("id") == 999999).count() == 1
+    got = idx2.search(new, k=1, n_probes=16).collect()
+    assert got[0]["neighbour_id"] == 999999 and got[0]["distance"] == 0.0

@@ -1,0 +1,296 @@
+"""IVFFlat index, Spark-first (reference: `vers/src/indexes/ivfflat.rs`).
+
+The reference keeps centroids + flat assignments + inverted posting lists in
+RAM (`ivfflat.rs:8-15`). Here the index IS two DataFrames:
+
+- ``centroids``   (cluster_id INT, centroid ARRAY<DOUBLE>) — tiny, broadcast.
+- ``assignments`` (id LONG, cluster_id INT, embedding ARRAY<FLOAT>) — the
+  posting lists, written ``partitionBy(cluster_id)`` so a probe-list filter
+  becomes parquet partition pruning (the Spark analogue of scanning only the
+  chosen posting lists, `ivfflat.rs:166-195`).
+
+Build: Lloyd's k-means. Two backends:
+- ``mllib``  — `pyspark.ml.clustering.KMeans` (fast path).
+- ``lloyd``  — hand-rolled loop mirroring reference semantics
+  (`ivfflat.rs:73-100`): seeded random-row init, argmin-by-sq-euclidean
+  assignment, per-cluster mean update, bit-exact centroid fixpoint stop.
+  Each iteration is ONE distributed pass: mapInPandas emits per-Arrow-batch
+  partial sums (cluster_id, count, sum_vec) — the map-side combine — and only
+  k·batches tiny rows shuffle to the final mean. Empty cluster → zero vector
+  (`ivfflat.rs:47-71`).
+
+Multi-restart (`num_attempts`, `ivfflat.rs:102-136`): independent seeded runs,
+keep argmin inertia.
+
+Search (`ivfflat.rs:153-198`): rank centroids per query (broadcast), take the
+``n_probes`` nearest clusters PLUS the reference's underflow fill rule —
+expand to further clusters only until the cumulative posting-list size reaches
+k — expressed declaratively as a cumulative sum over ranked cluster sizes, so
+the whole query batch resolves in one plan (no driver loop). Candidates are
+fetched by cluster-id filter (partition-pruned), exact-ranked by the f64
+expression kernels, per-query top-k.
+
+The reference's ``add`` ignores the caller's vec_id (`ivfflat.rs:200-213`
+shadowing bug) — ours honors it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vers_spark.functions import vector as V
+
+_PARTIAL_SCHEMA = "cluster_id int, n long, sum_vec array<double>, cost double"
+
+
+def _assign_partial_sums(centroids: np.ndarray):
+    """mapInPandas closure: per batch, assign rows to nearest centroid and
+    emit k partial rows (count, vector sum, inertia contribution)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = centroids
+        cc = np.einsum("ij,ij->i", c, c)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d = np.maximum(
+                np.einsum("ij,ij->i", x, x)[:, None] + cc[None, :] - 2.0 * (x @ c.T), 0.0
+            )
+            best = d.argmin(axis=1)
+            cost = d[np.arange(len(x)), best]
+            rows = []
+            for cid in np.unique(best):
+                m = best == cid
+                rows.append(
+                    {
+                        "cluster_id": int(cid),
+                        "n": int(m.sum()),
+                        "sum_vec": x[m].sum(axis=0).tolist(),
+                        "cost": float(cost[m].sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+@dataclass
+class IVFFlatIndex:
+    spark: SparkSession
+    centroids: DataFrame  # cluster_id int, centroid array<double>
+    assignments: DataFrame  # id long, cluster_id int, embedding array<float>
+    params: dict
+
+    # ---------------- build ----------------
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        num_clusters: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_iterations: int = 10,
+        num_attempts: int = 1,
+        seed: int = 42,
+        backend: str = "mllib",
+    ) -> "IVFFlatIndex":
+        spark = corpus.sparkSession
+        data = corpus.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding")
+        )
+        data.cache()
+        try:
+            best: tuple[float, np.ndarray] | None = None
+            for attempt in range(num_attempts):
+                s = seed + attempt
+                if backend == "mllib":
+                    cents, cost = IVFFlatIndex._kmeans_mllib(data, num_clusters, max_iterations, s)
+                elif backend == "lloyd":
+                    cents, cost = IVFFlatIndex._kmeans_lloyd(data, num_clusters, max_iterations, s)
+                else:
+                    raise ValueError(f"unknown backend {backend!r}")
+                if best is None or cost < best[0]:
+                    best = (cost, cents)
+            cost, cents = best
+            centroids_df = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                "cluster_id int, centroid array<double>",
+            )
+            assignments = IVFFlatIndex._assign(data, cents)
+            params = {
+                "num_clusters": int(num_clusters),
+                "dim": int(cents.shape[1]),
+                "metric": "sq_euclidean",
+                "seed": seed,
+                "backend": backend,
+                "max_iterations": max_iterations,
+                "num_attempts": num_attempts,
+                "cost": float(cost),
+            }
+            return IVFFlatIndex(spark, centroids_df, assignments, params)
+        finally:
+            data.unpersist()
+
+    @staticmethod
+    def _kmeans_mllib(data: DataFrame, k: int, max_iter: int, seed: int):
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = data.select(array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+        model = KMeans(k=k, maxIter=max_iter, seed=seed, initMode="random").fit(feat)
+        cents = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
+        cost = float(model.summary.trainingCost)
+        return cents, cost
+
+    @staticmethod
+    def _kmeans_lloyd(data: DataFrame, k: int, max_iter: int, seed: int):
+        """Reference-shaped Lloyd loop (ivfflat.rs:73-100): driver iterates,
+        each step is one distributed partial-sum pass."""
+        spark = data.sparkSession
+        init = data.orderBy(F.rand(seed)).limit(k).select("embedding").collect()
+        cents = np.array([r[0] for r in init], dtype=np.float64)
+        cost = float("inf")
+        for _ in range(max_iter):
+            partials = data.mapInPandas(_assign_partial_sums(cents), _PARTIAL_SCHEMA)
+            agg = (
+                partials.groupBy("cluster_id")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.array(*[F.sum(F.element_at("sum_vec", i + 1)) for i in range(cents.shape[1])]).alias("s"),
+                    F.sum("cost").alias("cost"),
+                )
+                .collect()
+            )
+            new = np.zeros_like(cents)  # empty cluster -> zero vector (ivfflat.rs:64-69)
+            cost = 0.0
+            for row in agg:
+                new[row["cluster_id"]] = np.array(row["s"]) / row["n"]
+                cost += row["cost"]
+            if np.array_equal(new, cents):  # bit-exact fixpoint (ivfflat.rs:84-91)
+                break
+            cents = new
+        return cents, cost
+
+    @staticmethod
+    def _assign(data: DataFrame, cents: np.ndarray) -> DataFrame:
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = cents
+            cc = np.einsum("ij,ij->i", c, c)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                d = np.einsum("ij,ij->i", x, x)[:, None] + cc[None, :] - 2.0 * (x @ c.T)
+                pdf = pdf.copy()
+                pdf["cluster_id"] = d.argmin(axis=1).astype(np.int32)
+                yield pdf[["id", "cluster_id", "embedding"]]
+
+        return data.mapInPandas(fn, "id long, cluster_id int, embedding array<float>")
+
+    # ---------------- search ----------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probes: int = 1,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+    ) -> DataFrame:
+        """ANN search. Probes the ``n_probes`` nearest clusters per query and
+        always applies the reference's fill rule (expand to further clusters
+        while cumulative candidate count < k, ivfflat.rs:166-195)."""
+        q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_vec"))
+        sizes = self.assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c_size"))
+        cents = F.broadcast(self.centroids.join(F.broadcast(sizes), "cluster_id", "left").fillna(0))
+
+        ranked = q.crossJoin(cents).withColumn(
+            "c_rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.asc(V.sq_euclidean(F.col("q_vec"), F.col("centroid"))), F.asc("cluster_id")
+                )
+            ),
+        )
+        # fill rule: keep cluster at rank r iff rank <= n_probes OR the
+        # cumulative size of better-ranked clusters is still < k
+        wcum = W.partitionBy("query_id").orderBy("c_rank").rowsBetween(W.unboundedPreceding, -1)
+        probes = ranked.withColumn("cum_before", F.coalesce(F.sum("c_size").over(wcum), F.lit(0))).filter(
+            (F.col("c_rank") <= n_probes) | (F.col("cum_before") < k)
+        )
+
+        cands = probes.select("query_id", "q_vec", "cluster_id").join(
+            self.assignments, "cluster_id"
+        )
+        dist = V.sq_euclidean(F.col("q_vec"), F.col("embedding"))
+        w = W.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("id"))
+        return (
+            cands.withColumn("_dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(
+                "query_id",
+                F.col("id").alias("neighbour_id"),
+                F.col("_dist").alias("distance"),
+                F.col("rn").alias("rank"),
+            )
+        )
+
+    # ---------------- maintenance ----------------
+
+    def add(self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFFlatIndex":
+        """Micro-append: score new rows against the frozen centroids and union
+        into the posting lists (streaming analogue in vers_spark.streaming).
+        Honors caller ids — the reference's add drops them (ivfflat.rs:209)."""
+        data = vectors.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding")
+        )
+        cents = np.array(
+            [r["centroid"] for r in self.centroids.orderBy("cluster_id").collect()],
+            dtype=np.float64,
+        )
+        new_assign = IVFFlatIndex._assign(data, cents)
+        return IVFFlatIndex(
+            self.spark, self.centroids, self.assignments.unionByName(new_assign), self.params
+        )
+
+    def cluster_stats(self) -> DataFrame:
+        return (
+            self.assignments.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .orderBy("cluster_id")
+        )
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: str) -> None:
+        """Parquet tables + JSON manifest (replaces the bincode blob,
+        base.rs:31-58). Posting lists partitioned by cluster_id → probe
+        filters become partition pruning."""
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        self.assignments.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            f"{path}/assignments"
+        )
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/manifest.json", "w") as f:
+            json.dump(self.params, f, indent=2)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IVFFlatIndex":
+        with open(f"{path}/manifest.json") as f:
+            params = json.load(f)
+        return IVFFlatIndex(
+            spark,
+            spark.read.parquet(f"{path}/centroids"),
+            spark.read.parquet(f"{path}/assignments"),
+            params,
+        )

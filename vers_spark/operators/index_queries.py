@@ -1,0 +1,72 @@
+"""Driver-facing ANN index queries (SURVEY.md §2.B/§2.C).
+
+Approximate results can't hash-match a SQL oracle, so the contract is:
+- one DEGENERATE configuration per index that is provably exact (IVF with all
+  clusters probed, LSH with one tree and unbounded leaf) → full DuckDB oracle;
+- the realistic configurations → rows-only checks here, recall/property
+  assertions in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vers_spark.indexes.ivfflat import IVFFlatIndex
+from vers_spark.sources.tables import load_table
+
+_IVF_CACHE: dict[tuple, IVFFlatIndex] = {}
+
+
+def _ivf(spark: SparkSession, sf_dir: str, k: int = 16) -> IVFFlatIndex:
+    key = (sf_dir, k)
+    if key not in _IVF_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IVF_CACHE[key] = IVFFlatIndex.build(emb, num_clusters=k, max_iterations=10, seed=42)
+        _IVF_CACHE[key].assignments.cache()
+    return _IVF_CACHE[key]
+
+
+def ivf_search_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probing every cluster ≡ exact KNN (degenerate oracle check)."""
+    idx = _ivf(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return idx.search(q, k=10, n_probes=idx.params["num_clusters"])
+
+
+def ivf_search_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realistic IVF search (n_probes=4) — rows-only; recall gated in tests."""
+    idx = _ivf(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return idx.search(emb.filter(F.col("vec_id") < 20), k=10, n_probes=4)
+
+
+def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list size distribution (layer-stats analogue, hnsw.rs:480-485)."""
+    return _ivf(spark, sf_dir).cluster_stats()
+
+
+_KNN_ALL_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbour_id, embedding AS cv FROM embeddings),
+    d AS (SELECT query_id, neighbour_id,
+                 list_reduce(list_transform(list_zip(qv, cv),
+                     s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+                     (x,y) -> x + y) AS distance
+          FROM q CROSS JOIN c),
+    r AS (SELECT query_id, neighbour_id, distance,
+                 row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbour_id ASC) AS rank
+          FROM d)
+    SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "ivf_search_all": _KNN_ALL_SQL,
+}
+
+QUERIES = {
+    "ivf_search_all": ivf_search_all,
+    "ivf_search_p4": ivf_search_p4,
+    "ivf_cluster_stats": ivf_cluster_stats,
+}
