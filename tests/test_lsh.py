@@ -1,0 +1,79 @@
+"""LSH forest: degenerate ≡ exact, recall, leaf-size invariant, roundtrip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vers_spark.indexes.lsh import LSHForestIndex
+from vers_spark.operators.knn import exact_knn
+from vers_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def forest(emb):
+    return LSHForestIndex.build(emb, num_trees=8, max_node_size=50, seed=7)
+
+
+def test_degenerate_single_leaf_equals_exact(spark, emb):
+    """1 tree + unbounded leaf ≡ brute force (SURVEY §5 degenerate check)."""
+    idx = LSHForestIndex.build(emb, num_trees=1, max_node_size=10**9)
+    assert idx.params["depth"] == 0
+    q = emb.filter(F.col("vec_id") < 5)
+    got = idx.search(q, k=10).collect()
+    want = exact_knn(q, emb, k=10, metric="sq_euclidean").collect()
+    gk = {(r["query_id"], r["rank"]): (r["neighbour_id"], r["distance"]) for r in got}
+    wk = {(r["query_id"], r["rank"]): (r["neighbour_id"], r["distance"]) for r in want}
+    assert gk == wk
+
+
+def test_leaf_size_invariant(forest):
+    sizes = (
+        forest.leaves.groupBy("tree_id", "path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert sizes <= 50
+    assert forest.params["depth"] >= 1
+
+
+def test_all_ids_in_every_tree(forest, emb):
+    n = emb.count()
+    per_tree = forest.leaves.groupBy("tree_id").agg(F.countDistinct("id").alias("n")).collect()
+    assert len(per_tree) == 8
+    assert all(r["n"] == n for r in per_tree)
+
+
+def test_recall(spark, emb, forest):
+    q = emb.filter(F.col("vec_id") < 20)
+    got = forest.search(q, k=10).collect()
+    want = exact_knn(q, emb, k=10, metric="sq_euclidean").collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r["query_id"], set()).add(r["neighbour_id"])
+    hits = sum(r["neighbour_id"] in approx.get(r["query_id"], set()) for r in want)
+    assert hits / len(want) >= 0.6
+
+
+def test_distances_recomputable_and_sorted(forest, emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    rows = sorted(forest.search(q, k=5).collect(), key=lambda r: r["rank"])
+    dists = [r["distance"] for r in rows]
+    assert dists == sorted(dists)
+    assert rows[0]["neighbour_id"] == 0 and rows[0]["distance"] == 0.0
+
+
+def test_save_load_roundtrip(spark, forest, emb, tmp_path):
+    q = emb.filter(F.col("vec_id") < 3)
+    before = forest.search(q, k=5).collect()
+    path = str(tmp_path / "lsh")
+    forest.save(path)
+    loaded = LSHForestIndex.load(spark, path)
+    after = loaded.search(q, k=5).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))

@@ -1,0 +1,264 @@
+"""LSH random-projection forest, Spark-first (reference: `vers/src/indexes/lsh.rs`).
+
+Annoy-style trees (`lsh.rs:31-55`): each inner node is a hyperplane built from
+two sampled points — coefficients = b − a, constant = −coeff·midpoint
+(`lsh.rs:58-94`) — and each leaf holds ≤ max_node_size ids.
+
+Spark re-expression: a tree node is a PATH BIT-STRING. The index is two
+DataFrames:
+
+- ``leaves``      (tree_id INT, path STRING, id LONG, embedding ARRAY<FLOAT>)
+- ``hyperplanes`` (tree_id INT, path STRING, coeffs ARRAY<DOUBLE>, constant DOUBLE)
+
+Build is level-synchronous instead of recursive (`lsh.rs:96-111`): ALL trees ×
+ALL oversized nodes split in ONE DataFrame pass per depth — sample 2 points
+per node (deterministic xxhash64 order, not thread_rng like lsh.rs:63-65),
+compute planes driver-side (2 rows per node is all that leaves the executors),
+broadcast them back, append one bit to each row's path. Rows are deduplicated
+by vector value first (`lsh.rs:113-130`).
+
+Search (`lsh.rs:163-216`): queries descend by folding plane tests — one
+broadcast join per level on (tree_id, path) — then a semi-join against
+``leaves`` on the final (tree_id, path) collects candidates from all trees,
+deduplicates, and exact-re-ranks by squared Euclidean (`lsh.rs:271-281`).
+The reference's backup-branch backtracking (`lsh.rs:203-215`) is replaced by
+multi-tree unioning — documented simplification; recall is gated in tests.
+
+Degenerate config (1 tree, max_node_size ≥ n) ≡ exact brute force — the
+oracle check.
+
+At scale: the corpus is replicated T× (same as the reference's per-tree id
+lists); each level's shuffle keys on (tree_id, path) so splits are
+embarrassingly parallel; plane count ≈ 2·T·n/max_node_size rows, joined per
+level (only the current level's planes broadcast).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vers_spark.functions import vector as V
+from vers_spark.operators.dedup import dedup_exact
+
+
+def _plane_side(vec_col, coeff_col, const_col):
+    """point_is_above (lsh.rs:27-29): coeff·p + const >= 0 → bit '1'."""
+    return F.when(V.dot(vec_col, coeff_col) + const_col >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+@dataclass
+class LSHForestIndex:
+    spark: SparkSession
+    leaves: DataFrame
+    hyperplanes: DataFrame
+    params: dict
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        num_trees: int = 8,
+        max_node_size: int = 100,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+        max_depth: int = 24,
+    ) -> "LSHForestIndex":
+        spark = corpus.sparkSession
+        data = corpus.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding")
+        )
+        # bit-exact-style dedup, first id wins (lsh.rs:113-130)
+        data = dedup_exact(data, ["embedding"], ["id"])
+
+        trees = spark.range(num_trees).select(F.col("id").cast("int").alias("tree_id"))
+        assign = data.crossJoin(F.broadcast(trees)).select(
+            "tree_id", F.lit("").alias("path"), "id", "embedding"
+        )
+        assign = assign.localCheckpoint(eager=True)
+
+        all_planes: list[tuple[int, str, list[float], float]] = []
+        depth_reached = 0
+        for depth in range(max_depth):
+            sizes = assign.groupBy("tree_id", "path").agg(F.count(F.lit(1)).alias("n"))
+            oversized = sizes.filter(F.col("n") > max_node_size).drop("n")
+            if oversized.isEmpty():
+                break
+            depth_reached = depth + 1
+            # deterministic 2-point sample per oversized node (replaces
+            # thread_rng sampling, lsh.rs:63-65)
+            pick = W.partitionBy("tree_id", "path").orderBy(
+                F.xxhash64("id", F.lit(seed), F.lit(depth), "tree_id"), F.asc("id")
+            )
+            sampled = (
+                assign.join(F.broadcast(oversized), ["tree_id", "path"], "left_semi")
+                .withColumn("_rn", F.row_number().over(pick))
+                .filter(F.col("_rn") <= 2)
+                .select("tree_id", "path", "_rn", "embedding")
+                .collect()
+            )
+            nodes: dict[tuple[int, str], dict[int, list[float]]] = {}
+            for r in sampled:
+                nodes.setdefault((r["tree_id"], r["path"]), {})[r["_rn"]] = r["embedding"]
+            level_planes = []
+            for (tid, path), pts in nodes.items():
+                if len(pts) < 2:
+                    continue
+                a = np.asarray(pts[1], dtype=np.float64)
+                b = np.asarray(pts[2], dtype=np.float64)
+                coeff = b - a  # lsh.rs:74-77
+                midpoint = (a + b) / 2.0
+                const = float(-(coeff @ midpoint))  # lsh.rs:78-82
+                level_planes.append((tid, path, coeff.tolist(), const))
+            if not level_planes:
+                break
+            all_planes.extend(level_planes)
+            planes_df = spark.createDataFrame(
+                level_planes, "tree_id int, path string, coeffs array<double>, constant double"
+            )
+            assign = (
+                assign.join(F.broadcast(planes_df), ["tree_id", "path"], "left")
+                .withColumn(
+                    "path",
+                    F.when(
+                        F.col("coeffs").isNotNull(),
+                        F.concat(
+                            "path", _plane_side(F.col("embedding"), F.col("coeffs"), F.col("constant"))
+                        ),
+                    ).otherwise(F.col("path")),
+                )
+                .select("tree_id", "path", "id", "embedding")
+                .localCheckpoint(eager=True)  # truncate lineage each level
+            )
+
+        hyperplanes = spark.createDataFrame(
+            all_planes or [(0, "__none__", [0.0], 0.0)],
+            "tree_id int, path string, coeffs array<double>, constant double",
+        )
+        if not all_planes:
+            hyperplanes = hyperplanes.filter(F.lit(False))
+        params = {
+            "num_trees": int(num_trees),
+            "max_node_size": int(max_node_size),
+            "seed": seed,
+            "depth": depth_reached,
+            "metric": "sq_euclidean",
+        }
+        return LSHForestIndex(spark, assign, hyperplanes, params)
+
+    # ---------------- search ----------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+    ) -> DataFrame:
+        """Descend every tree, union leaf candidates, exact re-rank top-k."""
+        spark = self.spark
+        trees = spark.range(self.params["num_trees"]).select(
+            F.col("id").cast("int").alias("tree_id")
+        )
+        qp = queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_vec")
+        ).crossJoin(F.broadcast(trees)).withColumn("path", F.lit(""))
+
+        for depth in range(self.params["depth"]):
+            level = self.hyperplanes.filter(F.length("path") == depth)
+            qp = (
+                qp.join(F.broadcast(level), ["tree_id", "path"], "left")
+                .withColumn(
+                    "path",
+                    F.when(
+                        F.col("coeffs").isNotNull(),
+                        F.concat("path", _plane_side(F.col("q_vec"), F.col("coeffs"), F.col("constant"))),
+                    ).otherwise(F.col("path")),
+                )
+                .select("query_id", "q_vec", "tree_id", "path")
+            )
+
+        cands = (
+            qp.join(self.leaves, ["tree_id", "path"])
+            .select("query_id", "q_vec", "id", "embedding")
+            .dropDuplicates(["query_id", "id"])  # DashSet union across trees (lsh.rs:266-270)
+        )
+        w = W.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("id"))
+        return (
+            cands.withColumn("_dist", V.sq_euclidean(F.col("q_vec"), F.col("embedding")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(
+                "query_id",
+                F.col("id").alias("neighbour_id"),
+                F.col("_dist").alias("distance"),
+                F.col("rn").alias("rank"),
+            )
+        )
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: str) -> None:
+        self.leaves.write.mode("overwrite").partitionBy("tree_id").parquet(f"{path}/leaves")
+        self.hyperplanes.write.mode("overwrite").parquet(f"{path}/hyperplanes")
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/manifest.json", "w") as f:
+            json.dump(self.params, f, indent=2)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "LSHForestIndex":
+        with open(f"{path}/manifest.json") as f:
+            params = json.load(f)
+        return LSHForestIndex(
+            spark,
+            spark.read.parquet(f"{path}/leaves"),
+            spark.read.parquet(f"{path}/hyperplanes"),
+            params,
+        )
+
+
+def mllib_brp_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Documented fast path: MLlib BucketedRandomProjectionLSH (classic
+    bucketed LSH, not bit-compatible with the forest — SURVEY §2.C note)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(c)
+    rows = []
+    for q in queries.select(id_col, vec_col).collect():
+        from pyspark.ml.linalg import Vectors
+
+        res = model.approxNearestNeighbors(c, Vectors.dense(q[1]), k).select(
+            F.lit(q[0]).alias("query_id"),
+            F.col("id").alias("neighbour_id"),
+            F.col("distCol").alias("distance"),
+        )
+        rows.append(res)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

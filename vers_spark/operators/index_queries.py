@@ -13,9 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vers_spark.indexes.ivfflat import IVFFlatIndex
+from vers_spark.indexes.lsh import LSHForestIndex
 from vers_spark.sources.tables import load_table
 
 _IVF_CACHE: dict[tuple, IVFFlatIndex] = {}
+_LSH_CACHE: dict[tuple, LSHForestIndex] = {}
 
 
 def _ivf(spark: SparkSession, sf_dir: str, k: int = 16) -> IVFFlatIndex:
@@ -47,6 +49,31 @@ def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf(spark, sf_dir).cluster_stats()
 
 
+def _lsh(spark: SparkSession, sf_dir: str, trees: int, max_node: int) -> LSHForestIndex:
+    key = (sf_dir, trees, max_node)
+    if key not in _LSH_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _LSH_CACHE[key] = LSHForestIndex.build(
+            emb, num_trees=trees, max_node_size=max_node, seed=7
+        )
+    return _LSH_CACHE[key]
+
+
+def lsh_search_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One tree, unbounded leaf ≡ exact brute force (degenerate oracle)."""
+    idx = _lsh(spark, sf_dir, trees=1, max_node=10**9)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return idx.search(emb.filter(F.col("vec_id") % 101 == 0), k=8)
+
+
+def lsh_search_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference harness config (main.rs:81): 8 trees, max_node_size=100 —
+    rows-only; recall gated in tests."""
+    idx = _lsh(spark, sf_dir, trees=8, max_node=100)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return idx.search(emb.filter(F.col("vec_id") < 20), k=10)
+
+
 _KNN_ALL_SQL = """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     c AS (SELECT vec_id AS neighbour_id, embedding AS cv FROM embeddings),
@@ -61,12 +88,29 @@ _KNN_ALL_SQL = """
     SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
 """
 
+_LSH_DEGENERATE_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 101 = 0),
+    c AS (SELECT vec_id AS neighbour_id, embedding AS cv FROM embeddings),
+    d AS (SELECT query_id, neighbour_id,
+                 list_reduce(list_transform(list_zip(qv, cv),
+                     s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+                     (x,y) -> x + y) AS distance
+          FROM q CROSS JOIN c),
+    r AS (SELECT query_id, neighbour_id, distance,
+                 row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbour_id ASC) AS rank
+          FROM d)
+    SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM r WHERE rank <= 8
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "ivf_search_all": _KNN_ALL_SQL,
+    "lsh_search_degenerate": _LSH_DEGENERATE_SQL,
 }
 
 QUERIES = {
     "ivf_search_all": ivf_search_all,
     "ivf_search_p4": ivf_search_p4,
     "ivf_cluster_stats": ivf_cluster_stats,
+    "lsh_search_degenerate": lsh_search_degenerate,
+    "lsh_search_forest": lsh_search_forest,
 }
