@@ -22,20 +22,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from vers_spark.operators import index_queries, relational, vector_queries
+    from vers_spark.operators import (
+        index_queries,
+        pipeline_queries,
+        relational,
+        text_analysis,
+        text_dedup_queries,
+        vector_queries,
+    )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(vector_queries.QUERIES)
     out.update(index_queries.QUERIES)
+    out.update(text_analysis.QUERIES)
+    out.update(text_dedup_queries.QUERIES)
+    out.update(pipeline_queries.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from vers_spark.operators import index_queries, relational, vector_queries
+    from vers_spark.operators import (
+        index_queries,
+        pipeline_queries,
+        relational,
+        text_analysis,
+        text_dedup_queries,
+        vector_queries,
+    )
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE_SQL)
     out.update(vector_queries.ORACLE_SQL)
     out.update(index_queries.ORACLE_SQL)
+    out.update(text_analysis.ORACLE_SQL)
+    out.update(text_dedup_queries.ORACLE_SQL)
+    out.update(pipeline_queries.ORACLE_SQL)
     return out

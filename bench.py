@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Headline set = one representative per operator family (SURVEY.md §2):
+relational agg/join, window top-k, exact KNN (blocked numpy kernel), IVFFlat
+search, LSH forest search, MinHash near-dup, SimHash near-dup, text analysis,
+embedding near-dup. Each timed to full materialization (count, not collect —
+we measure engine throughput, not driver transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "q_top_customers_per_nation",
+    "knn_exact_euclidean",
+    "knn_blocked_euclidean",
+    "ivf_search_p4",
+    "lsh_search_forest",
+    "minhash_neardup",
+    "simhash_neardup",
+    "doc_quality",
+    "emb_neardup_pairs",
+]
+
+
+def main() -> None:
+    from __spark_entry__ import queries
+    from vers_spark.session import get_spark
+
+    spark = get_spark(app_name="vers_spark_bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    qmap = queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        rows[name] = fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Text analysis + near-dup operators: oracle matches and semantic checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle import assert_oracle_match
+from vers_spark.operators import text_analysis as TA
+from vers_spark.operators import text_dedup_queries as TDQ
+from vers_spark.operators.text_dedup import minhash_neardup_pairs, simhash_neardup_pairs
+
+
+@pytest.mark.parametrize("name", sorted(TA.ORACLE_SQL))
+def test_analysis_oracle(spark, sf_dir, name):
+    assert_oracle_match(spark, sf_dir, name, TA.QUERIES[name], TA.ORACLE_SQL[name])
+
+
+@pytest.mark.parametrize("name", sorted(TDQ.ORACLE_SQL))
+def test_dedup_oracle(spark, sf_dir, name):
+    assert_oracle_match(spark, sf_dir, name, TDQ.QUERIES[name], TDQ.ORACLE_SQL[name])
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """MinHash pairs are a subset of the exact n-gram-Jaccard pairs (the
+    verification step kills every false positive) with recall ≥ 0.8 —
+    banding with 4 bands × 4 hashes misses jaccard≈0.85 pairs ~8% of the
+    time, which is correct MinHash behavior, not a bug."""
+    from vers_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    aug = TDQ._augmented(spark, sf_dir, 7, TDQ.NEAR_TAIL)
+    approx = {(r["doc_a"], r["doc_b"]) for r in minhash_neardup_pairs(aug, 0.8).collect()}
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(aug, 0.8).collect()}
+    assert approx <= exact
+    assert exact and len(approx) / len(exact) >= 0.8
+
+
+def test_simhash_exact_dups_hamming_zero(spark, sf_dir):
+    aug = TDQ._augmented(spark, sf_dir, 5, "")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(aug, 3).collect()
+    }
+    expected = {
+        (r["doc_id"], r["doc_id"] + 10000)
+        for r in aug.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 10000))
+        .select("doc_id")
+        .collect()
+    }
+    for p in expected:
+        assert pairs.get(p) == 0

@@ -1,0 +1,104 @@
+"""Text-analysis kernel: tokenization, shingling, deterministic hashing,
+quality features — the LLM-training-data-pipeline surface (SURVEY.md §2.E
+"text analysis" north star; no counterpart in the reference, which is
+vectors-only).
+
+All pure column expressions (JVM codegen). Hashing discipline: the cross-
+engine deterministic base hash is the first 15 hex chars of md5 folded to a
+60-bit integer — Spark ``conv(substr(md5(x),1,15),16,10)`` and DuckDB
+``list_reduce`` over hex digits produce identical values, so every
+MinHash/SimHash derived quantity is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_PRIME = 2_147_483_647  # 2^31 − 1, Mersenne; all minhash arithmetic mod this
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+
+# Deterministic per-hash-function affine constants (a_i, b_i). Fixed literals
+# so both engines share them; a_i < 2^16 keeps a*(h mod P) < 2^47 — no overflow.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (2971, 12721), (4801, 38873), (6397, 52609), (9241, 71993),
+    (12289, 94651), (15661, 3079), (19391, 27644), (23743, 50321),
+    (28591, 64901), (31397, 77689), (35617, 90847), (40093, 11779),
+    (44771, 24391), (49603, 36997), (54521, 49529), (59359, 62131),
+]
+
+STOPWORDS_EN = (
+    "the a an and or of to in on for is are was as by with at from it this that".split()
+)
+
+# Marker-word tables for the language-ID heuristic (argmax of marker hits;
+# deterministic tie-break by language code).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and is of to in that it for on".split(),
+    "de": "der die das und ist von zu mit den im".split(),
+    "es": "el la los de que y en un por con".split(),
+    "fr": "le la les de et un une dans est pour".split(),
+    "zh": "的 是 在 了 我 有 和 就 不 人".split(),
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (lower-cased)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization: alnum runs + single punctuation marks."""
+    return F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+
+
+def word_shingles(tokens: Column, n: int) -> Column:
+    """n-token shingles; a doc shorter than n yields its whole token string."""
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, joined).otherwise(F.array(F.array_join(tokens, " ")))
+
+
+def char_shingles(text: Column, n: int) -> Column:
+    """Character n-grams over the lower-cased text."""
+    t = F.lower(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+
+
+def stable_hash60(col: Column) -> Column:
+    """60-bit deterministic hash: first 15 hex chars of md5, base-16 → int.
+    Cross-engine identical (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_value(base_hash: Column, a: int, b: int) -> Column:
+    """Affine universal hash (a·h + b) mod P over the 60-bit base hash."""
+    return (F.lit(a) * (base_hash % F.lit(HASH_PRIME)) + F.lit(b)) % F.lit(HASH_PRIME)
+
+
+def poly_fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over the document's characters
+    (acc·31 + codepoint) mod 1e9+7 — the document-fingerprint operator."""
+    return F.aggregate(
+        F.split(text, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(POLY_BASE) + F.ascii(c)) % F.lit(POLY_MOD),
+    )
+
+
+def stopword_ratio(tokens: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    n_stop = F.size(F.array_intersect(tokens, sw))  # distinct-based; see note
+    return n_stop.cast("double") / F.greatest(F.size(tokens), F.lit(1)).cast("double")
+
+
+def count_in_set(tokens: Column, words: list[str]) -> Column:
+    """Occurrences (with multiplicity) of any of ``words`` in tokens."""
+    wset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wset, t)))

@@ -153,20 +153,20 @@ class LSHForestIndex:
 
     # ---------------- search ----------------
 
-    def search(
+    def assign_paths(
         self,
-        queries: DataFrame,
-        k: int,
-        query_id: str = "vec_id",
-        query_vec: str = "embedding",
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
     ) -> DataFrame:
-        """Descend every tree, union leaf candidates, exact re-rank top-k."""
-        spark = self.spark
-        trees = spark.range(self.params["num_trees"]).select(
+        """Descend every tree for every row: fold plane tests level by level
+        (one broadcast join per level) → (query_id, q_vec, tree_id, path).
+        Identical vectors always get identical paths (deterministic dots)."""
+        trees = self.spark.range(self.params["num_trees"]).select(
             F.col("id").cast("int").alias("tree_id")
         )
-        qp = queries.select(
-            F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_vec")
+        qp = df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         ).crossJoin(F.broadcast(trees)).withColumn("path", F.lit(""))
 
         for depth in range(self.params["depth"]):
@@ -182,6 +182,17 @@ class LSHForestIndex:
                 )
                 .select("query_id", "q_vec", "tree_id", "path")
             )
+        return qp
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+    ) -> DataFrame:
+        """Descend every tree, union leaf candidates, exact re-rank top-k."""
+        qp = self.assign_paths(queries, query_id, query_vec)
 
         cands = (
             qp.join(self.leaves, ["tree_id", "path"])

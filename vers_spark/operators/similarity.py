@@ -1,0 +1,80 @@
+"""Embedding-space similarity operators: near-duplicate pairs and
+all-pairs-style similarity join, built on the ANN indexes (SURVEY.md §2.C/E —
+the metadata+vector composition the reference lacks entirely).
+
+Scale shapes:
+- near-dup: candidates = vectors sharing an LSH leaf in ANY tree (identical
+  vectors always share every leaf — plane tests are deterministic — so exact
+  duplicates can never be missed); verification is candidate-sized.
+- similarity join: both sides partitioned by IVF cluster; neighbours searched
+  within each vector's own cluster (n_probes=1 self-join co-located on
+  cluster_id — no corpus² shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from vers_spark.functions import vector as V
+from vers_spark.indexes.ivfflat import IVFFlatIndex
+from vers_spark.indexes.lsh import LSHForestIndex
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    num_trees: int = 4,
+    max_node_size: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """(id_a < id_b, distance) pairs with squared Euclidean ≤ threshold,
+    LSH-bucketed candidate generation + exact verification."""
+    forest = LSHForestIndex.build(
+        emb, num_trees=num_trees, max_node_size=max_node_size, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    # assign paths to the FULL corpus (the forest dedups identical vectors at
+    # build time, lsh.rs:113-130 — descending the planes for every row puts
+    # exact duplicates back into the same buckets)
+    paths = forest.assign_paths(emb, id_col, vec_col)
+    a = paths.select("tree_id", "path", F.col("query_id").alias("id_a"), F.col("q_vec").alias("va"))
+    b = paths.select("tree_id", "path", F.col("query_id").alias("id_b"), F.col("q_vec").alias("vb"))
+    cands = (
+        a.join(b, ["tree_id", "path"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = V.sq_euclidean(F.col("va"), F.col("vb"))
+    return (
+        cands.withColumn("distance", dist)
+        .filter(F.col("distance") <= threshold)
+        .select("id_a", "id_b", "distance")
+    )
+
+
+def ivf_similarity_join(
+    emb: DataFrame,
+    k: int,
+    num_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs top-k: neighbours restricted to each vector's IVF
+    cluster — the co-located self-join shape that scales linearly in cluster
+    size instead of corpus²."""
+    idx = IVFFlatIndex.build(emb, num_clusters=num_clusters, id_col=id_col, vec_col=vec_col, seed=seed)
+    asg = idx.assignments
+    a = asg.select("cluster_id", F.col("id").alias("query_id"), F.col("embedding").alias("qv"))
+    b = asg.select("cluster_id", F.col("id").alias("neighbour_id"), F.col("embedding").alias("cv"))
+    w = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbour_id"))
+        .withColumn("distance", V.sq_euclidean(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "distance", "rank")
+    )

@@ -1,0 +1,198 @@
+"""Text-analysis queries over ``documents`` (SURVEY.md §2.E north star):
+token stats, quality scoring, language-ID heuristic, fingerprinting. Pure
+column expressions — single scan, partial/final aggregation, no UDFs.
+
+Every query has a DuckDB oracle computing the identical arithmetic (shared
+deterministic hash/fold discipline — see functions.text docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vers_spark.functions import text as TX
+from vers_spark.sources.tables import load_table
+
+# ---- shared DuckDB fragments (the SQL twins of functions.text) ----
+
+D_TOKENS = r"string_split_regex(trim(lower({t})), '\s+')"
+D_BPE = r"regexp_extract_all(lower({t}), '[a-z0-9]+|[^a-z0-9\s]')"
+D_HASH60 = (
+    "list_reduce(list_transform(string_split(substr(md5({x}), 1, 15), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
+)
+D_POLY_FP = (
+    "list_reduce(list_transform(string_split({t}, ''), c -> CAST(ascii(c) AS BIGINT)),"
+    f" (a,b) -> (a*{TX.POLY_BASE} + b) % {TX.POLY_MOD})"
+)
+
+
+def d_count_in_set(tokens: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tokens}, t -> list_contains([{lst}], t)))"
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    """First language (alphabetical) whose score ties the max — identical
+    CASE chain in the SQL twin."""
+    langs = sorted(scores)
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if cond is None:
+            expr = expr.otherwise(branch)
+        elif expr is None:
+            expr = F.when(cond, branch)
+        else:
+            expr = expr.when(cond, branch)
+    return expr
+
+
+def _d_argmax_lang(langs: list[str]) -> str:
+    langs = sorted(langs)
+    parts = []
+    for i, lang in enumerate(langs):
+        if i == len(langs) - 1:
+            parts.append(f"ELSE '{lang}'")
+        else:
+            conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1 :])
+            parts.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(parts) + " END"
+
+
+# ---- queries ----
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.size(TX.bpe_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + fixed-weight composite score (heuristic filter for
+    training-data curation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.col("text"))
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_chr = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    stop = TX.count_in_set(toks, TX.STOPWORDS_EN).cast("double") / n_tok
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:()\[\]{}'\"]", ""))
+    ).cast("double") / n_chr
+    digit = (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).cast(
+        "double"
+    ) / n_chr
+    mean_wl = n_chr / n_tok
+    score = (
+        F.lit(0.4) * stop
+        + F.lit(0.3) * (F.lit(1.0) - punct)
+        + F.lit(0.2) * (F.lit(1.0) - digit)
+        + F.lit(0.1) * F.least(mean_wl / F.lit(10.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        stop.alias("stopword_ratio"),
+        punct.alias("punct_ratio"),
+        digit.alias("digit_ratio"),
+        mean_wl.alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: argmax of per-language marker hits,
+    alphabetical tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.col("text"))
+    scores = {
+        lang: TX.count_in_set(toks, words).cast("long") for lang, words in TX.LANG_MARKERS.items()
+    }
+    cols = [scores[lang].alias(f"s_{lang}") for lang in sorted(scores)]
+    with_scores = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *cols)
+    pred = _argmax_lang({lang: F.col(f"s_{lang}") for lang in TX.LANG_MARKERS})
+    return with_scores.select(
+        "doc_id", "labeled_lang", *[f"s_{lang}" for lang in sorted(TX.LANG_MARKERS)], pred.alias("predicted_lang")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic fingerprints: md5 prefix + rolling polynomial hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("fp_md5"),
+        TX.poly_fingerprint(F.col("text")).alias("fp_poly"),
+        TX.stable_hash60(F.col("text")).alias("fp_hash60"),
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_token_stats": f"""
+        SELECT doc_id,
+               CAST(len({D_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({D_TOKENS.format(t='text')})) AS BIGINT) AS n_unique_tokens,
+               CAST(len({D_BPE.format(t='text')}) AS BIGINT) AS n_bpe_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_measured,
+               CAST(list_reduce(list_transform({D_TOKENS.format(t='text')}, t -> CAST(length(t) AS BIGINT)), (a,b) -> a+b) AS DOUBLE)
+                   / CAST(greatest(len({D_TOKENS.format(t='text')}), 1) AS DOUBLE) AS avg_token_len
+        FROM documents
+    """,
+    "doc_quality": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST({d_count_in_set(D_TOKENS.format(t='text'), TX.STOPWORDS_EN)} AS DOUBLE)
+                       / CAST(greatest(len({D_TOKENS.format(t='text')}), 1) AS DOUBLE) AS stopword_ratio,
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:()\\[\\]{{}}''"]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                       / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+                   CAST(greatest(length(text), 1) AS DOUBLE)
+                       / CAST(greatest(len({D_TOKENS.format(t='text')}), 1) AS DOUBLE) AS mean_word_len
+            FROM documents
+        )
+        SELECT doc_id, stopword_ratio, punct_ratio, digit_ratio, mean_word_len,
+               0.4 * stopword_ratio + 0.3 * (1.0 - punct_ratio) + 0.2 * (1.0 - digit_ratio)
+                   + 0.1 * least(mean_word_len / 10.0, 1.0) AS quality_score
+        FROM f
+    """,
+    "doc_lang_id": f"""
+        WITH s AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   {', '.join(f"CAST({d_count_in_set(D_TOKENS.format(t='text'), TX.LANG_MARKERS[lang])} AS BIGINT) AS s_{lang}" for lang in sorted(TX.LANG_MARKERS))}
+            FROM documents
+        )
+        SELECT doc_id, labeled_lang, {', '.join(f's_{lang}' for lang in sorted(TX.LANG_MARKERS))},
+               {_d_argmax_lang(list(TX.LANG_MARKERS))} AS predicted_lang
+        FROM s
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               substr(md5(text), 1, 16) AS fp_md5,
+               {D_POLY_FP.format(t='text')} AS fp_poly,
+               {D_HASH60.format(x='text')} AS fp_hash60
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+}

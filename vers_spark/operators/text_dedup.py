@@ -1,0 +1,194 @@
+"""Near-duplicate detection for text corpora: MinHash+LSH banding, SimHash,
+exact n-gram Jaccard join (SURVEY.md §2.E; training-data dedup north star).
+
+All hashing uses the cross-engine deterministic md5-fold (functions.text), so
+even the MinHash pipeline is DuckDB-oracle-checkable end to end.
+
+Scale shapes:
+- MinHash signatures: one explode + ONE groupBy with 16 min-aggregates
+  (map-side combine), then an unpivot — no 16× row blowup.
+- Band join: candidates only where a 4-hash band collides; the self-join keys
+  on (band_id, band_key) — skew handled by AQE; verification joins are
+  candidate-sized, not corpus².
+- SimHash banding: 4 × 8-bit chunks; pigeonhole guarantees every pair with
+  hamming ≤ 3 shares at least one chunk, so banding loses nothing.
+- n-gram Jaccard: inverted-index self-join on shingle; exact.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vers_spark.functions import text as TX
+
+BAND_SIZE = 4
+BAND_POWERS = [1, 31, 961, 29791]  # weight of position h_idx % 4 inside a band
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4
+
+
+def shingle_sets(docs: DataFrame, n_shingle: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word n-gram shingles per document."""
+    toks = TX.ws_tokens(F.col(text_col))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(TX.word_shingles(toks, n_shingle)).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_shingle: int = 3,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, h_idx, min_hash): num_hashes affine hashes over the shingle
+    set, one shuffle (16 min-aggs in a single groupBy, then unpivot)."""
+    sh = shingle_sets(docs, n_shingle, id_col, text_col)
+    base = TX.stable_hash60(F.col("shingle"))
+    aggs = [
+        F.min(TX.minhash_value(base, a, b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(TX.MINHASH_COEFFS[:num_hashes])
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{i}, h{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack}) as (h_idx, min_hash)"
+    ).select("doc_id", F.col("h_idx").cast("int").alias("h_idx"), "min_hash")
+
+
+def minhash_bands(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band_id, band_key): position-weighted sum per band — exact
+    integer arithmetic, order-independent, identical in the SQL twin."""
+    weight = F.element_at(
+        F.array(*[F.lit(p) for p in BAND_POWERS[:band_size]]), (F.col("h_idx") % band_size) + 1
+    )
+    return (
+        sigs.withColumn("band_id", F.expr(f"h_idx div {band_size}"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.sum(F.col("min_hash") * weight).alias("band_key"))
+    )
+
+
+def band_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in at least one band."""
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify(candidates: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs only."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame, threshold: float = 0.8, n_shingle: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Full MinHash-LSH dedup pipeline: signatures → bands → candidate pairs →
+    exact-Jaccard verification."""
+    sigs = minhash_signatures(docs, n_shingle, num_hashes)
+    cands = band_candidates(minhash_bands(sigs))
+    return jaccard_verify(cands, shingle_sets(docs, n_shingle), threshold)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n_shingle: int = 3) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join: inverted-index self-join on
+    shingle (no hashing, no misses)."""
+    sh = shingle_sets(docs, n_shingle)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        sa.join(sb, "shingle").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").dropDuplicates()
+    )
+    return jaccard_verify(cands, sh, threshold)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over whitespace tokens WITH
+    multiplicity — per-bit ±1 vote weighted by term frequency, bit set iff
+    the vote sum is strictly positive."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(TX.ws_tokens(F.col(text_col))).alias("t")
+    )
+    hv = TX.stable_hash60(F.col("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    wide = toks.groupBy("doc_id").agg(*votes)
+    sim = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return wide.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded into 4 × 8-bit
+    chunks (pigeonhole-complete for hamming ≤ 3), verified exactly."""
+    sim = simhash(docs)
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", 8 * c).bitwiseAND(F.lit(255)).alias("chunk_val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk_val"
+    )
+    cands = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,174 @@
+"""Driver queries + DuckDB oracles for the near-dup operators.
+
+The corpus has no natural duplicates, so each query runs over an AUGMENTED
+corpus (documents ∪ mutated/exact copies at doc_id+10000) built identically in
+Spark and SQL — the pipeline must then recover exactly the injected pairs
+(plus any deterministic hash coincidences, identical in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vers_spark.functions import text as TX
+from vers_spark.operators import text_dedup as TD
+from vers_spark.operators.text_analysis import D_HASH60, D_TOKENS
+from vers_spark.sources.tables import load_table
+
+NEAR_TAIL = " near dup tail"
+
+
+def _augmented(spark: SparkSession, sf_dir: str, mod: int, tail: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % mod == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), F.concat("text", F.lit(tail)).alias("text")
+    )
+    return docs.unionByName(dups)
+
+
+def _d_augmented(mod: int, tail: str) -> str:
+    return f"""(
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text || '{tail}' AS text
+        FROM documents WHERE doc_id % {mod} = 0
+    )"""
+
+
+# DuckDB shingle-set fragment: DISTINCT word 3-grams per doc (short docs fall
+# back to the whole token string), matching functions.text.word_shingles.
+def _d_shingles(corpus_sql: str) -> str:
+    toks = D_TOKENS.format(t="text")
+    return f"""(
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len({toks}) >= 3
+                      THEN list_transform(generate_series(1, len({toks}) - 2),
+                                          i -> array_to_string(({toks})[i:i+2], ' '))
+                      ELSE [array_to_string({toks}, ' ')] END) AS shingle
+        FROM {corpus_sql}
+    )"""
+
+
+_D_MINHASH_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(TX.MINHASH_COEFFS)
+)
+
+_D_BAND_WEIGHT = "CASE h_idx % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END"
+
+
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TD.minhash_signatures(docs)
+
+
+def minhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TD.minhash_neardup_pairs(_augmented(spark, sf_dir, 7, NEAR_TAIL), threshold=0.8)
+
+
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TD.ngram_jaccard_pairs(_augmented(spark, sf_dir, 7, NEAR_TAIL), threshold=0.8)
+
+
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TD.simhash(docs)
+
+
+def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TD.simhash_neardup_pairs(_augmented(spark, sf_dir, 5, ""), max_hamming=3)
+
+
+def _sig_sql(corpus_sql: str) -> str:
+    return f"""
+        SELECT doc_id, CAST(h.h_idx AS INT) AS h_idx,
+               min((h.a * (base % {TX.HASH_PRIME}) + h.b) % {TX.HASH_PRIME}) AS min_hash
+        FROM (SELECT doc_id, {D_HASH60.format(x='shingle')} AS base FROM {_d_shingles(corpus_sql)})
+        CROSS JOIN (VALUES {_D_MINHASH_VALUES}) h(h_idx, a, b)
+        GROUP BY doc_id, h.h_idx
+    """
+
+
+def _jaccard_tail_sql(corpus_sql: str, cand_cte: str, threshold: float) -> str:
+    """Shared verification tail: candidates → exact jaccard → threshold."""
+    return f"""
+        sh AS (SELECT * FROM {_d_shingles(corpus_sql)}),
+        {cand_cte},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS i
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
+        WHERE CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) >= {threshold}
+    """
+
+
+_D_SIMHASH = """
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM (
+            SELECT doc_id, bits.b,
+                   sum(CASE WHEN (hv >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM (SELECT doc_id, {hash60} AS hv
+                  FROM (SELECT doc_id, unnest({toks}) AS t FROM {corpus}))
+            CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bits
+            GROUP BY doc_id, bits.b
+        )
+        GROUP BY doc_id
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "minhash_signatures": _sig_sql("documents"),
+    "minhash_neardup": "WITH "
+    + _jaccard_tail_sql(
+        _d_augmented(7, NEAR_TAIL),
+        f"""sigs AS ({_sig_sql(_d_augmented(7, NEAR_TAIL))}),
+        bands AS (
+            SELECT doc_id, h_idx // 4 AS band_id,
+                   CAST(sum(min_hash * {_D_BAND_WEIGHT}) AS BIGINT) AS band_key
+            FROM sigs GROUP BY doc_id, h_idx // 4
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id
+        )""",
+        0.8,
+    ),
+    "ngram_jaccard_pairs": "WITH "
+    + _jaccard_tail_sql(
+        _d_augmented(7, NEAR_TAIL),
+        """cand AS (
+            SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+            FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
+            WHERE sa.doc_id < sb.doc_id
+        )""",
+        0.8,
+    ),
+    "simhash_docs": _D_SIMHASH.format(
+        hash60=D_HASH60.format(x="t"), toks=D_TOKENS.format(t="text"), corpus="documents"
+    ),
+    "simhash_neardup": f"""
+        WITH sim AS ({_D_SIMHASH.format(hash60=D_HASH60.format(x='t'), toks=D_TOKENS.format(t='text'), corpus=_d_augmented(5, ''))})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+}
+
+QUERIES = {
+    "minhash_signatures": minhash_signatures_q,
+    "minhash_neardup": minhash_neardup_q,
+    "ngram_jaccard_pairs": ngram_jaccard_q,
+    "simhash_docs": simhash_q,
+    "simhash_neardup": simhash_neardup_q,
+}
