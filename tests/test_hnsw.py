@@ -1,0 +1,136 @@
+"""HNSW: kernel recall, sharded Spark build/search, determinism, roundtrip.
+
+Acceptance is recall-based, never graph-identical (SURVEY §7 phase 4): the
+reference's graph is nondeterministic (unseeded RNG + HashMap-order
+entrypoint, hnsw.rs:336,516), so property tests are the only sound contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vers_spark.indexes.hnsw import HNSWIndex, _LocalHNSW
+from vers_spark.operators.knn import exact_knn
+from vers_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus_np(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, X
+
+
+@pytest.fixture(scope="module")
+def hnsw_idx(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return HNSWIndex.build(emb, num_shards=4, seed=42)
+
+
+def _exact_np(ids, X, q, k):
+    d = ((X - q) ** 2).sum(axis=1)
+    return set(ids[np.argsort(d, kind="stable")[:k]])
+
+
+def test_local_kernel_recall(corpus_np):
+    ids, X = corpus_np
+    g = _LocalHNSW(12, 100, 24, seed=42)
+    for i, v in zip(ids, X):
+        g.insert(int(i), v)
+    rec = []
+    rng = np.random.default_rng(0)
+    for qi in range(40):
+        q = X[qi] + rng.normal(0, 0.05, X.shape[1])
+        got = {n for _, n in g.search(q, 10, 32)}
+        rec.append(len(got & _exact_np(ids, X, q, 10)) / 10)
+    assert np.mean(rec) >= 0.95
+
+
+def test_local_kernel_fully_connected(corpus_np):
+    """Every node reachable from the entrypoint on layer 0 — guards the
+    insert-order/entrypoint regressions that silently cost recall."""
+    from collections import deque
+
+    ids, X = corpus_np
+    g = _LocalHNSW(12, 100, 24, seed=7)
+    for i, v in zip(ids, X):
+        g.insert(int(i), v)
+    seen = {g._entrypoint()}
+    dq = deque(seen)
+    while dq:
+        c = dq.popleft()
+        for nb in g.adj[0].get(c, ()):
+            if nb not in seen:
+                seen.add(nb)
+                dq.append(nb)
+    assert len(seen) == len(g.vecs)
+
+
+def test_sharded_recall_all_probes(spark, sf_dir, hnsw_idx):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbour_id"]) for r in exact_knn(q, emb, k=10).collect()}
+    got = {
+        (r["query_id"], r["neighbour_id"])
+        for r in hnsw_idx.search(q, k=10, n_probe_shards=4).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_probe_pruning_monotone(spark, sf_dir, hnsw_idx):
+    """More probed shards → recall can only improve (same per-shard graphs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbour_id"]) for r in exact_knn(q, emb, k=10).collect()}
+    rec = []
+    for probes in (1, 2, 4):
+        got = {
+            (r["query_id"], r["neighbour_id"])
+            for r in hnsw_idx.search(q, k=10, n_probe_shards=probes).collect()
+        }
+        rec.append(len(got & exact) / len(exact))
+    assert rec == sorted(rec)
+
+
+def test_distances_verified_and_sorted(spark, sf_dir, hnsw_idx, corpus_np):
+    ids, X = corpus_np
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = hnsw_idx.search(emb.filter(F.col("vec_id") < 5), k=10).collect()
+    by_vec = {int(i): X[j] for j, i in enumerate(ids)}
+    per_q = {}
+    for r in res:
+        d = by_vec[r["query_id"]] - by_vec[r["neighbour_id"]]
+        assert abs(float(d @ d) - r["distance"]) < 1e-9  # recompute every distance
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["distance"]))
+    for pairs in per_q.values():
+        ds = [d for _, d in sorted(pairs)]
+        assert ds == sorted(ds)  # monotone nondecreasing by rank
+
+
+def test_build_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = HNSWIndex.build(emb, num_shards=2, seed=11).search(q, k=5).collect()
+    b = HNSWIndex.build(emb, num_shards=2, seed=11).search(q, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_save_load_roundtrip(spark, sf_dir, hnsw_idx, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    before = sorted(map(tuple, hnsw_idx.search(q, k=8, n_probe_shards=4).collect()))
+    hnsw_idx.save(str(tmp_path / "idx"))
+    loaded = HNSWIndex.load(spark, str(tmp_path / "idx"))
+    after = sorted(map(tuple, loaded.search(q, k=8, n_probe_shards=4).collect()))
+    assert before == after
+
+
+def test_layer_stats_monotone(hnsw_idx):
+    stats = hnsw_idx.layer_stats().collect()
+    counts = [r["n_nodes"] for r in sorted(stats, key=lambda r: r["layer"])]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] == 500  # every vector on layer 0

@@ -1,0 +1,422 @@
+"""HNSW index, Spark-first (reference: `vers/src/indexes/hnsw.rs`).
+
+The reference inserts every vector sequentially into one in-memory graph
+(`hnsw.rs:472-475`) — each insert reads the graph built by all previous
+inserts, so the loop fundamentally does not distribute. The scalable
+re-expression is a SHARDED graph (the standard distributed-ANN shape):
+
+- corpus → ``num_shards`` shards, either k-means shards (locality → searches
+  prune to the ``n_probe_shards`` nearest shards per query) or random shards
+  (uniform load, every shard searched);
+- each shard builds an independent local HNSW graph in ONE ``applyInPandas``
+  pass — a pure-numpy reimplementation of the reference's insert semantics:
+  seeded insertion-layer draw ⌊−ln(U)·mL⌋ with mL = 1/ln(M) (`hnsw.rs:323,
+  335-346,458`), greedy descent to the insertion layer (`hnsw.rs:374-384`),
+  per-layer ef_construction search (`hnsw.rs:242-307`), heuristic neighbour
+  selection — accept closest-first iff closer to the target than to every
+  already-accepted neighbour (`hnsw.rs:104-164`), undirected edges
+  (`hnsw.rs:64-82`), degree trim via the same heuristic (`hnsw.rs:166-198`),
+  2·M degree cap on layer 0 (`hnsw.rs:400-404`);
+- the graph IS two DataFrames: ``nodes(shard_id, id, node_layer, embedding)``
+  and ``edges(shard_id, layer, src, dst, distance)``, Parquet-partitioned by
+  shard so a probe-list filter prunes file reads.
+
+Search is batch-first: the query set is broadcast into a cogrouped
+``applyInPandas`` over (nodes, edges) per shard; each shard runs the layered
+greedy search (`hnsw.rs:510-548`) for the queries that probe it, emits its
+local top-k, and a final per-query window merges shards. Entrypoint is PINNED
+to the max-layer, min-id node — the reference's entrypoint is HashMap
+iteration order (`hnsw.rs:366,516`), i.e. nondeterministic; we choose
+determinism (SURVEY §3.2 note).
+
+Scale notes: build shuffles the corpus once (shard assignment); per-shard
+memory is corpus/num_shards × dim floats + the adjacency lists, so
+``num_shards`` is the knob that fits shards to executor memory. Search ships
+each query only to its ``n_probe_shards`` nearest shards (k-means sharding);
+the merge moves only shard-local top-k rows, never candidates.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+_GRAPH_SCHEMA = "shard_id int, kind int, layer int, src long, dst long, distance double"
+_RESULT_SCHEMA = "query_id long, neighbour_id long, distance double"
+
+
+# ---------------------------------------------------------------- local kernel
+
+
+def _sq_dists(x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    d = x - q
+    return np.einsum("ij,ij->i", d, d)
+
+
+class _LocalHNSW:
+    """Partition-local graph; numpy re-expression of hnsw.rs semantics."""
+
+    def __init__(self, num_layers: int, ef_construction: int, m: int, seed: int):
+        self.num_layers = num_layers
+        self.efc = ef_construction
+        self.m = m
+        self.ml = 1.0 / math.log(m) if m > 1 else 1.0  # hnsw.rs:323,458
+        self.rng = np.random.default_rng(seed)
+        # adjacency[layer][node] = {neighbour: distance}
+        self.adj: list[dict[int, dict[int, float]]] = [dict() for _ in range(num_layers)]
+        self.node_layer: dict[int, int] = {}
+        self.vecs: dict[int, np.ndarray] = {}
+
+    # -- reference hnsw.rs:335-346
+    def _draw_layer(self) -> int:
+        u = self.rng.random()
+        u = max(u, 1e-12)
+        return min(int(-math.log(u) * self.ml), self.num_layers - 1)
+
+    def _dist(self, a: int, b: int) -> float:
+        d = self.vecs[a] - self.vecs[b]
+        return float(d @ d)
+
+    def _dist_q(self, q: np.ndarray, b: int) -> float:
+        d = q - self.vecs[b]
+        return float(d @ d)
+
+    # -- layered bounded greedy search, hnsw.rs:242-307 (Alg 2)
+    def _search_layer(self, q: np.ndarray, entry: list[int], ef: int, layer: int) -> list[tuple[float, int]]:
+        visited = set(entry)
+        cand: list[tuple[float, int]] = []  # min-heap by distance
+        result: list[tuple[float, int]] = []  # max-heap (negated) bounded ef
+        for e in entry:
+            d = self._dist_q(q, e)
+            heapq.heappush(cand, (d, e))
+            heapq.heappush(result, (-d, e))
+        while cand:
+            d_c, c = heapq.heappop(cand)
+            if result and d_c > -result[0][0]:
+                break
+            for nb in self.adj[layer].get(c, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                d_n = self._dist_q(q, nb)
+                if len(result) < ef or d_n < -result[0][0]:
+                    heapq.heappush(cand, (d_n, nb))
+                    heapq.heappush(result, (-d_n, nb))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+        return sorted((-nd, n) for nd, n in result)
+
+    # -- heuristic neighbour selection (paper Alg 4; reference hnsw.rs:104-164
+    #    implements the closest-first accept rule but leaves keepPruned
+    #    unimplemented — we complete it, because without the pruned fill-up
+    #    ~10% of nodes end with zero in-edges and become unreachable)
+    def _select(self, candidates: list[tuple[float, int]], m: int) -> list[tuple[float, int]]:
+        out: list[tuple[float, int]] = []
+        pruned: list[tuple[float, int]] = []
+        for d_c, c in sorted(candidates):
+            if len(out) >= m:
+                break
+            if all(d_c < self._dist(c, r) for _, r in out):
+                out.append((d_c, c))
+            else:
+                pruned.append((d_c, c))
+        out.extend(pruned[: m - len(out)])  # keepPrunedConnections
+        return out
+
+    # -- degree trim, hnsw.rs:166-198
+    def _trim(self, node: int, layer: int, cap: int) -> None:
+        nbrs = self.adj[layer][node]
+        if len(nbrs) <= cap:
+            return
+        kept = self._select([(d, n) for n, d in nbrs.items()], cap)
+        keep_ids = {n for _, n in kept}
+        # single-sided like the reference (hnsw.rs:166-198): only this node's
+        # list shrinks; reverse edges survive, preserving reachability of the
+        # dropped neighbours (bidirectional removal disconnects the graph).
+        for n in list(nbrs):
+            if n not in keep_ids:
+                del nbrs[n]
+
+    # -- full insert, hnsw.rs:348-432
+    def insert(self, vid: int, vec: np.ndarray) -> None:
+        self.vecs[vid] = vec
+        l_ins = self._draw_layer()
+        if len(self.vecs) == 1:
+            self.node_layer[vid] = l_ins
+            for layer in range(l_ins + 1):
+                self.adj[layer][vid] = {}
+            return
+        # entrypoint/top come from the graph as it exists BEFORE this node is
+        # registered (hnsw.rs:374: the new node must descend from the existing
+        # graph; registering first would make a node drawing a new top layer
+        # its own entrypoint and insert it disconnected)
+        entry = [self._entrypoint()]
+        top = max(self.node_layer.values())
+        self.node_layer[vid] = l_ins
+        # descend top..l_ins+1 greedily (hnsw.rs:374-384)
+        for layer in range(top, l_ins, -1):
+            if self.adj[layer]:
+                best = self._search_layer(vec, [e for e in entry if e in self.adj[layer]] or entry, 1, layer)
+                if best:
+                    entry = [best[0][1]]
+        # insert on layers min(l_ins, top)..0 (hnsw.rs:387-416)
+        for layer in range(min(l_ins, self.num_layers - 1), -1, -1):
+            cap = self.m * 2 if layer == 0 else self.m  # hnsw.rs:400-404
+            self.adj[layer].setdefault(vid, {})
+            seeds = [e for e in entry if e in self.adj[layer]]
+            if not seeds:
+                seeds = [n for n in list(self.adj[layer])[:1] if n != vid]
+            if seeds:
+                cands = self._search_layer(vec, seeds, self.efc, layer)
+                cands = [(d, n) for d, n in cands if n != vid]
+                selected = self._select(cands, cap)
+                for d, n in selected:  # undirected add (hnsw.rs:64-82)
+                    self.adj[layer][vid][n] = d
+                    self.adj[layer].setdefault(n, {})[vid] = d
+                    self._trim(n, layer, cap)
+                if cands:
+                    entry = [cands[0][1]]
+        for layer in range(min(l_ins, self.num_layers - 1) + 1):
+            self.adj[layer].setdefault(vid, {})
+
+    def _entrypoint(self) -> int:
+        # pinned: max node_layer, then min id (vs HashMap order, hnsw.rs:516)
+        return min(
+            (n for n in self.node_layer),
+            key=lambda n: (-self.node_layer[n], n),
+        )
+
+    def search(self, q: np.ndarray, k: int, ef_search: int) -> list[tuple[float, int]]:
+        if not self.vecs:
+            return []
+        entry = [self._entrypoint()]
+        top = max(self.node_layer.values())
+        for layer in range(top, 0, -1):  # hnsw.rs:526-536
+            if self.adj[layer]:
+                seeds = [e for e in entry if e in self.adj[layer]] or entry
+                best = self._search_layer(q, seeds, ef_search, layer)
+                if best:
+                    entry = [best[0][1]]
+        final = self._search_layer(q, [e for e in entry if e in self.adj[0]] or entry, max(ef_search, k), 0)
+        return final[:k]
+
+
+def _build_local(pdf: pd.DataFrame, params: dict) -> pd.DataFrame:
+    shard = int(pdf["shard_id"].iloc[0])
+    g = _LocalHNSW(
+        params["num_layers"], params["ef_construction"], params["m"], params["seed"] + shard
+    )
+    order = np.argsort(pdf["id"].to_numpy())  # deterministic insert order
+    ids = pdf["id"].to_numpy()[order]
+    vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)[order]
+    for vid, vec in zip(ids, vecs):
+        g.insert(int(vid), vec)
+    rows = [
+        (shard, 0, g.node_layer[n], int(n), None, None) for n in g.node_layer
+    ]
+    for layer, adj in enumerate(g.adj):
+        for src, nbrs in adj.items():
+            for dst, d in nbrs.items():
+                rows.append((shard, 1, layer, int(src), int(dst), float(d)))
+    return pd.DataFrame(
+        rows, columns=["shard_id", "kind", "layer", "src", "dst", "distance"]
+    )
+
+
+# ---------------------------------------------------------------- index
+
+
+@dataclass
+class HNSWIndex:
+    spark: SparkSession
+    nodes: DataFrame  # shard_id int, id long, embedding array<float>
+    graph: DataFrame  # shard_id, kind(0=node,1=edge), layer, src, dst, distance
+    centroids: np.ndarray | None  # k-means shard centroids (None = random shards)
+    params: dict
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        num_layers: int = 12,
+        ef_construction: int = 100,
+        ef_search: int = 32,
+        m: int = 24,
+        num_shards: int = 4,
+        shard_by: str = "kmeans",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+    ) -> "HNSWIndex":
+        """Reference-default hyperparameters from `main.rs:74-78`."""
+        spark = corpus.sparkSession
+        data = corpus.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding")
+        )
+        centroids = None
+        if shard_by == "kmeans":
+            from vers_spark.indexes.ivfflat import IVFFlatIndex
+
+            ivf = IVFFlatIndex.build(
+                data, num_clusters=num_shards, id_col="id", vec_col="embedding", seed=seed
+            )
+            nodes = ivf.assignments.select(
+                F.col("cluster_id").alias("shard_id"), "id", "embedding"
+            )
+            centroids = np.array(
+                [r["centroid"] for r in ivf.centroids.orderBy("cluster_id").collect()],
+                dtype=np.float64,
+            )
+        elif shard_by == "random":
+            nodes = data.select(
+                F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(num_shards)).cast("int").alias("shard_id"),
+                "id",
+                "embedding",
+            )
+        else:
+            raise ValueError(f"unknown shard_by {shard_by!r}")
+        nodes = nodes.repartition(num_shards, "shard_id").localCheckpoint(eager=True)
+
+        params = {
+            "num_layers": int(num_layers),
+            "ef_construction": int(ef_construction),
+            "ef_search": int(ef_search),
+            "m": int(m),
+            "num_shards": int(num_shards),
+            "shard_by": shard_by,
+            "seed": int(seed),
+            "metric": "sq_euclidean",
+        }
+        graph = (
+            nodes.groupBy("shard_id")
+            .applyInPandas(lambda pdf: _build_local(pdf, params), _GRAPH_SCHEMA)
+            .localCheckpoint(eager=True)  # build once, reuse across searches
+        )
+        return HNSWIndex(spark, nodes, graph, centroids, params)
+
+    # ---------------- search ----------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        ef_search: int | None = None,
+        n_probe_shards: int | None = None,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+    ) -> DataFrame:
+        """Batch search: queries broadcast to their ``n_probe_shards`` nearest
+        shards (k-means sharding) or all shards (random), per-shard layered
+        greedy search, global per-query top-k merge."""
+        ef = int(ef_search or self.params["ef_search"])
+        probes = int(n_probe_shards or (1 if self.centroids is not None else self.params["num_shards"]))
+        q_rows = queries.select(
+            F.col(query_id).cast("long").alias("query_id"), F.col(query_vec).alias("q_vec")
+        ).collect()
+        if not q_rows:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA + ", rank int")
+        qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        qvecs = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+        cents = self.centroids
+        num_shards = self.params["num_shards"]
+        nl, efc, m, seed = (
+            self.params["num_layers"],
+            self.params["ef_construction"],
+            self.params["m"],
+            self.params["seed"],
+        )
+        if cents is not None and probes < num_shards:
+            ranks = np.argsort(
+                np.array([_sq_dists(cents, qv) for qv in qvecs]), axis=1
+            )[:, :probes]
+            probe_sets = [set(map(int, r)) for r in ranks]
+        else:
+            probe_sets = None  # every shard handles every query
+
+        def fn(node_pdfs: pd.DataFrame, graph_pdf: pd.DataFrame) -> pd.DataFrame:
+            if node_pdfs.empty:
+                return pd.DataFrame(columns=["query_id", "neighbour_id", "distance"])
+            shard = int(node_pdfs["shard_id"].iloc[0])
+            mine = (
+                [i for i in range(len(qids)) if shard in probe_sets[i]]
+                if probe_sets is not None
+                else range(len(qids))
+            )
+            if not mine:
+                return pd.DataFrame(columns=["query_id", "neighbour_id", "distance"])
+            g = _LocalHNSW(nl, efc, m, seed + shard)
+            vec_arr = np.array(node_pdfs["embedding"].tolist(), dtype=np.float64)
+            for i, vid in enumerate(node_pdfs["id"].to_numpy()):
+                g.vecs[int(vid)] = vec_arr[i]
+            for r in graph_pdf.itertuples(index=False):
+                if r.kind == 0:
+                    g.node_layer[int(r.src)] = int(r.layer)
+                    g.adj[int(r.layer)].setdefault(int(r.src), {})
+                else:
+                    g.adj[int(r.layer)].setdefault(int(r.src), {})[int(r.dst)] = float(r.distance)
+            for layer in range(nl):  # membership: a node exists on layers 0..node_layer
+                for n, l in g.node_layer.items():
+                    if layer <= l:
+                        g.adj[layer].setdefault(n, {})
+            out = []
+            for i in mine:
+                for d, n in g.search(qvecs[i], k, ef):
+                    out.append((int(qids[i]), int(n), float(d)))
+            return pd.DataFrame(out, columns=["query_id", "neighbour_id", "distance"])
+
+        per_shard = (
+            self.nodes.groupby("shard_id")
+            .cogroup(self.graph.groupby("shard_id"))
+            .applyInPandas(fn, _RESULT_SCHEMA)
+        )
+        w = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
+        return (
+            per_shard.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbour_id", "distance", "rank")
+        )
+
+    # ---------------- stats ----------------
+
+    def layer_stats(self) -> DataFrame:
+        """Nodes per layer across shards (hnsw.rs:480-485)."""
+        return (
+            self.graph.filter(F.col("kind") == 0)
+            .select(F.explode(F.sequence(F.lit(0), F.col("layer"))).alias("layer"))
+            .groupBy("layer")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("layer")
+        )
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: str) -> None:
+        self.nodes.write.mode("overwrite").partitionBy("shard_id").parquet(f"{path}/nodes")
+        self.graph.write.mode("overwrite").partitionBy("shard_id").parquet(f"{path}/graph")
+        os.makedirs(path, exist_ok=True)
+        manifest = dict(self.params)
+        if self.centroids is not None:
+            manifest["centroids"] = self.centroids.tolist()
+        with open(f"{path}/manifest.json", "w") as f:
+            json.dump(manifest, f)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "HNSWIndex":
+        with open(f"{path}/manifest.json") as f:
+            manifest = json.load(f)
+        cents = manifest.pop("centroids", None)
+        return HNSWIndex(
+            spark,
+            spark.read.parquet(f"{path}/nodes"),
+            spark.read.parquet(f"{path}/graph"),
+            np.array(cents, dtype=np.float64) if cents is not None else None,
+            manifest,
+        )

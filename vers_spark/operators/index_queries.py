@@ -12,12 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vers_spark.indexes.hnsw import HNSWIndex
 from vers_spark.indexes.ivfflat import IVFFlatIndex
 from vers_spark.indexes.lsh import LSHForestIndex
 from vers_spark.sources.tables import load_table
 
 _IVF_CACHE: dict[tuple, IVFFlatIndex] = {}
 _LSH_CACHE: dict[tuple, LSHForestIndex] = {}
+_HNSW_CACHE: dict[tuple, HNSWIndex] = {}
 
 
 def _ivf(spark: SparkSession, sf_dir: str, k: int = 16) -> IVFFlatIndex:
@@ -74,6 +76,29 @@ def lsh_search_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(emb.filter(F.col("vec_id") < 20), k=10)
 
 
+def _hnsw(spark: SparkSession, sf_dir: str) -> HNSWIndex:
+    if (sf_dir,) not in _HNSW_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        # reference harness config (main.rs:74-78): layers=12, ef_c=100,
+        # ef_s=32, M=24; sharded 4-way by k-means
+        _HNSW_CACHE[(sf_dir,)] = HNSWIndex.build(emb, num_shards=4, seed=42)
+    return _HNSW_CACHE[(sf_dir,)]
+
+
+def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW batch search, all shards probed — rows-only; recall gated in
+    tests (approximate graph search is not SQL-expressible)."""
+    idx = _hnsw(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return idx.search(emb.filter(F.col("vec_id") < 20), k=10, n_probe_shards=4)
+
+
+def hnsw_layer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes per layer (hnsw.rs:480-485) — rows-only (layer draw is seeded
+    RNG, not SQL-expressible)."""
+    return _hnsw(spark, sf_dir).layer_stats()
+
+
 _KNN_ALL_SQL = """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     c AS (SELECT vec_id AS neighbour_id, embedding AS cv FROM embeddings),
@@ -113,4 +138,6 @@ QUERIES = {
     "ivf_cluster_stats": ivf_cluster_stats,
     "lsh_search_degenerate": lsh_search_degenerate,
     "lsh_search_forest": lsh_search_forest,
+    "hnsw_search": hnsw_search,
+    "hnsw_layer_stats": hnsw_layer_stats,
 }
