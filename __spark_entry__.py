@@ -26,6 +26,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         index_queries,
         pipeline_queries,
         relational,
+        streaming_queries,
         text_analysis,
         text_dedup_queries,
         vector_queries,
@@ -38,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(text_analysis.QUERIES)
     out.update(text_dedup_queries.QUERIES)
     out.update(pipeline_queries.QUERIES)
+    out.update(streaming_queries.QUERIES)
     return out
 
 
@@ -46,6 +48,7 @@ def oracle_sql() -> dict[str, str]:
         index_queries,
         pipeline_queries,
         relational,
+        streaming_queries,
         text_analysis,
         text_dedup_queries,
         vector_queries,
@@ -58,4 +61,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(text_analysis.ORACLE_SQL)
     out.update(text_dedup_queries.ORACLE_SQL)
     out.update(pipeline_queries.ORACLE_SQL)
+    out.update(streaming_queries.ORACLE_SQL)
     return out

@@ -1,0 +1,78 @@
+"""Streaming: oracle equivalence, foreachBatch IVF ingest, watermark
+late-data semantics (append mode drops events later than the watermark).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle import assert_oracle_match
+from vers_spark.operators import streaming_queries as SQ
+from vers_spark.streaming.events import windowed_event_counts
+
+
+@pytest.mark.parametrize("name", sorted(SQ.ORACLE_SQL))
+def test_stream_oracle(spark, sf_dir, name):
+    assert_oracle_match(spark, sf_dir, name, SQ.QUERIES[name], SQ.ORACLE_SQL[name])
+
+
+def test_stream_ivf_ingest_covers_corpus(spark, sf_dir):
+    stats = SQ.stream_ivf_assign_stats(spark, sf_dir).collect()
+    assert sum(r["n_vectors"] for r in stats) == 500
+    assert all(r["n_vectors"] > 0 for r in stats)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Two micro-batches: the second carries an event 2h older than the
+    watermark high-mark. With a 30-min watermark + append mode, the stale
+    event's window is already closed → it must not appear in the sink."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    write_batch("b0", [(1, t0, 1, "click", 1.0, "{}"), (2, t0.replace(hour=12), 1, "click", 1.0, "{}")])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = windowed_event_counts(stream, "1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: one fresh event (13:00) and one stale event (9:30 — far behind
+    # the 12:00 high mark, window long closed)
+    write_batch("b1", [(3, t0.replace(hour=13), 1, "click", 1.0, "{}"), (4, t0.replace(hour=9, minute=30), 1, "late", 1.0, "{}")])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.table("wm_sink").collect()
+    types = {r["event_type"] for r in rows}
+    assert "late" not in types  # dropped by the watermark
+    starts = {r["window_start"].hour for r in rows}
+    assert 10 in starts  # the 10:00 window closed and was emitted

@@ -1,0 +1,77 @@
+"""Driver queries for the streaming surface: each runs a REAL Structured
+Streaming job to completion (availableNow) and returns the sink table, so
+the DuckDB oracle validates actual stream output, not a batch rewrite.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vers_spark.streaming.events import (
+    read_events_stream,
+    run_to_table,
+    stream_ivf_ingest,
+    windowed_event_counts,
+)
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts via a streaming window aggregate."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_table(windowed_event_counts(ev, "1 hour"))
+
+
+def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute windows — each event lands in two windows."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_table(windowed_event_counts(ev, "1 hour", slide="30 minutes"))
+
+
+def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list sizes after streaming the corpus through foreachBatch
+    IVF assignment — rows-only (k-means centroids not SQL-expressible)."""
+    sink = tempfile.mkdtemp(prefix="vs_ivf_ingest_")
+    ingested = stream_ivf_ingest(spark, sf_dir, f"{sink}/data")
+    return (
+        ingested.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    # DuckDB truncates timestamps to the hour exactly like Spark's tumbling
+    # window start; sum(value) is double in both engines.
+    "stream_events_hourly": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # sliding 1h/30m: an event at t belongs to windows starting at
+    # bucket30(t) and bucket30(t) - 30m (window width 1h, slide 30m)
+    "stream_events_sliding": """
+        WITH b AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS b30, event_type, value
+            FROM events
+        ), x AS (
+            SELECT b30 AS window_start, event_type, value FROM b
+            UNION ALL
+            SELECT b30 - INTERVAL '30 minutes', event_type, value FROM b
+        )
+        SELECT window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM x GROUP BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "stream_events_hourly": stream_events_hourly,
+    "stream_events_sliding": stream_events_sliding,
+    "stream_ivf_assign_stats": stream_ivf_assign_stats,
+}
