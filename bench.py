@@ -30,6 +30,8 @@ HEADLINE = [
     "knn_blocked_euclidean",
     "ivf_search_p4",
     "lsh_search_forest",
+    "hnsw_search",
+    "stream_events_hourly",
     "minhash_neardup",
     "simhash_neardup",
     "doc_quality",

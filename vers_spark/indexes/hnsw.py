@@ -63,7 +63,14 @@ def _sq_dists(x: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 class _LocalHNSW:
-    """Partition-local graph; numpy re-expression of hnsw.rs semantics."""
+    """Partition-local graph; numpy re-expression of hnsw.rs semantics.
+
+    Vectors live in ONE contiguous capacity-doubling matrix (``_buf``) with an
+    id→row map, so every frontier expansion / heuristic check is a single
+    batched numpy distance evaluation — the Python-level work per visited node
+    is O(neighbours) bookkeeping, not O(neighbours · dim) arithmetic (the
+    vectorization the reference gets from hand-SIMD, base.rs:158-293).
+    """
 
     def __init__(self, num_layers: int, ef_construction: int, m: int, seed: int):
         self.num_layers = num_layers
@@ -74,7 +81,25 @@ class _LocalHNSW:
         # adjacency[layer][node] = {neighbour: distance}
         self.adj: list[dict[int, dict[int, float]]] = [dict() for _ in range(num_layers)]
         self.node_layer: dict[int, int] = {}
-        self.vecs: dict[int, np.ndarray] = {}
+        self._idx: dict[int, int] = {}  # vid -> row in _buf
+        self._buf: np.ndarray | None = None
+        self._n = 0
+
+    @property
+    def vecs(self) -> dict[int, int]:
+        """id-keyed view (membership / len); vector data lives in ``_buf``."""
+        return self._idx
+
+    def add_vec(self, vid: int, vec: np.ndarray) -> None:
+        if self._buf is None:
+            self._buf = np.empty((256, len(vec)), dtype=np.float64)
+        elif self._n == len(self._buf):
+            grown = np.empty((2 * self._n, self._buf.shape[1]), dtype=np.float64)
+            grown[: self._n] = self._buf
+            self._buf = grown
+        self._buf[self._n] = vec
+        self._idx[vid] = self._n
+        self._n += 1
 
     # -- reference hnsw.rs:335-346
     def _draw_layer(self) -> int:
@@ -82,32 +107,33 @@ class _LocalHNSW:
         u = max(u, 1e-12)
         return min(int(-math.log(u) * self.ml), self.num_layers - 1)
 
-    def _dist(self, a: int, b: int) -> float:
-        d = self.vecs[a] - self.vecs[b]
-        return float(d @ d)
-
-    def _dist_q(self, q: np.ndarray, b: int) -> float:
-        d = q - self.vecs[b]
-        return float(d @ d)
+    def _bdist(self, q: np.ndarray, vids: list[int]) -> np.ndarray:
+        rows = [self._idx[v] for v in vids]
+        d = self._buf[rows] - q
+        return np.einsum("ij,ij->i", d, d)
 
     # -- layered bounded greedy search, hnsw.rs:242-307 (Alg 2)
     def _search_layer(self, q: np.ndarray, entry: list[int], ef: int, layer: int) -> list[tuple[float, int]]:
+        adj = self.adj[layer]
         visited = set(entry)
-        cand: list[tuple[float, int]] = []  # min-heap by distance
-        result: list[tuple[float, int]] = []  # max-heap (negated) bounded ef
-        for e in entry:
-            d = self._dist_q(q, e)
-            heapq.heappush(cand, (d, e))
-            heapq.heappush(result, (-d, e))
+        ed = self._bdist(q, entry)
+        cand = [(float(d), e) for d, e in zip(ed, entry)]  # min-heap
+        heapq.heapify(cand)
+        result = [(-float(d), e) for d, e in zip(ed, entry)]  # bounded max-heap
+        heapq.heapify(result)
+        while len(result) > ef:
+            heapq.heappop(result)
         while cand:
             d_c, c = heapq.heappop(cand)
-            if result and d_c > -result[0][0]:
+            if d_c > -result[0][0]:
                 break
-            for nb in self.adj[layer].get(c, ()):
-                if nb in visited:
-                    continue
-                visited.add(nb)
-                d_n = self._dist_q(q, nb)
+            fresh = [nb for nb in adj.get(c, ()) if nb not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            nd = self._bdist(q, fresh)  # one batched eval per expansion
+            for d_n, nb in zip(nd, fresh):
+                d_n = float(d_n)
                 if len(result) < ef or d_n < -result[0][0]:
                     heapq.heappush(cand, (d_n, nb))
                     heapq.heappush(result, (-d_n, nb))
@@ -120,19 +146,34 @@ class _LocalHNSW:
     #    unimplemented — we complete it, because without the pruned fill-up
     #    ~10% of nodes end with zero in-edges and become unreachable)
     def _select(self, candidates: list[tuple[float, int]], m: int) -> list[tuple[float, int]]:
+        cands = sorted(candidates)
+        if len(cands) <= m:
+            return cands  # everything survives (accepted ∪ pruned fill-up)
+        # one batched pairwise-distance matrix; the accept loop then runs on
+        # plain Python floats (2.3M tiny numpy calls → ~1 einsum per select)
+        rows = [self._idx[c] for _, c in cands]
+        P = self._buf[rows]
+        sq = np.einsum("ij,ij->i", P, P)
+        G = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (P @ P.T), 0.0).tolist()
         out: list[tuple[float, int]] = []
+        out_i: list[int] = []
         pruned: list[tuple[float, int]] = []
-        for d_c, c in sorted(candidates):
+        for i, (d_c, c) in enumerate(cands):
             if len(out) >= m:
                 break
-            if all(d_c < self._dist(c, r) for _, r in out):
+            gi = G[i]
+            if all(d_c < gi[j] for j in out_i):
                 out.append((d_c, c))
+                out_i.append(i)
             else:
                 pruned.append((d_c, c))
         out.extend(pruned[: m - len(out)])  # keepPrunedConnections
         return out
 
-    # -- degree trim, hnsw.rs:166-198
+    # -- degree trim, hnsw.rs:166-198. The reference trims on every insert
+    #    that overflows a neighbour; we amortize (trim only past 1.5×cap,
+    #    ``finalize`` enforces the exact cap once at the end) — intermediate
+    #    slack only ADDS edges, so build quality can't degrade.
     def _trim(self, node: int, layer: int, cap: int) -> None:
         nbrs = self.adj[layer][node]
         if len(nbrs) <= cap:
@@ -148,9 +189,9 @@ class _LocalHNSW:
 
     # -- full insert, hnsw.rs:348-432
     def insert(self, vid: int, vec: np.ndarray) -> None:
-        self.vecs[vid] = vec
+        self.add_vec(vid, vec)
         l_ins = self._draw_layer()
-        if len(self.vecs) == 1:
+        if self._n == 1:
             self.node_layer[vid] = l_ins
             for layer in range(l_ins + 1):
                 self.adj[layer][vid] = {}
@@ -181,12 +222,22 @@ class _LocalHNSW:
                 selected = self._select(cands, cap)
                 for d, n in selected:  # undirected add (hnsw.rs:64-82)
                     self.adj[layer][vid][n] = d
-                    self.adj[layer].setdefault(n, {})[vid] = d
-                    self._trim(n, layer, cap)
+                    rev = self.adj[layer].setdefault(n, {})
+                    rev[vid] = d
+                    if len(rev) > cap + (cap >> 1):  # amortized trim
+                        self._trim(n, layer, cap)
                 if cands:
                     entry = [cands[0][1]]
         for layer in range(min(l_ins, self.num_layers - 1) + 1):
             self.adj[layer].setdefault(vid, {})
+
+    def finalize(self) -> "_LocalHNSW":
+        """Enforce the exact degree caps once after the amortized build."""
+        for layer, adj in enumerate(self.adj):
+            cap = self.m * 2 if layer == 0 else self.m
+            for node in adj:
+                self._trim(node, layer, cap)
+        return self
 
     def _entrypoint(self) -> int:
         # pinned: max node_layer, then min id (vs HashMap order, hnsw.rs:516)
@@ -220,6 +271,7 @@ def _build_local(pdf: pd.DataFrame, params: dict) -> pd.DataFrame:
     vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)[order]
     for vid, vec in zip(ids, vecs):
         g.insert(int(vid), vec)
+    g.finalize()  # enforce exact degree caps after the amortized build
     rows = [
         (shard, 0, g.node_layer[n], int(n), None, None) for n in g.node_layer
     ]
@@ -355,7 +407,7 @@ class HNSWIndex:
             g = _LocalHNSW(nl, efc, m, seed + shard)
             vec_arr = np.array(node_pdfs["embedding"].tolist(), dtype=np.float64)
             for i, vid in enumerate(node_pdfs["id"].to_numpy()):
-                g.vecs[int(vid)] = vec_arr[i]
+                g.add_vec(int(vid), vec_arr[i])
             for r in graph_pdf.itertuples(index=False):
                 if r.kind == 0:
                     g.node_layer[int(r.src)] = int(r.layer)

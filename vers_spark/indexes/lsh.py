@@ -85,23 +85,29 @@ class LSHForestIndex:
         all_planes: list[tuple[int, str, list[float], float]] = []
         depth_reached = 0
         for depth in range(max_depth):
-            sizes = assign.groupBy("tree_id", "path").agg(F.count(F.lit(1)).alias("n"))
-            oversized = sizes.filter(F.col("n") > max_node_size).drop("n")
-            if oversized.isEmpty():
-                break
-            depth_reached = depth + 1
-            # deterministic 2-point sample per oversized node (replaces
-            # thread_rng sampling, lsh.rs:63-65)
-            pick = W.partitionBy("tree_id", "path").orderBy(
+            # ONE job per level: node size (count window) + deterministic
+            # 2-point sample (row_number window, replaces thread_rng sampling
+            # lsh.rs:63-65) in the same shuffle; oversized-ness filters the
+            # collected sample instead of a separate groupBy+isEmpty pass.
+            node_w = W.partitionBy("tree_id", "path")
+            pick = node_w.orderBy(
                 F.xxhash64("id", F.lit(seed), F.lit(depth), "tree_id"), F.asc("id")
             )
+            # only nodes that split at the previous level can still be
+            # oversized: their rows have path length == depth (a node that
+            # once fit max_node_size is a final leaf). The filter is
+            # shuffle-free, so each level's window shrinks with the frontier.
             sampled = (
-                assign.join(F.broadcast(oversized), ["tree_id", "path"], "left_semi")
+                assign.filter(F.length("path") == depth)
+                .withColumn("_n", F.count(F.lit(1)).over(node_w))
                 .withColumn("_rn", F.row_number().over(pick))
-                .filter(F.col("_rn") <= 2)
+                .filter((F.col("_rn") <= 2) & (F.col("_n") > max_node_size))
                 .select("tree_id", "path", "_rn", "embedding")
                 .collect()
             )
+            if not sampled:
+                break
+            depth_reached = depth + 1
             nodes: dict[tuple[int, str], dict[int, list[float]]] = {}
             for r in sampled:
                 nodes.setdefault((r["tree_id"], r["path"]), {})[r["_rn"]] = r["embedding"]
