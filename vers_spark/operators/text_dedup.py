@@ -49,6 +49,10 @@ def minhash_signatures(
     """(doc_id, h_idx, min_hash): num_hashes affine hashes over the shingle
     set, one shuffle (16 min-aggs in a single groupBy, then unpivot)."""
     sh = shingle_sets(docs, n_shingle, id_col, text_col)
+    return minhash_signatures_from_shingles(sh, num_hashes)
+
+
+def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     base = TX.stable_hash60(F.col("shingle"))
     aggs = [
         F.min(TX.minhash_value(base, a, b)).alias(f"h{i}")
@@ -114,15 +118,19 @@ def minhash_neardup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH dedup pipeline: signatures → bands → candidate pairs →
     exact-Jaccard verification."""
-    sigs = minhash_signatures(docs, n_shingle, num_hashes)
+    # the shingle set feeds signatures AND both sides of the verification
+    # join — materialize it once (at 100 TB this would be a persisted Parquet
+    # intermediate; in-session cache is the same plan shape)
+    sh = shingle_sets(docs, n_shingle).cache()
+    sigs = minhash_signatures_from_shingles(sh, num_hashes)
     cands = band_candidates(minhash_bands(sigs))
-    return jaccard_verify(cands, shingle_sets(docs, n_shingle), threshold)
+    return jaccard_verify(cands, sh, threshold)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n_shingle: int = 3) -> DataFrame:
     """EXACT n-gram Jaccard similarity join: inverted-index self-join on
     shingle (no hashing, no misses)."""
-    sh = shingle_sets(docs, n_shingle)
+    sh = shingle_sets(docs, n_shingle).cache()
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     cands = (
