@@ -307,12 +307,25 @@ class HNSWIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         seed: int = 42,
+        metric: str = "sq_euclidean",
     ) -> "HNSWIndex":
-        """Reference-default hyperparameters from `main.rs:74-78`."""
+        """Reference-default hyperparameters from `main.rs:74-78`.
+
+        ``metric="cosine"`` reproduces the reference's HNSW distance
+        (hnsw.rs:258: cosine distance = 1 − dot on unit vectors): vectors are
+        L2-normalized at build (the utils.rs:48 normalize-on-load contract)
+        and reported distances are sq_euclidean/2 ≡ 1 − dot.
+        """
+        if metric not in ("sq_euclidean", "cosine"):
+            raise ValueError(f"unknown metric {metric!r}")
         spark = corpus.sparkSession
         data = corpus.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding")
         )
+        if metric == "cosine":
+            from vers_spark.functions import vector as V
+
+            data = data.withColumn("embedding", V.normalize(F.col("embedding")).cast("array<float>"))
         centroids = None
         if shard_by == "kmeans":
             from vers_spark.indexes.ivfflat import IVFFlatIndex
@@ -345,7 +358,7 @@ class HNSWIndex:
             "num_shards": int(num_shards),
             "shard_by": shard_by,
             "seed": int(seed),
-            "metric": "sq_euclidean",
+            "metric": metric,
         }
         graph = (
             nodes.groupBy("shard_id")
@@ -377,6 +390,9 @@ class HNSWIndex:
             return self.spark.createDataFrame([], _RESULT_SCHEMA + ", rank int")
         qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
         qvecs = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+        if self.params.get("metric") == "cosine":
+            norms = np.linalg.norm(qvecs, axis=1, keepdims=True)
+            qvecs = np.where(norms < 1e-6, qvecs, qvecs / np.maximum(norms, 1e-30))
         cents = self.centroids
         num_shards = self.params["num_shards"]
         nl, efc, m, seed = (
@@ -429,12 +445,62 @@ class HNSWIndex:
             .cogroup(self.graph.groupby("shard_id"))
             .applyInPandas(fn, _RESULT_SCHEMA)
         )
+        if self.params.get("metric") == "cosine":
+            # unit vectors: sq_euclidean/2 = 1 − dot = the reference's cosine
+            # distance (hnsw.rs:258)
+            per_shard = per_shard.withColumn("distance", F.col("distance") / 2)
         w = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
         return (
             per_shard.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbour_id", "distance", "rank")
         )
+
+    # ---------------- maintenance ----------------
+
+    def add(
+        self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> "HNSWIndex":
+        """Micro-append (hnsw.rs:503-508 full re-insert, re-expressed at shard
+        granularity): new vectors are routed to their shard (nearest centroid
+        for k-means sharding, hash otherwise) and ONLY the affected shards'
+        graphs are rebuilt — untouched shards keep their edges verbatim.
+        Honors caller ids."""
+        new = vectors.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding")
+        )
+        if self.params.get("metric") == "cosine":
+            from vers_spark.functions import vector as V
+
+            new = new.withColumn("embedding", V.normalize(F.col("embedding")).cast("array<float>"))
+        if self.centroids is not None:
+            from vers_spark.indexes.ivfflat import IVFFlatIndex
+
+            routed = IVFFlatIndex._assign(new, self.centroids).select(
+                F.col("cluster_id").alias("shard_id"), "id", "embedding"
+            )
+        else:
+            routed = new.select(
+                F.pmod(F.xxhash64("id", F.lit(self.params["seed"])), F.lit(self.params["num_shards"]))
+                .cast("int")
+                .alias("shard_id"),
+                "id",
+                "embedding",
+            )
+        nodes = self.nodes.unionByName(routed).localCheckpoint(eager=True)
+        affected = [r["shard_id"] for r in routed.select("shard_id").distinct().collect()]
+        params = self.params
+        rebuilt = (
+            nodes.filter(F.col("shard_id").isin(affected))
+            .groupBy("shard_id")
+            .applyInPandas(lambda pdf: _build_local(pdf, params), _GRAPH_SCHEMA)
+        )
+        graph = (
+            self.graph.filter(~F.col("shard_id").isin(affected))
+            .unionByName(rebuilt)
+            .localCheckpoint(eager=True)
+        )
+        return HNSWIndex(self.spark, nodes, graph, self.centroids, self.params)
 
     # ---------------- stats ----------------
 

@@ -218,6 +218,21 @@ class LSHForestIndex:
             )
         )
 
+    # ---------------- maintenance ----------------
+
+    def add(self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "LSHForestIndex":
+        """Micro-append (lsh.rs:255-263): route new vectors through every
+        tree's planes into their leaves. The reference rebuilds a leaf's
+        subtree when it overflows max_node_size (lsh.rs:218-251); we accept
+        oversized leaves until the next full build — a documented batch
+        simplification (search stays correct, candidate sets just grow)."""
+        routed = self.assign_paths(vectors, id_col, vec_col).select(
+            "tree_id", "path", F.col("query_id").alias("id"), F.col("q_vec").alias("embedding")
+        )
+        return LSHForestIndex(
+            self.spark, self.leaves.unionByName(routed), self.hyperplanes, self.params
+        )
+
     # ---------------- persistence ----------------
 
     def save(self, path: str) -> None:
