@@ -16,10 +16,9 @@ from vers_spark.operators.multimodal import (
 from vers_spark.sources.tables import load_table
 
 
-def test_emb_neardup_oracle(spark, sf_dir):
-    assert_oracle_match(
-        spark, sf_dir, "emb_neardup_pairs", PQ.QUERIES["emb_neardup_pairs"], PQ.ORACLE_SQL["emb_neardup_pairs"]
-    )
+@pytest.mark.parametrize("name", sorted(PQ.ORACLE_SQL))
+def test_pipeline_oracles(spark, sf_dir, name):
+    assert_oracle_match(spark, sf_dir, name, PQ.QUERIES[name], PQ.ORACLE_SQL[name])
 
 
 def test_similarity_join_shape(spark, sf_dir):

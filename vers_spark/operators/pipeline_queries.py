@@ -10,10 +10,16 @@ from vers_spark.operators.multimodal import (
     sample_frames,
     synthesize_media_from_documents,
 )
-from vers_spark.operators.similarity import embedding_neardup_pairs, ivf_similarity_join
+from vers_spark.operators.similarity import (
+    embedding_cosine_neardup_pairs,
+    embedding_neardup_pairs,
+    ivf_similarity_join,
+    mllib_brp_neardup_pairs,
+)
 from vers_spark.sources.tables import load_table
 
 NEARDUP_THRESHOLD = 0.5  # natural min pairwise sq-euclid in testdata is ≈0.97
+COS_THRESHOLD = 0.2  # natural min pairwise cosine distance is ≈0.40 at sf0.1
 
 
 def _augmented_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,6 +35,30 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates. Identical vectors share every leaf, so no dup can be missed —
     the result provably equals the brute-force oracle at this threshold."""
     return embedding_neardup_pairs(_augmented_emb(spark, sf_dir), NEARDUP_THRESHOLD)
+
+
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: normalize → LSH buckets → 1−dot verify.
+    Provably complete at this threshold (only exact duplicates qualify)."""
+    return embedding_cosine_neardup_pairs(_augmented_emb(spark, sf_dir), COS_THRESHOLD)
+
+
+def emb_brp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH fast path, squared-euclidean ≤ 0.25
+    (exact-dup-only) — same oracle shape as the forest variant."""
+    return mllib_brp_neardup_pairs(_augmented_emb(spark, sf_dir), sq_threshold=0.25)
+
+
+def doc_mllib_exactdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH fast path: identical-shingle-set pairs (Jaccard = 1)
+    over documents ∪ exact copies — provably equals the exact join."""
+    from vers_spark.operators.text_dedup import mllib_minhash_exactdup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return mllib_minhash_exactdup_pairs(docs.unionByName(dups))
 
 
 def emb_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,22 +87,86 @@ _SQE = (
     " (x,y) -> x + y)"
 )
 
+_AUG = """(
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 11 = 0
+)"""
+
+# f64 normalize mirroring functions.vector.normalize (left-fold magnitude,
+# <1e-6 identity guard), then cosine distance = 1 − dot on the unit vectors
+_NORM_CTE = """
+    n AS (
+        SELECT vec_id,
+               CASE WHEN mag < 1e-6 THEN dl
+                    ELSE list_transform(dl, x -> x / mag) END AS ne
+        FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dl,
+                   sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS mag
+            FROM corpus
+        )
+    )
+"""
+
+_DOT_NN = (
+    "list_reduce(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]), (x,y) -> x + y)"
+)
+
 ORACLE_SQL: dict[str, str] = {
     "emb_neardup_pairs": f"""
-        WITH corpus AS (
-            SELECT vec_id, embedding FROM embeddings
-            UNION ALL
-            SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 11 = 0
-        )
+        WITH corpus AS {_AUG}
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_SQE.format(a='a.embedding', b='b.embedding')} AS distance
         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         WHERE {_SQE.format(a='a.embedding', b='b.embedding')} <= {NEARDUP_THRESHOLD}
     """,
+    "emb_cosine_neardup": f"""
+        WITH corpus AS {_AUG}, {_NORM_CTE}
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               1.0 - {_DOT_NN.format(a='a.ne', b='b.ne')} AS cos_distance
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE 1.0 - {_DOT_NN.format(a='a.ne', b='b.ne')} <= {COS_THRESHOLD}
+    """,
+    # MLlib MinHashLSH at Jaccard distance 0 ≡ identical-shingle-set pairs;
+    # the exact-Jaccard join at threshold 1.0 is the same set
+    "doc_mllib_exactdup": None,  # filled below (needs text_dedup fragments)
+    # MLlib BRP fast path finds exactly the exact-dup pairs at this threshold;
+    # their squared distance is exactly 0.0 in both engines
+    "emb_brp_neardup": f"""
+        WITH corpus AS {_AUG}
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_SQE.format(a='a.embedding', b='b.embedding')} AS distance
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE {_SQE.format(a='a.embedding', b='b.embedding')} <= 0.25
+    """,
 }
+
+def _doc_mllib_oracle() -> str:
+    from vers_spark.operators.text_dedup_queries import (
+        _d_augmented,
+        _jaccard_tail_sql,
+    )
+
+    return "WITH " + _jaccard_tail_sql(
+        _d_augmented(5, ""),
+        """cand AS (
+            SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+            FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
+            WHERE sa.doc_id < sb.doc_id
+        )""",
+        1.0,
+    )
+
+
+ORACLE_SQL["doc_mllib_exactdup"] = _doc_mllib_oracle()
 
 QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
+    "emb_cosine_neardup": emb_cosine_neardup,
+    "emb_brp_neardup": emb_brp_neardup,
+    "doc_mllib_exactdup": doc_mllib_exactdup,
     "emb_similarity_join": emb_similarity_join,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,

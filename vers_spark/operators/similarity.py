@@ -54,6 +54,79 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    num_trees: int = 4,
+    max_node_size: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """(id_a < id_b, cos_distance) pairs with cosine distance ≤ threshold:
+    normalize, LSH-bucket, verify with 1 − dot. Identical vectors normalize
+    identically and share every leaf, so exact duplicates can't be missed."""
+    # keep f64 end-to-end: the DuckDB oracle reproduces the same left-fold
+    # normalize + dot bit-exactly (functions.vector numeric contract)
+    unit = emb.select(F.col(id_col).alias(id_col), V.normalize(F.col(vec_col)).alias(vec_col))
+    forest = LSHForestIndex.build(
+        unit, num_trees=num_trees, max_node_size=max_node_size, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    paths = forest.assign_paths(unit, id_col, vec_col)
+    a = paths.select("tree_id", "path", F.col("query_id").alias("id_a"), F.col("q_vec").alias("va"))
+    b = paths.select("tree_id", "path", F.col("query_id").alias("id_b"), F.col("q_vec").alias("vb"))
+    cands = (
+        a.join(b, ["tree_id", "path"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.lit(1.0) - V.dot(F.col("va"), F.col("vb"))
+    return (
+        cands.withColumn("cos_distance", dist)
+        .filter(F.col("cos_distance") <= threshold)
+        .select("id_a", "id_b", "cos_distance")
+    )
+
+
+def mllib_brp_neardup_pairs(
+    emb: DataFrame,
+    sq_threshold: float,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Documented MLlib fast path: BucketedRandomProjectionLSH
+    approxSimilarityJoin (classic bucketed LSH). Identical vectors hash
+    identically in every table, so exact duplicates are provably found;
+    distance reported as SQUARED euclidean to match the forest variant."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(c)
+    joined = model.approxSimilarityJoin(c, c, float(sq_threshold) ** 0.5, distCol="eucl")
+    return (
+        joined.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            (F.col("eucl") * F.col("eucl")).alias("distance"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("distance") <= sq_threshold)
+    )
+
+
 def ivf_similarity_join(
     emb: DataFrame,
     k: int,

@@ -16,6 +16,7 @@ from vers_spark.streaming.events import (
     stream_ivf_ingest,
     windowed_event_counts,
 )
+from vers_spark.streaming.sessions import sessionize
 
 
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,6 +29,14 @@ def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour/30-minute windows — each event lands in two windows."""
     ev = read_events_stream(spark, sf_dir)
     return run_to_table(windowed_event_counts(ev, "1 hour", slide="30 minutes"))
+
+
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization (applyInPandasWithState): closed 30-min-gap
+    sessions per user; oracle = lag/cumsum sessionization minus each user's
+    trailing session."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    return run_to_table(sessionize(ev, gap_minutes=30), output_mode="append")
 
 
 def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,10 +77,35 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(value), 4) AS sum_value
         FROM x GROUP BY 1, 2
     """,
+    # closed sessions only: lag/cumsum sessionization, minus each user's last
+    # (still-open) session — exactly what the stateful operator emits
+    "stream_sessions": """
+        WITH m AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts, value,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        ), agg AS (
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
+        ), last AS (
+            SELECT user_id, max(session_start) AS ls FROM agg GROUP BY user_id
+        )
+        SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.sum_value
+        FROM agg a JOIN last l ON a.user_id = l.user_id AND a.session_start < l.ls
+    """,
 }
 
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
     "stream_events_sliding": stream_events_sliding,
+    "stream_sessions": stream_sessions,
     "stream_ivf_assign_stats": stream_ivf_assign_stats,
 }

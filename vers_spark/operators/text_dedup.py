@@ -139,6 +139,41 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n_shingle: int 
     return jaccard_verify(cands, sh, threshold)
 
 
+def mllib_minhash_exactdup_pairs(
+    docs: DataFrame,
+    n_shingle: int = 3,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Documented MLlib fast path: MinHashLSH approxSimilarityJoin over
+    CountVectorizer'd shingle sets, threshold = Jaccard distance 0 — i.e.
+    pairs with IDENTICAL shingle sets. Identical sets hash identically in
+    every table, so the result provably equals the exact-Jaccard=1 join.
+    (CountVectorizer keeps features exact; at 100 TB you'd trade its global
+    vocabulary for HashingTF and accept a ~n/2^20 collision probability.)"""
+    from pyspark.ml.feature import CountVectorizer
+    from pyspark.ml.feature import MinHashLSH
+
+    sh = shingle_sets(docs, n_shingle)
+    as_list = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True).fit(as_list)
+    feats = cv.transform(as_list).select("doc_id", "features")
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    ).fit(feats)
+    # approxSimilarityJoin's threshold is STRICT (<), so ask for < 0.5 and
+    # keep only exact matches (jaccard distance 0) afterwards
+    joined = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jdist")
+    return (
+        joined.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (F.lit(1.0) - F.col("jdist")).alias("jaccard"),
+        )
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("jaccard") >= 1.0))
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over whitespace tokens WITH
     multiplicity — per-bit ±1 vote weighted by term frequency, bit set iff

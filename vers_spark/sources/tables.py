@@ -37,9 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong conf);
     # truncate to microseconds exactly like DuckDB's micro-resolution reader.
+    # Integer `div`, NOT `/1000` — ~1.7e18 ns exceeds double's 2^53 mantissa,
+    # so float division is off by ±1 µs.
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -58,7 +58,8 @@ def _stage_dir(sf_dir: str, name: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (micro-batch per file)."""
     raw = spark.readStream.schema(_EVENTS_FILE_SCHEMA).parquet(_stage_dir(sf_dir, "events"))
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer div: float /1000 loses µs precision on ns-scale longs
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(
