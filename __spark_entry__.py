@@ -23,6 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vers_spark.operators import (
+        curation,
         index_queries,
         pipeline_queries,
         relational,
@@ -33,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(curation.QUERIES)
     out.update(relational.QUERIES)
     out.update(vector_queries.QUERIES)
     out.update(index_queries.QUERIES)
@@ -45,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from vers_spark.operators import (
+        curation,
         index_queries,
         pipeline_queries,
         relational,
@@ -55,6 +58,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out: dict[str, str] = {}
+    out.update(curation.ORACLE_SQL)
     out.update(relational.ORACLE_SQL)
     out.update(vector_queries.ORACLE_SQL)
     out.update(index_queries.ORACLE_SQL)

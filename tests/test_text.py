@@ -16,6 +16,16 @@ def test_analysis_oracle(spark, sf_dir, name):
     assert_oracle_match(spark, sf_dir, name, TA.QUERIES[name], TA.ORACLE_SQL[name])
 
 
+def test_curation_pipeline_oracle(spark, sf_dir):
+    from vers_spark.operators import curation
+
+    assert_oracle_match(
+        spark, sf_dir, "doc_curation_pipeline",
+        curation.QUERIES["doc_curation_pipeline"],
+        curation.ORACLE_SQL["doc_curation_pipeline"],
+    )
+
+
 @pytest.mark.parametrize("name", sorted(TDQ.ORACLE_SQL))
 def test_dedup_oracle(spark, sf_dir, name):
     assert_oracle_match(spark, sf_dir, name, TDQ.QUERIES[name], TDQ.ORACLE_SQL[name])

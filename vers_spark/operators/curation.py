@@ -1,0 +1,154 @@
+"""End-to-end training-data curation pipeline: the composition query the
+whole engine exists for (SURVEY §2.E north star).
+
+    documents (∪ injected dups)
+      → exact dedup (first doc_id wins)
+      → language gate (marker-word argmax = 'en')
+      → quality gate (fixed-weight score ≥ threshold)
+      → GLOBAL token budget: best-quality-first cumulative token cap
+
+The budget step is the interesting one at scale: a naive
+``Window.orderBy(quality)`` cumsum is a single-partition sort. Here it is
+two-phase — ``repartitionByRange`` on the ranking key, per-partition cumsum,
+then one tiny collect of per-partition totals broadcast back as offsets —
+the same partial/final shape Spark uses for global sort, so it scales to any
+corpus size. The DuckDB oracle is the plain window cumsum (identical result,
+different physical plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vers_spark.functions import text as TX
+from vers_spark.operators.text_analysis import (
+    D_TOKENS,
+    _argmax_lang,
+    _d_argmax_lang,
+    d_count_in_set,
+)
+from vers_spark.sources.tables import load_table
+
+QUALITY_MIN = 0.55
+TOKEN_BUDGET = 30_000
+DUP_MOD = 7
+
+
+def _scored(docs: DataFrame) -> DataFrame:
+    toks = TX.ws_tokens(F.col("text"))
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_chr = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    stop = TX.count_in_set(toks, TX.STOPWORDS_EN).cast("double") / n_tok
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:()\[\]{}'\"]", ""))
+    ).cast("double") / n_chr
+    digit = (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).cast("double") / n_chr
+    mean_wl = n_chr / n_tok
+    score = (
+        F.lit(0.4) * stop
+        + F.lit(0.3) * (F.lit(1.0) - punct)
+        + F.lit(0.2) * (F.lit(1.0) - digit)
+        + F.lit(0.1) * F.least(mean_wl / F.lit(10.0), F.lit(1.0))
+    )
+    lang_scores = {
+        lang: TX.count_in_set(toks, words).cast("long") for lang, words in TX.LANG_MARKERS.items()
+    }
+    return docs.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("quality_score"),
+        _argmax_lang(lang_scores).alias("predicted_lang"),
+    )
+
+
+def _budgeted(scored: DataFrame, budget: int, num_parts: int = 8) -> DataFrame:
+    """Keep best-quality docs until the cumulative token count exceeds
+    ``budget`` — two-phase global cumsum (see module docstring)."""
+    ranked = scored.repartitionByRange(num_parts, F.desc("quality_score"), F.asc("doc_id"))
+    w_local = (
+        W.partitionBy("_part")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = ranked.withColumn("_part", F.spark_partition_id()).withColumn(
+        "_local_cum", F.sum("n_tokens").over(w_local)
+    )
+    totals = local.groupBy("_part").agg(F.max("_local_cum").alias("_total")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["_part"]):
+        offsets[r["_part"]] = acc
+        acc += r["_total"]
+    off = F.broadcast(
+        scored.sparkSession.createDataFrame(
+            [(p, int(o)) for p, o in offsets.items()], "_part int, _off long"
+        )
+    )
+    return (
+        local.join(off, "_part")
+        .withColumn("cum_tokens", (F.col("_off") + F.col("_local_cum")).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+    )
+
+
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % DUP_MOD == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    aug = docs.unionByName(dups)
+    # exact dedup, first doc_id wins (lsh.rs:113-130 first-occurrence rule)
+    w = W.partitionBy("text").orderBy("doc_id")
+    dd = aug.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    kept = _scored(dd).filter(
+        (F.col("predicted_lang") == "en") & (F.col("quality_score") >= QUALITY_MIN)
+    )
+    return _budgeted(kept, TOKEN_BUDGET)
+
+
+ORACLE_SQL = {
+    "doc_curation_pipeline": f"""
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000, text FROM documents WHERE doc_id % {DUP_MOD} = 0
+        ), dd AS (
+            SELECT doc_id, text
+            FROM (SELECT doc_id, text,
+                         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                  FROM aug)
+            WHERE rn = 1
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(len({D_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens,
+                   0.4 * (CAST({d_count_in_set(D_TOKENS.format(t='text'), TX.STOPWORDS_EN)} AS DOUBLE)
+                          / CAST(greatest(len({D_TOKENS.format(t='text')}), 1) AS DOUBLE))
+                   + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:()\\[\\]{{}}''"]', '', 'g')) AS DOUBLE)
+                                  / CAST(greatest(length(text), 1) AS DOUBLE))
+                   + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                                  / CAST(greatest(length(text), 1) AS DOUBLE))
+                   + 0.1 * least((CAST(greatest(length(text), 1) AS DOUBLE)
+                                  / CAST(greatest(len({D_TOKENS.format(t='text')}), 1) AS DOUBLE)) / 10.0, 1.0)
+                       AS quality_score,
+                   {', '.join(f"CAST({d_count_in_set(D_TOKENS.format(t='text'), TX.LANG_MARKERS[lang])} AS BIGINT) AS s_{lang}" for lang in sorted(TX.LANG_MARKERS))}
+            FROM dd
+        ), gated AS (
+            SELECT doc_id, n_tokens, quality_score
+            FROM scored
+            WHERE {_d_argmax_lang(list(TX.LANG_MARKERS))} = 'en'
+              AND quality_score >= {QUALITY_MIN}
+        )
+        SELECT doc_id, n_tokens, quality_score, cum_tokens
+        FROM (
+            SELECT doc_id, n_tokens, quality_score,
+                   CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM gated
+        )
+        WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+}
+
+QUERIES = {"doc_curation_pipeline": doc_curation_pipeline}

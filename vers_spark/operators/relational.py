@@ -255,6 +255,33 @@ def q_orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations with
+    count + money sum (NULL marks the rolled-up dimension, as in SQL)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("sum_total"),
+    )
+
+
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured: parse the props JSON column, aggregate the extracted
+    field per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -381,6 +408,24 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["q_orders_cube"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+ORACLE_SQL["q_events_props_json"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           max(k) AS max_k,
+           CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
+    GROUP BY event_type
+"""
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -393,4 +438,6 @@ QUERIES = {
     "q_events_user_stats": q_events_user_stats,
     "q_events_hourly": q_events_hourly,
     "q_orders_pivot_status": q_orders_pivot_status,
+    "q_orders_cube": q_orders_cube,
+    "q_events_props_json": q_events_props_json,
 }
