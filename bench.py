@@ -39,11 +39,30 @@ HEADLINE = [
 ]
 
 
+def _clear_state(spark) -> None:
+    """Drop cached DFs + checkpointed index RDDs between queries so one
+    query's working set doesn't squeeze the next one's shuffles (each
+    headline query is timed cold, including its own index build)."""
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist(False)
+    except Exception:
+        pass
+
+
 def main() -> None:
     from __spark_entry__ import queries
     from vers_spark.session import get_spark
 
     spark = get_spark(app_name="vers_spark_bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # session warmup: JVM JIT, codegen, parquet footer cache — not any query's
+    # cost, and none of the headline queries' index builds are pre-run
+    from vers_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
     qmap = queries()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -53,6 +72,7 @@ def main() -> None:
         rows[name] = fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
+        _clear_state(spark)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(

@@ -51,6 +51,25 @@ def test_exact_knn_broadcasts_queries(spark, sf_dir):
     assert not audit.has_sort_merge_join(df)
 
 
+def test_ivf_on_disk_search_partition_prunes(spark, sf_dir, tmp_path):
+    """A search against the SAVED index must hit the cluster_id-partitioned
+    posting lists with dynamic partition pruning — the Spark analogue of
+    scanning only the probed posting lists (ivfflat.rs:166-195)."""
+    from vers_spark.indexes.ivfflat import IVFFlatIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFFlatIndex.build(emb, num_clusters=8, seed=1)
+    idx.save(str(tmp_path / "ivf"))
+    loaded = IVFFlatIndex.load(spark, str(tmp_path / "ivf"))
+    res = loaded.search(emb.filter(F.col("vec_id") < 3), k=5, n_probes=2)
+    plan = audit.executed_plan(res)
+    assert "dynamicpruning" in plan  # probe list prunes posting-list files
+    # and results are identical to the in-memory index's
+    a = sorted(map(tuple, res.collect()))
+    b = sorted(map(tuple, idx.search(emb.filter(F.col("vec_id") < 3), k=5, n_probes=2).collect()))
+    assert a == b
+
+
 def test_filter_pushdown_through_load_table(spark, sf_dir):
     df = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"

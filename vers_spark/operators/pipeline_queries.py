@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from vers_spark.operators.multimodal import (
     extract_features,
+    resize_images,
     sample_frames,
     synthesize_media_from_documents,
 )
@@ -79,6 +80,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling plumbing — rows-only."""
     media = synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, every_ms=1000, decode="fake")
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (kind filter pushed down, payload+meta rewritten
+    in Arrow batches) — rows-only."""
+    media = synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
+    return resize_images(media, 8, 4, decode="fake").drop("payload")
 
 
 _SQE = (
@@ -170,4 +178,5 @@ QUERIES = {
     "emb_similarity_join": emb_similarity_join,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize": mm_resize,
 }

@@ -30,11 +30,19 @@ SIMHASH_BITS = 32
 SIMHASH_CHUNKS = 4
 
 
+def _cpu_spread(df: DataFrame) -> DataFrame:
+    """Fan a small-in-bytes but CPU-heavy input across all cores: file splits
+    and AQE coalescing are sized by BYTES, which leaves md5/regex-bound
+    stages running on 1-2 partitions. One tiny shuffle buys full parallelism."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def shingle_sets(docs: DataFrame, n_shingle: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) — DISTINCT word n-gram shingles per document."""
     toks = TX.ws_tokens(F.col(text_col))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(TX.word_shingles(toks, n_shingle)).alias("shingle"))
+        _cpu_spread(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(TX.word_shingles(toks, n_shingle)).alias("shingle"))
         .dropDuplicates(["doc_id", "shingle"])
     )
 
@@ -178,7 +186,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """(doc_id, simhash): 32-bit SimHash over whitespace tokens WITH
     multiplicity — per-bit ±1 vote weighted by term frequency, bit set iff
     the vote sum is strictly positive."""
-    toks = docs.select(
+    toks = _cpu_spread(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(TX.ws_tokens(F.col(text_col))).alias("t")
     )
     hv = TX.stable_hash60(F.col("t"))

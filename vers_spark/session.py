@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle_partitions)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes partitions by BYTES; hash/regex-heavy stages are tiny in
+        # bytes but expensive per row, and the 1 MB default min collapses them
+        # to 1-2 partitions. 64k keeps small CPU-bound shuffles parallel while
+        # changing nothing at real data sizes.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
