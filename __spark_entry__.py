@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipeline_queries,
         relational,
         streaming_queries,
+        temporal,
         text_analysis,
         text_dedup_queries,
         vector_queries,
@@ -35,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(curation.QUERIES)
+    out.update(temporal.QUERIES)
     out.update(relational.QUERIES)
     out.update(vector_queries.QUERIES)
     out.update(index_queries.QUERIES)
@@ -52,6 +54,7 @@ def oracle_sql() -> dict[str, str]:
         pipeline_queries,
         relational,
         streaming_queries,
+        temporal,
         text_analysis,
         text_dedup_queries,
         vector_queries,
@@ -59,6 +62,7 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(curation.ORACLE_SQL)
+    out.update(temporal.ORACLE_SQL)
     out.update(relational.ORACLE_SQL)
     out.update(vector_queries.ORACLE_SQL)
     out.update(index_queries.ORACLE_SQL)

@@ -1,0 +1,79 @@
+"""As-of join + bucketed range join: oracle parity and the scale-critical
+plan shapes (one key-shuffle for as-of, equi-join — never a theta/cartesian
+join — for the range join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle import duckdb_connection, compare
+from vers_spark.operators import temporal
+from vers_spark.plans import audit
+from vers_spark.sources.tables import load_table
+
+
+def test_asof_matches_oracle(spark, sf_dir):
+    con = duckdb_connection(sf_dir)
+    r = compare(
+        temporal.evt_purchase_asof_click(spark, sf_dir),
+        con,
+        temporal.ORACLE_SQL["evt_purchase_asof_click"],
+    )
+    assert r["values_match"] and r["cols_match"] and r["rows_match"], r["first_mismatches"][:3]
+
+
+def test_range_join_matches_oracle(spark, sf_dir):
+    con = duckdb_connection(sf_dir)
+    r = compare(
+        temporal.evt_error_context(spark, sf_dir),
+        con,
+        temporal.ORACLE_SQL["evt_error_context"],
+    )
+    assert r["values_match"] and r["cols_match"] and r["rows_match"], r["first_mismatches"][:3]
+
+
+def test_asof_plan_no_join(spark, sf_dir):
+    """As-of is union + window: there must be NO join operator at all — the
+    match comes from one sort-shuffle on the key."""
+    df = temporal.evt_purchase_asof_click(spark, sf_dir)
+    plan = audit.executed_plan(df).lower()
+    assert "join" not in plan
+    # both scans push their event_type predicate down
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "event_type" in pushed
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """Bucketing must turn the |Δt| ≤ w predicate into an equi-join on
+    (user_id, bucket); a BroadcastNestedLoop/cartesian plan would be O(n²)
+    at scale."""
+    df = temporal.evt_error_context(spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert audit.has_broadcast_join(df) or audit.has_sort_merge_join(df) or "ShuffledHashJoin" in plan
+
+
+def test_asof_strictly_prior_and_tiebreak(spark):
+    """Strict <: a click at the exact purchase instant must NOT match; ties
+    among equal prior click timestamps resolve to the larger event_id."""
+    rows = [
+        # user 1: click@10 and click@20 (two ids at same ts), purchase@20
+        (1, 1, "click", 10_000_000),
+        (2, 1, "click", 20_000_000),
+        (3, 1, "purchase", 20_000_000),
+        # user 2: clicks at 5 (ids 4 and 5), purchase at 6
+        (4, 2, "click", 5_000_000),
+        (5, 2, "click", 5_000_000),
+        (6, 2, "purchase", 6_000_000),
+        # user 3: purchase with no prior click
+        (7, 3, "purchase", 1_000_000),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, ts) for i, u, t, ts in rows], "event_id long, user_id long, event_type string, us long"
+    ).select("event_id", "user_id", "event_type", F.timestamp_micros("us").alias("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = temporal.asof_join(purchases, clicks, on=["user_id"], right_cols=["event_id"])
+    got = {r["event_id"]: r["_match"]["event_id"] if r["_match"] else None for r in out.collect()}
+    assert got == {3: 1, 6: 5, 7: None}

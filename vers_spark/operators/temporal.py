@@ -1,0 +1,192 @@
+"""Temporal joins over the ``events`` stream table: as-of join and bounded
+range join — operators Spark has no built-in for (SURVEY.md §2.E extension
+surface; the reference has no temporal ops at all, `base.rs:27-58`).
+
+Scale shapes (the whole point — neither operator may go O(n²)):
+
+- **as-of join** = union both sides, ONE shuffle on the key, one window pass
+  with ``last(..., ignorenulls)``. No range explosion, no per-row probe: at
+  100 TB this is a single sort-shuffle per side, and skewed users are just
+  big partitions (AQE). This is the standard distributed as-of shape (same
+  trick as pandas ``merge_asof`` after a co-sort).
+- **range join** = temporal bucketing: quantize time into interval-sized
+  buckets, explode the PROBE side into the ≤3 buckets its window covers,
+  equi-join on (key, bucket), then exact ±window filter. Fan-out is bounded
+  by ``window/bucket + 1`` copies of the probe side only; the (usually much
+  bigger) context side keeps exactly one row per event. Catalyst sees a
+  plain equi-join → broadcast/AQE/skew handling all apply.
+
+Determinism: every tie is broken by event_id; all time arithmetic is integer
+microseconds (``unix_micros`` ⇄ DuckDB ``epoch_us``), never float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vers_spark.sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """For each left row, attach the latest right row with ``right.ts <
+    left.ts`` (strictly prior) and equal join keys; ties on equal right ts
+    broken by the largest ``tie_col``. Left rows with no prior right row keep
+    nulls (left-outer as-of).
+
+    Single shuffle on ``on``; no inequality join, no explosion.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in on]
+    payload_fields = list(dict.fromkeys([right_ts, tie_col, *right_cols]))
+    payload = F.struct(*[F.col(c) for c in payload_fields if c in right.columns])
+    # side 0 = right, but at EQUAL ts the left row must sort FIRST so the
+    # frame (up to current row) excludes same-instant right rows → strict <
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+        payload.alias("_payload"),
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(tie_col).alias("_tie") if tie_col in left.columns else F.lit(0).alias("_tie"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r.select(*on, "_ts", "_side", "_tie", "_payload"), allowMissingColumns=True)
+    matched = matched.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+    return matched.filter(F.col("_side") == 0).drop("_ts", "_side", "_tie", "_payload")
+
+
+def range_join_bucketed(
+    probe: DataFrame,
+    ctx: DataFrame,
+    on: list[str],
+    window_us: int,
+    probe_ts: str = "ts",
+    ctx_ts: str = "ts",
+) -> DataFrame:
+    """All (probe, ctx) pairs with equal keys and ``|ctx.ts − probe.ts| ≤
+    window_us``, via bucketed equi-join (no O(n²) theta join). Probe columns
+    come through as-is; ctx columns prefixed ``ctx_``."""
+    bucket = lambda c: (F.unix_micros(F.col(c)) / F.lit(window_us)).cast("long")  # noqa: E731
+    p = probe.withColumn("_us", F.unix_micros(F.col(probe_ts))).withColumn(
+        "_bucket",
+        F.explode(F.sequence(bucket(probe_ts) - 1, bucket(probe_ts) + 1)),
+    )
+    c = ctx.select(
+        *[F.col(k) for k in on],
+        *[F.col(x).alias(f"ctx_{x}") for x in ctx.columns if x not in on],
+        bucket(ctx_ts).alias("_bucket"),
+        F.unix_micros(F.col(ctx_ts)).alias("_ctx_us"),
+    )
+    return (
+        p.join(c, [*on, "_bucket"])
+        .filter(F.abs(F.col("_ctx_us") - F.col("_us")) <= window_us)
+        .drop("_bucket", "_us", "_ctx_us")
+    )
+
+
+# ---- driver-checkable queries ------------------------------------------------
+
+
+def evt_purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase event ↔ the user's most recent
+    strictly-prior click, plus the gap in microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(purchases, clicks, on=["user_id"], right_cols=["event_id"])
+    return out.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("_match.event_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("_match.ts")).alias("gap_us"),
+    )
+
+
+def evt_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per error event, the count + max value of the same user's
+    click/view events within ±5 minutes (diagnostic context window)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    ctx = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = range_join_bucketed(errors, ctx, on=["user_id"], window_us=300_000_000)
+    agg = joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_ctx"),
+        F.max("ctx_value").alias("max_ctx_value"),
+    )
+    return (
+        errors.join(agg, "event_id", "left")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.coalesce("n_ctx", F.lit(0)).alias("n_ctx"),
+            "max_ctx_value",
+        )
+    )
+
+
+QUERIES = {
+    "evt_purchase_asof_click": evt_purchase_asof_click,
+    "evt_error_context": evt_error_context,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    # identical union+window formulation (NOT DuckDB ASOF JOIN, whose
+    # equal-ts tie-break is unspecified): side 1 rows are clicks, frame up to
+    # current row, last click payload ignoring nulls, ties by event_id.
+    "evt_purchase_asof_click": """
+        WITH u AS (
+            SELECT user_id, ts, 0 AS side, event_id, value,
+                   CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS TIMESTAMP) AS c_ts
+            FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, 1 AS side, event_id, NULL,
+                   event_id AS c_id, ts AS c_ts
+            FROM events WHERE event_type = 'click'
+        ), w AS (
+            SELECT *,
+                   last_value(c_id IGNORE NULLS) OVER win AS click_id,
+                   last_value(c_ts IGNORE NULLS) OVER win AS click_ts
+            FROM u
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id AS purchase_id, value AS purchase_value,
+               click_id, epoch_us(ts) - epoch_us(click_ts) AS gap_us
+        FROM w WHERE side = 0
+    """,
+    "evt_error_context": """
+        SELECT e.event_id AS error_id, e.user_id,
+               CAST(count(c.event_id) AS BIGINT) AS n_ctx,
+               max(c.value) AS max_ctx_value
+        FROM events e
+        LEFT JOIN events c
+          ON c.user_id = e.user_id
+         AND c.event_type IN ('click', 'view')
+         AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id, e.user_id
+    """,
+}
