@@ -80,7 +80,7 @@ class LSHForestIndex:
         assign = data.crossJoin(F.broadcast(trees)).select(
             "tree_id", F.lit("").alias("path"), "id", "embedding"
         )
-        assign = assign.localCheckpoint(eager=True)
+        assign = assign.localCheckpoint(eager=False)
 
         all_planes: list[tuple[int, str, list[float], float]] = []
         depth_reached = 0
@@ -139,7 +139,9 @@ class LSHForestIndex:
                     ).otherwise(F.col("path")),
                 )
                 .select("tree_id", "path", "id", "embedding")
-                .localCheckpoint(eager=True)  # truncate lineage each level
+                # truncate lineage each level; lazy so materialization rides
+                # the NEXT level's sample-collect job (1 job/level, not 2)
+                .localCheckpoint(eager=False)
             )
 
         hyperplanes = spark.createDataFrame(

@@ -21,6 +21,27 @@ from vers_spark.indexes.ivfflat import IVFFlatIndex
 from vers_spark.indexes.lsh import LSHForestIndex
 
 
+def _corpus_paths(forest: LSHForestIndex, emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, q_vec, tree_id, path) for the FULL corpus without a second
+    tree descent: the build's ``leaves`` already carry every deduped row's
+    final path; the rows the build dropped (exact duplicates, lsh.rs:113-130)
+    copy their representative's paths with one equi-join on the vector value —
+    identical vectors descend identically, so the paths are the same ones a
+    re-descent would compute. At scale this replaces depth× broadcast joins
+    over the whole corpus with one join sized by the duplicate count."""
+    kept = forest.leaves.select(
+        "tree_id", "path", F.col("id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    dupes = (
+        emb.select(F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .join(kept.select("query_id").distinct(), "query_id", "left_anti")
+    )
+    dup_paths = dupes.join(
+        forest.leaves.select("tree_id", "path", F.col("embedding").alias("q_vec")), "q_vec"
+    ).select("tree_id", "path", "query_id", "q_vec")
+    return kept.unionByName(dup_paths.select("tree_id", "path", "query_id", "q_vec"))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float,
@@ -35,10 +56,7 @@ def embedding_neardup_pairs(
     forest = LSHForestIndex.build(
         emb, num_trees=num_trees, max_node_size=max_node_size, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    # assign paths to the FULL corpus (the forest dedups identical vectors at
-    # build time, lsh.rs:113-130 — descending the planes for every row puts
-    # exact duplicates back into the same buckets)
-    paths = forest.assign_paths(emb, id_col, vec_col)
+    paths = _corpus_paths(forest, emb, id_col, vec_col)
     a = paths.select("tree_id", "path", F.col("query_id").alias("id_a"), F.col("q_vec").alias("va"))
     b = paths.select("tree_id", "path", F.col("query_id").alias("id_b"), F.col("q_vec").alias("vb"))
     cands = (
@@ -72,7 +90,7 @@ def embedding_cosine_neardup_pairs(
     forest = LSHForestIndex.build(
         unit, num_trees=num_trees, max_node_size=max_node_size, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    paths = forest.assign_paths(unit, id_col, vec_col)
+    paths = _corpus_paths(forest, unit, id_col, vec_col)
     a = paths.select("tree_id", "path", F.col("query_id").alias("id_a"), F.col("q_vec").alias("va"))
     b = paths.select("tree_id", "path", F.col("query_id").alias("id_b"), F.col("q_vec").alias("vb"))
     cands = (
