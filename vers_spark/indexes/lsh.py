@@ -52,6 +52,78 @@ def _plane_side(vec_col, coeff_col, const_col):
     return F.when(V.dot(vec_col, coeff_col) + const_col >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
+# Above this row count the per-task whole-tree build stops being reasonable
+# (each task holds its tree's full corpus slice in memory) and the
+# level-synchronous distributed build takes over.
+_LOCAL_BUILD_MAX_ROWS = 2_000_000
+
+def _local_build_schema(emb_type: str) -> str:
+    """Output schema preserves the INPUT embedding element type — forcing a
+    float32 roundtrip on a float64 (e.g. normalized) corpus would silently
+    change every downstream distance/equality."""
+    return (
+        "tree_id int, kind string, path string, id long, "
+        f"embedding {emb_type}, coeffs array<double>, constant double"
+    )
+
+
+def _build_trees_in_pandas(num_trees: int, max_node_size: int, seed: int, max_depth: int):
+    """Grouped-map kernel: build one whole random-projection tree per group.
+
+    Splitting reproduces lsh.rs:58-94 in float64: coeff = b − a, constant =
+    −coeff·midpoint, side = coeff·p + constant ≥ 0. Both sampled points land
+    on opposite sides by construction (±‖b−a‖²/2), so no split is ever empty.
+    Sampling is a seeded RandomState((seed, tree_id, depth, node)) draw —
+    deterministic, unlike the reference's thread_rng (lsh.rs:63-65).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def build_tree(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        tree_id = int(pdf["tree_id"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        embs = pdf["embedding"].tolist()
+        leaves: list[tuple[str, int, object]] = []
+        planes: list[tuple[str, list[float], float]] = []
+        stack: list[tuple[str, np.ndarray]] = [("", np.arange(len(ids)))]
+        while stack:
+            path, idx = stack.pop()
+            if len(idx) <= max_node_size or len(path) >= max_depth:
+                for i in idx:
+                    leaves.append((path, int(ids[i]), embs[i]))
+                continue
+            rng = np.random.RandomState(
+                (seed * 1_000_003 + tree_id * 8191 + len(path) * 131 + int(idx[0])) % (2**31)
+            )
+            i1, i2 = rng.choice(len(idx), 2, replace=False)
+            a, b = X[idx[i1]], X[idx[i2]]
+            if np.array_equal(a, b):  # corpus was deduped; belt and braces
+                for i in idx:
+                    leaves.append((path, int(ids[i]), embs[i]))
+                continue
+            coeff = b - a
+            const = float(-(coeff @ ((a + b) / 2.0)))
+            planes.append((path, coeff.tolist(), const))
+            side = X[idx] @ coeff + const >= 0
+            stack.append((path + "1", idx[side]))
+            stack.append((path + "0", idx[~side]))
+        out = pd.DataFrame(
+            {
+                "tree_id": tree_id,
+                "kind": ["leaf"] * len(leaves) + ["plane"] * len(planes),
+                "path": [p for p, _, _ in leaves] + [p for p, _, _ in planes],
+                "id": [i for _, i, _ in leaves] + [None] * len(planes),
+                "embedding": [e for _, _, e in leaves] + [None] * len(planes),
+                "coeffs": [None] * len(leaves) + [c for _, c, _ in planes],
+                "constant": [None] * len(leaves) + [c for _, _, c in planes],
+            }
+        )
+        return out
+
+    return build_tree
+
+
 @dataclass
 class LSHForestIndex:
     spark: SparkSession
@@ -68,13 +140,35 @@ class LSHForestIndex:
         vec_col: str = "embedding",
         seed: int = 42,
         max_depth: int = 24,
+        backend: str = "auto",
     ) -> "LSHForestIndex":
+        """Build the forest.
+
+        backend:
+        - ``"local"``  — one whole tree per task via applyInPandas, the direct
+          analogue of the reference's rayon per-tree parallelism
+          (lsh.rs:145-148): ONE shuffle + one numpy pass, no driver loop.
+          Requires each tree's corpus slice to fit in a task (fine up to a few
+          million rows × moderate dims).
+        - ``"distributed"`` — level-synchronous splitting (one DataFrame pass
+          per depth); the 100 TB path, no single task ever holds the corpus.
+        - ``"auto"`` — local below ``_LOCAL_BUILD_MAX_ROWS`` rows, else
+          distributed.
+        """
         spark = corpus.sparkSession
         data = corpus.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding")
         )
         # bit-exact-style dedup, first id wins (lsh.rs:113-130)
         data = dedup_exact(data, ["embedding"], ["id"])
+
+        if backend == "auto":
+            n_rows = data.count()
+            backend = "local" if n_rows <= _LOCAL_BUILD_MAX_ROWS else "distributed"
+        if backend == "local":
+            return LSHForestIndex._build_local(
+                spark, data, num_trees, max_node_size, seed, max_depth
+            )
 
         trees = spark.range(num_trees).select(F.col("id").cast("int").alias("tree_id"))
         assign = data.crossJoin(F.broadcast(trees)).select(
@@ -158,6 +252,42 @@ class LSHForestIndex:
             "metric": "sq_euclidean",
         }
         return LSHForestIndex(spark, assign, hyperplanes, params)
+
+    @staticmethod
+    def _build_local(
+        spark: SparkSession,
+        data: DataFrame,
+        num_trees: int,
+        max_node_size: int,
+        seed: int,
+        max_depth: int,
+    ) -> "LSHForestIndex":
+        trees = spark.range(num_trees).select(F.col("id").cast("int").alias("tree_id"))
+        replicated = data.crossJoin(F.broadcast(trees)).select("tree_id", "id", "embedding")
+        emb_type = data.schema["embedding"].dataType.simpleString()
+        built = (
+            replicated.groupBy("tree_id")
+            .applyInPandas(
+                _build_trees_in_pandas(num_trees, max_node_size, seed, max_depth),
+                schema=_local_build_schema(emb_type),
+            )
+            .localCheckpoint(eager=True)  # built once, read twice (leaves + planes)
+        )
+        leaves = built.filter(F.col("kind") == "leaf").select("tree_id", "path", "id", "embedding")
+        hyperplanes = built.filter(F.col("kind") == "plane").select(
+            "tree_id", "path", "coeffs", "constant"
+        )
+        depth = (
+            hyperplanes.agg(F.max(F.length("path")).alias("d")).collect()[0]["d"]
+        )
+        params = {
+            "num_trees": int(num_trees),
+            "max_node_size": int(max_node_size),
+            "seed": seed,
+            "depth": int(depth) + 1 if depth is not None else 0,
+            "metric": "sq_euclidean",
+        }
+        return LSHForestIndex(spark, leaves, hyperplanes, params)
 
     # ---------------- search ----------------
 

@@ -125,13 +125,39 @@ def minhash_neardup_pairs(
     docs: DataFrame, threshold: float = 0.8, n_shingle: int = 3, num_hashes: int = 16
 ) -> DataFrame:
     """Full MinHash-LSH dedup pipeline: signatures → bands → candidate pairs →
-    exact-Jaccard verification."""
+    exact-Jaccard verification.
+
+    Stage-count discipline (same result as the composable pieces above, fewer
+    shuffles): band keys are computed directly from the wide signature row —
+    h0..h15 are already columns after the ONE signature aggregate, so each
+    band key is a row-local expression and the stack/unpivot → re-groupBy
+    round trip disappears."""
     # the shingle set feeds signatures AND both sides of the verification
     # join — materialize it once (at 100 TB this would be a persisted Parquet
     # intermediate; in-session cache is the same plan shape)
     sh = shingle_sets(docs, n_shingle).cache()
-    sigs = minhash_signatures_from_shingles(sh, num_hashes)
-    cands = band_candidates(minhash_bands(sigs))
+    base = TX.stable_hash60(F.col("shingle"))
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(TX.minhash_value(base, a, b)).alias(f"h{i}")
+            for i, (a, b) in enumerate(TX.MINHASH_COEFFS[:num_hashes])
+        ]
+    )
+    n_bands = num_hashes // BAND_SIZE
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            sum(
+                F.col(f"h{j * BAND_SIZE + k}") * F.lit(BAND_POWERS[k])
+                for k in range(BAND_SIZE)
+            ).alias("band_key"),
+        )
+        for j in range(n_bands)
+    ]
+    bands = wide.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+    cands = band_candidates(bands)
     return jaccard_verify(cands, sh, threshold)
 
 

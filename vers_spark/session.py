@@ -14,6 +14,26 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# JIT flags for the single-JVM local harness. Whole-stage codegen emits very
+# large methods (expression-heavy stages: 16 minhash aggs, 32 simhash votes);
+# HotSpot refuses to JIT methods over 8000 bytecodes (DontCompileHugeMethods)
+# and the default 240 MB code cache fills after a few dozen distinct query
+# plans — both leave generated code running INTERPRETED, which measured 10-20x
+# slower per task (CPU-time-bound, zero GC) and got worse the longer the
+# session ran. On a real cluster the same flags go in
+# spark.executor.extraJavaOptions.
+_JIT_FLAGS = "-XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods"
+
+
+def _local_dirs() -> str:
+    """Shuffle/spill dirs: prefer tmpfs (/dev/shm) in the local harness — the
+    backing disk here is slow and shared, and shuffle blocks are small; on a
+    real cluster spark.local.dir is provisioned NVMe and this is a no-op."""
+    shm = "/dev/shm/spark-local"
+    if os.path.isdir("/dev/shm"):
+        return shm
+    return os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
+
 
 def get_spark(
     app_name: str = "vers_spark",
@@ -44,6 +64,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.extraJavaOptions", _JIT_FLAGS)
+        .config("spark.local.dir", _local_dirs())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
