@@ -265,6 +265,104 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders with at least one late
+    lineitem (EXISTS with an inequality inside). The correlated EXISTS
+    decorrelates to a left-semi join on orderkey; the inequality
+    (l_shipdate > o_orderdate + 60 days) rides the join condition, so
+    Catalyst keeps it an equi-semi-join with a post-filter — no cross
+    product, and the orders scan prunes to the date window."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below 50% of their part's
+    average quantity, for one brand. The correlated scalar subquery
+    (avg(l_quantity) per part) decorrelates into a per-part aggregate joined
+    back on partkey — one extra shuffle over the filtered fact, never a
+    per-row subquery. The brand filter broadcasts through the part dim."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    avg_qty = branded.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "ak")
+    return (
+        branded.join(avg_qty, branded.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(_money("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single-order quantity total exceeds a
+    threshold (groupBy + HAVING), joined back to order/customer detail and
+    top-k'd. Aggregate-then-join keeps the HAVING filter on the small
+    aggregated side before the detail join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (distinct from rollup/cube): (event_type),
+    (dow), and grand total in one pass — Spark expands to a single Expand +
+    one aggregate, not three scans."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "event_type",
+        F.date_format("ts", "EEEE").alias("dow"),
+        F.col("value").cast(_DEC).alias("v"),
+    ).createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(dow, 'ALL') AS dow,
+               count(*) AS n_events,
+               CAST(sum(v) AS DOUBLE) AS sum_value
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type), (dow), ())
+        """
+    )
+
+
 def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured: parse the props JSON column, aggregate the extracted
     field per event type."""
@@ -426,8 +524,62 @@ ORACLE_SQL["q_events_props_json"] = """
     GROUP BY event_type
 """
 
+ORACLE_SQL["q4_late_orders"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["q17_small_quantity_revenue"] = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < 0.5 * (
+        SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+      )
+"""
+
+ORACLE_SQL["q18_large_volume_customers"] = """
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) big
+    JOIN orders ON big.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+"""
+
+ORACLE_SQL["q_events_grouping_sets"] = """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(dow, 'ALL') AS dow,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS sum_value
+    FROM (SELECT event_type, strftime(ts, '%A') AS dow,
+                 CAST(value AS DECIMAL(12,2)) AS v FROM events)
+    GROUP BY GROUPING SETS ((event_type), (dow), ())
+"""
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q4_late_orders": q4_late_orders,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q_events_grouping_sets": q_events_grouping_sets,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "q6_forecast_revenue": q6_forecast_revenue,
