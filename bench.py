@@ -64,6 +64,26 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
     qmap = queries()
+
+    # JIT warmup at the smallest SF: each headline query's whole-stage-codegen
+    # classes are huge (see session._JIT_FLAGS) and HotSpot compiles them on
+    # first use — without this pass, several seconds of C2 compile time land
+    # inside whichever timed query runs first with a given plan shape, making
+    # numbers swing 2x run-to-run. Same plan shape → same generated classes →
+    # the timed run executes compiled code. Data/index state stays cold: the
+    # warmup runs on different (tiny) inputs and all caches/checkpoints are
+    # dropped before timing.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(SF_DIR):
+        t0 = time.perf_counter()
+        for name in HEADLINE:
+            try:
+                qmap[name](spark, warm_dir).count()
+            except Exception as exc:  # a warmup failure must never kill bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+            _clear_state(spark)
+        print(f"# warmup pass: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:

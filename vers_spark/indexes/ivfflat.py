@@ -50,6 +50,38 @@ from vers_spark.functions import vector as V
 
 _PARTIAL_SCHEMA = "cluster_id int, n long, sum_vec array<double>, cost double"
 
+# Below this row count the k-means training set is collected to the driver and
+# Lloyd's loop runs in numpy — the build's ~30 per-iteration Spark jobs
+# collapse to one collect. The corpus-wide assignment pass stays distributed.
+_LOCAL_KMEANS_MAX_ROWS = 1_000_000
+
+
+def _kmeans_numpy(X: np.ndarray, k: int, max_iter: int, seed: int):
+    """Driver-local Lloyd mirroring reference semantics (ivfflat.rs:73-100):
+    seeded random-row init (with possible repeats, ivfflat.rs:18-27), argmin
+    by squared euclidean, per-cluster mean, empty cluster → zero vector
+    (ivfflat.rs:64-69), bit-exact centroid fixpoint stop (ivfflat.rs:84-91)."""
+    rng = np.random.RandomState(seed)
+    cents = X[rng.randint(0, len(X), size=k)].copy()
+    cost = float("inf")
+    for _ in range(max_iter):
+        d = (
+            np.einsum("ij,ij->i", X, X)[:, None]
+            + np.einsum("ij,ij->i", cents, cents)[None, :]
+            - 2.0 * (X @ cents.T)
+        )
+        labels = d.argmin(axis=1)
+        cost = float(np.maximum(d[np.arange(len(X)), labels], 0.0).sum())
+        new = np.zeros_like(cents)
+        for c in range(k):
+            members = X[labels == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return cents, cost
+
 
 def _assign_partial_sums(centroids: np.ndarray):
     """mapInPandas closure: per batch, assign rows to nearest centroid and
@@ -101,21 +133,38 @@ class IVFFlatIndex:
         max_iterations: int = 10,
         num_attempts: int = 1,
         seed: int = 42,
-        backend: str = "mllib",
+        backend: str = "auto",
     ) -> "IVFFlatIndex":
+        """backend: ``"mllib"`` (MLlib KMeans), ``"lloyd"`` (distributed
+        reference-shaped loop), ``"local"`` (driver-side numpy Lloyd — the
+        reference IS a single-node build, `ivfflat.rs:73-136`; right whenever
+        the training sample fits on the driver), or ``"auto"`` (local below
+        ``_LOCAL_KMEANS_MAX_ROWS`` rows, else mllib). At 100 TB you train
+        centroids on a driver-sized SAMPLE (k-means only needs a
+        representative subset) and the corpus-wide ``_assign`` pass stays
+        fully distributed either way."""
         spark = corpus.sparkSession
         data = corpus.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding")
         )
         data.cache()
         try:
+            if backend == "auto":
+                backend = "local" if data.count() <= _LOCAL_KMEANS_MAX_ROWS else "mllib"
             best: tuple[float, np.ndarray] | None = None
+            local_X = None
+            if backend == "local":
+                local_X = np.array(
+                    [r[0] for r in data.select("embedding").collect()], dtype=np.float64
+                )
             for attempt in range(num_attempts):
                 s = seed + attempt
                 if backend == "mllib":
                     cents, cost = IVFFlatIndex._kmeans_mllib(data, num_clusters, max_iterations, s)
                 elif backend == "lloyd":
                     cents, cost = IVFFlatIndex._kmeans_lloyd(data, num_clusters, max_iterations, s)
+                elif backend == "local":
+                    cents, cost = _kmeans_numpy(local_X, num_clusters, max_iterations, s)
                 else:
                     raise ValueError(f"unknown backend {backend!r}")
                 if best is None or cost < best[0]:

@@ -20,9 +20,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and the default 240 MB code cache fills after a few dozen distinct query
 # plans — both leave generated code running INTERPRETED, which measured 10-20x
 # slower per task (CPU-time-bound, zero GC) and got worse the longer the
-# session ran. On a real cluster the same flags go in
+# session ran. TieredStopAtLevel=1 caps at C1: with 32-way partitions each
+# task sees only thousands of rows, below C2/OSR thresholds, so one-shot
+# queries would otherwise run whole tasks interpreted (measured 2-6x swings
+# per query); C1 compiles near-immediately and its ~30% steady-state penalty
+# never amortizes on cold single-pass queries. On a real cluster with
+# long-lived executors and billions of rows per task, drop TieredStopAtLevel
+# (C2 pays off there) but keep the code-cache and huge-method flags in
 # spark.executor.extraJavaOptions.
-_JIT_FLAGS = "-XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods"
+_JIT_FLAGS = (
+    "-XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods -XX:TieredStopAtLevel=1"
+)
 
 
 def _local_dirs() -> str:
