@@ -78,3 +78,51 @@ def test_filter_pushdown_through_load_table(spark, sf_dir):
     assert "o_orderstatus" in pushed
     cols = audit.scan_columns(df)
     assert all(len(c) <= 2 for c in cols)  # only key + filter column read
+
+
+def test_q4_semi_join_no_cartesian(spark, sf_dir):
+    """The correlated EXISTS must decorrelate to an equi-(semi/inner)-join on
+    orderkey with the shipdate inequality as join filter — never a cartesian
+    product — and the date window must reach the orders scan."""
+    from vers_spark.operators.relational import q4_late_orders
+
+    df = q4_late_orders(spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "o_orderdate" in " ".join(audit.pushed_filters(df))
+
+
+def test_q17_broadcast_dim_and_partial_agg(spark, sf_dir):
+    """Brand-filtered part dim broadcasts; the per-part average is a
+    partial/final aggregate, not a per-row subquery."""
+    from vers_spark.operators.relational import q17_small_quantity_revenue
+
+    df = q17_small_quantity_revenue(spark, sf_dir)
+    assert audit.has_broadcast_join(df)
+    assert audit.has_partial_aggregate(df)
+    assert "p_brand" in " ".join(audit.pushed_filters(df))
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """GROUPING SETS compiles to ONE Expand + one aggregate — not one scan
+    per grouping set."""
+    from vers_spark.operators.relational import q_events_grouping_sets
+
+    df = q_events_grouping_sets(spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert plan.count("Expand") >= 1
+    assert audit.count(df, r"FileScan parquet") == 1
+
+
+def test_band_candidates_bucket_cap(spark, sf_dir):
+    """The max_bucket skew guard drops only oversized buckets: capped result
+    ⊆ exact result, and pairs outside big buckets survive."""
+    from vers_spark.operators.text_dedup import minhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    exact = {(r["doc_a"], r["doc_b"]) for r in minhash_neardup_pairs(docs).collect()}
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_neardup_pairs(docs, max_bucket=2).collect()
+    }
+    assert capped <= exact

@@ -69,6 +69,15 @@ def emb_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_similarity_join(emb, k=3)
 
 
+def emb_knn_selfjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate oracle config of the IVF similarity join: num_clusters=1 ≡
+    exact all-pairs top-3 KNN self-join (every vector is everyone's
+    candidate) — the hash-matched twin that pins the co-located join's
+    ranking/tie-break semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_similarity_join(emb, k=3, num_clusters=1)
+
+
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over synthesized media payloads —
     rows-only (sha256-derived fake features; decode seam stubbed)."""
@@ -170,12 +179,25 @@ def _doc_mllib_oracle() -> str:
 
 ORACLE_SQL["doc_mllib_exactdup"] = _doc_mllib_oracle()
 
+ORACLE_SQL["emb_knn_selfjoin_exact"] = f"""
+    SELECT query_id, neighbour_id, distance, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbour_id,
+               {_SQE.format(a='a.embedding', b='b.embedding')} AS distance,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_SQE.format(a='a.embedding', b='b.embedding')} ASC, b.vec_id ASC
+               ) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+"""
+
 QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_cosine_neardup": emb_cosine_neardup,
     "emb_brp_neardup": emb_brp_neardup,
     "doc_mllib_exactdup": doc_mllib_exactdup,
     "emb_similarity_join": emb_similarity_join,
+    "emb_knn_selfjoin_exact": emb_knn_selfjoin_exact,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,

@@ -86,8 +86,25 @@ def minhash_bands(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
     )
 
 
-def band_candidates(bands: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs colliding in at least one band."""
+def band_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in at least one band.
+
+    ``max_bucket`` is the web-scale skew guard: a degenerate band key (empty
+    or boilerplate documents all sharing one band) makes the self-join
+    quadratic in that bucket's size. Buckets larger than ``max_bucket`` are
+    DROPPED — a band shared by thousands of documents carries almost no
+    near-dup signal (its members collide on 4 hashes by being generic, not
+    similar), and every real pair inside it still has 3 other bands to
+    collide in. Default None keeps the join exact (the oracle-checked
+    configuration); at 100 TB you set it (e.g. 10_000) and record the dropped
+    bucket count."""
+    if max_bucket is not None:
+        sizes = bands.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("_bsz"))
+        bands = bands.join(
+            sizes.filter(F.col("_bsz") <= max_bucket).drop("_bsz"),
+            ["band_id", "band_key"],
+            "left_semi",
+        )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     return (
@@ -122,7 +139,11 @@ def jaccard_verify(candidates: DataFrame, sh: DataFrame, threshold: float) -> Da
 
 
 def minhash_neardup_pairs(
-    docs: DataFrame, threshold: float = 0.8, n_shingle: int = 3, num_hashes: int = 16
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+    num_hashes: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH dedup pipeline: signatures → bands → candidate pairs →
     exact-Jaccard verification.
@@ -157,7 +178,7 @@ def minhash_neardup_pairs(
     bands = wide.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
         "doc_id", "b.band_id", "b.band_key"
     )
-    cands = band_candidates(bands)
+    cands = band_candidates(bands, max_bucket=max_bucket)
     return jaccard_verify(cands, sh, threshold)
 
 
@@ -232,9 +253,15 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return wide.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded into 4 × 8-bit
-    chunks (pigeonhole-complete for hamming ≤ 3), verified exactly."""
+    chunks (pigeonhole-complete for hamming ≤ 3), verified exactly.
+
+    ``max_bucket``: same skew guard as :func:`band_candidates` — chunk values
+    shared by more than ``max_bucket`` documents are dropped before the
+    self-join (default None = exact, the oracle configuration)."""
     sim = simhash(docs)
     chunks = sim.select(
         "doc_id",
@@ -251,6 +278,13 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    if max_bucket is not None:
+        sizes = chunks.groupBy("chunk_id", "chunk_val").agg(F.count(F.lit(1)).alias("_bsz"))
+        chunks = chunks.join(
+            sizes.filter(F.col("_bsz") <= max_bucket).drop("_bsz"),
+            ["chunk_id", "chunk_val"],
+            "left_semi",
+        )
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk_val"
     )
