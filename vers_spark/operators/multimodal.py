@@ -128,6 +128,40 @@ def sample_frames(media: DataFrame, every_ms: int, decode: str = "fake") -> Data
     )
 
 
+def resample_audio(media: DataFrame, target_rate: int, decode: str = "fake") -> DataFrame:
+    """Audio resample stage: filters kind='audio' (pushed down), rewrites
+    payload length by the rate ratio and updates meta.sample_rate. Fake mode
+    scales byte length deterministically; real mode is the stubbed decode
+    seam (soundfile/librosa are not in this container)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if decode == "real":
+                raise NotImplementedError("real resample needs soundfile — use decode='fake'")
+            out = pdf.copy()
+            payloads, metas = [], []
+            for _, r in pdf.iterrows():
+                src_rate = (r["meta"] or {}).get("sample_rate") or target_rate
+                n = max(int(len(r["payload"]) * target_rate / max(src_rate, 1)), 1)
+                p = bytes(r["payload"])
+                payloads.append((p * (n // max(len(p), 1) + 1))[:n])
+                metas.append(
+                    {
+                        "width": None,
+                        "height": None,
+                        "sample_rate": target_rate,
+                        "duration_ms": (r["meta"] or {}).get("duration_ms"),
+                    }
+                )
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(fn, MEDIA_SCHEMA)
+
+
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a deterministic media table from the documents corpus (text bytes
     as payloads) so multimodal plumbing is exercised on driver testdata."""

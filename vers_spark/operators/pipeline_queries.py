@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from vers_spark.operators.multimodal import (
     extract_features,
+    resample_audio,
     resize_images,
     sample_frames,
     synthesize_media_from_documents,
@@ -89,6 +90,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling plumbing — rows-only."""
     media = synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, every_ms=1000, decode="fake")
+
+
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample plumbing (kind filter pushed down, meta rewritten in
+    Arrow batches) — rows-only."""
+    media = synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
+    return resample_audio(media, 16000, decode="fake").drop("payload")
 
 
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,4 +209,5 @@ QUERIES = {
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
+    "mm_audio_resample": mm_audio_resample,
 }
