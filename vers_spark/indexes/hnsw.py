@@ -348,7 +348,10 @@ class HNSWIndex:
             )
         else:
             raise ValueError(f"unknown shard_by {shard_by!r}")
-        nodes = nodes.repartition(num_shards, "shard_id").localCheckpoint(eager=True)
+        # lazy checkpoint: materialization rides the graph build's groupBy job
+        # below (one job instead of two); later searches then read the
+        # truncated plan instead of re-running the assignment pass
+        nodes = nodes.repartition(num_shards, "shard_id").localCheckpoint(eager=False)
 
         params = {
             "num_layers": int(num_layers),

@@ -363,6 +363,45 @@ def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window (distinct surface from the ROWS frames in
+    q_events_user_stats): per user, count and value-sum of events in the
+    trailing 1-hour interval ending at each event. One shuffle on user_id;
+    the frame scan is a single ordered pass per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("sum_trailing_1h"),
+    )
+
+
+def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont) of document length
+    per language — the quality-threshold calibration query of a curation
+    pipeline. Exact percentiles need a per-group sort; at 100 TB you switch
+    to approx_percentile (t-digest, one pass, mergeable) and accept the
+    documented error bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars)").alias("p50"),
+            F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars)").alias("p90"),
+            F.expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars)").alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured: parse the props JSON column, aggregate the extracted
     field per event type."""
@@ -574,9 +613,32 @@ ORACLE_SQL["q_events_grouping_sets"] = """
     GROUP BY GROUPING SETS ((event_type), (dow), ())
 """
 
+ORACLE_SQL["q_events_range_window"] = """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_SQL["q_doc_length_percentiles"] = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS p50,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars) AS p90,
+           percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars) AS p99
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q4_late_orders": q4_late_orders,
+    "q_events_range_window": q_events_range_window,
+    "q_doc_length_percentiles": q_doc_length_percentiles,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q_events_grouping_sets": q_events_grouping_sets,
