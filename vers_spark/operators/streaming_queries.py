@@ -39,6 +39,22 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(sessionize(ev, gap_minutes=30), output_mode="append")
 
 
+def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type) via
+    dropDuplicates with a watermark bounding state; the per-type counts of
+    the dedup STREAM's append output are the oracle-checked result. At scale
+    this is dropDuplicatesWithinWatermark state sized by live keys, not
+    events."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    dd = ev.withWatermark("ts", "1 hour").dropDuplicates(["user_id", "event_type"])
+    out = run_to_table(dd, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .orderBy("event_type")
+    )
+
+
 def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list sizes after streaming the corpus through foreachBatch
     IVF assignment — rows-only (k-means centroids not SQL-expressible)."""
@@ -103,8 +119,16 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["stream_dedup_users"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique_users
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
+    "stream_dedup_users": stream_dedup_users,
     "stream_events_sliding": stream_events_sliding,
     "stream_sessions": stream_sessions,
     "stream_ivf_assign_stats": stream_ivf_assign_stats,
