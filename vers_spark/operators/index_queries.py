@@ -93,6 +93,15 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(emb.filter(F.col("vec_id") < 20), k=10, n_probe_shards=4)
 
 
+def hnsw_search_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW distributed frontier-expansion search (graph never leaves the
+    executors — the formulation for graphs too large per task) — rows-only;
+    recall gated in tests."""
+    idx = _hnsw(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return idx.search_frontier(emb.filter(F.col("vec_id") < 10), k=10)
+
+
 def hnsw_layer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes per layer (hnsw.rs:480-485) — rows-only (layer draw is seeded
     RNG, not SQL-expressible)."""
@@ -139,5 +148,6 @@ QUERIES = {
     "lsh_search_degenerate": lsh_search_degenerate,
     "lsh_search_forest": lsh_search_forest,
     "hnsw_search": hnsw_search,
+    "hnsw_search_frontier": hnsw_search_frontier,
     "hnsw_layer_stats": hnsw_layer_stats,
 }
