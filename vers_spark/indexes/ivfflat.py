@@ -254,12 +254,26 @@ class IVFFlatIndex:
         n_probes: int = 1,
         query_id: str = "vec_id",
         query_vec: str = "embedding",
+        candidate_ids: DataFrame | None = None,
     ) -> DataFrame:
         """ANN search. Probes the ``n_probes`` nearest clusters per query and
         always applies the reference's fill rule (expand to further clusters
-        while cumulative candidate count < k, ivfflat.rs:166-195)."""
+        while cumulative candidate count < k, ivfflat.rs:166-195).
+
+        ``candidate_ids`` (a DataFrame with an ``id`` column) is metadata-
+        filtered search — the capability the reference lacks entirely: the
+        posting lists are semi-joined down to the allowed ids BEFORE ranking,
+        so cluster sizes, the fill rule, and top-k all operate on the
+        filtered corpus (≡ searching an index built on the filtered subset);
+        the predicate prunes candidate I/O instead of post-filtering
+        results."""
+        assignments = self.assignments
+        if candidate_ids is not None:
+            assignments = assignments.join(
+                candidate_ids.select(F.col("id").cast("long").alias("id")), "id", "left_semi"
+            )
         q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_vec"))
-        sizes = self.assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c_size"))
+        sizes = assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c_size"))
         cents = F.broadcast(self.centroids.join(F.broadcast(sizes), "cluster_id", "left").fillna(0))
 
         ranked = q.crossJoin(cents).withColumn(
@@ -278,7 +292,7 @@ class IVFFlatIndex:
         )
 
         cands = probes.select("query_id", "q_vec", "cluster_id").join(
-            self.assignments, "cluster_id"
+            assignments, "cluster_id"
         )
         dist = V.sq_euclidean(F.col("q_vec"), F.col("embedding"))
         w = W.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("id"))

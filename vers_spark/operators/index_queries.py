@@ -39,6 +39,18 @@ def ivf_search_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(q, k=10, n_probes=idx.params["num_clusters"])
 
 
+def ivf_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN search (predicate + ANN compose as a semi-join —
+    the capability the reference lacks, SURVEY §7 phase 5): only vectors with
+    label % 3 = 0 are candidates; all clusters probed ≡ exact filtered KNN,
+    so the DuckDB twin hash-matches."""
+    idx = _ivf(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = emb.filter(F.col("label") % 3 == 0).select(F.col("vec_id").alias("id"))
+    q = emb.filter(F.col("vec_id") < 5)
+    return idx.search(q, k=10, n_probes=idx.params["num_clusters"], candidate_ids=keep)
+
+
 def ivf_search_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Realistic IVF search (n_probes=4) — rows-only; recall gated in tests."""
     idx = _ivf(spark, sf_dir)
@@ -122,6 +134,20 @@ _KNN_ALL_SQL = """
     SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
 """
 
+_KNN_FILTERED_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbour_id, embedding AS cv FROM embeddings WHERE label % 3 = 0),
+    d AS (SELECT query_id, neighbour_id,
+                 list_reduce(list_transform(list_zip(qv, cv),
+                     s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+                     (x,y) -> x + y) AS distance
+          FROM q CROSS JOIN c),
+    r AS (SELECT query_id, neighbour_id, distance,
+                 row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbour_id ASC) AS rank
+          FROM d)
+    SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
+"""
+
 _LSH_DEGENERATE_SQL = """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 101 = 0),
     c AS (SELECT vec_id AS neighbour_id, embedding AS cv FROM embeddings),
@@ -138,11 +164,13 @@ _LSH_DEGENERATE_SQL = """
 
 ORACLE_SQL: dict[str, str] = {
     "ivf_search_all": _KNN_ALL_SQL,
+    "ivf_search_filtered": _KNN_FILTERED_SQL,
     "lsh_search_degenerate": _LSH_DEGENERATE_SQL,
 }
 
 QUERIES = {
     "ivf_search_all": ivf_search_all,
+    "ivf_search_filtered": ivf_search_filtered,
     "ivf_search_p4": ivf_search_p4,
     "ivf_cluster_stats": ivf_cluster_stats,
     "lsh_search_degenerate": lsh_search_degenerate,
