@@ -42,7 +42,15 @@ HEADLINE = [
 def _clear_state(spark) -> None:
     """Drop cached DFs + checkpointed index RDDs between queries so one
     query's working set doesn't squeeze the next one's shuffles (each
-    headline query is timed cold, including its own index build)."""
+    headline query is timed cold, including its own index build). The
+    memoized index objects must go too: their DataFrames sit on the
+    checkpointed RDDs being unpersisted here, and a rebuild is exactly what
+    cold timing means."""
+    from vers_spark.operators import index_queries
+
+    index_queries._IVF_CACHE.clear()
+    index_queries._LSH_CACHE.clear()
+    index_queries._HNSW_CACHE.clear()
     spark.catalog.clearCache()
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -88,11 +96,18 @@ def main() -> None:
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = qmap[name]
-        t0 = time.perf_counter()
-        rows[name] = fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2, state cleared between attempts: each attempt is a full
+        # cold run (index builds included); the min removes scheduler/GC
+        # noise without changing what is measured
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows[name] = fn(spark, SF_DIR).count()
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None else min(best, dt)
+            _clear_state(spark)
+        timings[name] = best
         print(f"# {name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
-        _clear_state(spark)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
