@@ -58,6 +58,18 @@ def ivf_search_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(emb.filter(F.col("vec_id") < 20), k=10, n_probes=4)
 
 
+def ivf_build_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference IVFFlat build harness config (main.rs:63-66: k=20,
+    num_attempts=3, max_iterations=10, multi-restart argmin cost) — the
+    canonical build workload of BASELINE.md; returns posting-list stats,
+    rows-only (k-means not SQL-expressible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFFlatIndex.build(
+        emb, num_clusters=20, max_iterations=10, num_attempts=3, seed=42
+    )
+    return idx.cluster_stats()
+
+
 def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list size distribution (layer-stats analogue, hnsw.rs:480-485)."""
     return _ivf(spark, sf_dir).cluster_stats()
@@ -175,6 +187,7 @@ QUERIES = {
     "ivf_search_filtered": ivf_search_filtered,
     "ivf_search_p4": ivf_search_p4,
     "ivf_cluster_stats": ivf_cluster_stats,
+    "ivf_build_ref": ivf_build_ref,
     "lsh_search_degenerate": lsh_search_degenerate,
     "lsh_search_forest": lsh_search_forest,
     "hnsw_search": hnsw_search,
