@@ -86,6 +86,35 @@ def knn_blocked_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vec_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§D .vec loader end-to-end (utils.rs:7-66 semantics): write the
+    embeddings table as a FastText .vec text file, load it back with the
+    parallel loader (header skip, parse, L2-normalize-on-load, dense
+    file-order ids, holdout of one 'word'), exact-KNN the holdout against
+    the corpus — the 'queen' harness over driver testdata. Rows-only (the
+    intermediate text file is not visible to the oracle)."""
+    import os
+    import tempfile
+
+    from vers_spark.operators.knn import exact_knn
+    from vers_spark.sources.tables import load_table
+    from vers_spark.sources.vec_file import load_vec_file
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(300)
+    rows = emb.collect()
+    dim = len(rows[0]["embedding"])
+    d = tempfile.mkdtemp(prefix="vs_vecfile_")
+    path = os.path.join(d, "corpus.vec")
+    with open(path, "w") as f:
+        f.write(f"{len(rows)} {dim}\n")
+        for r in rows:
+            f.write("w%d %s\n" % (r["vec_id"], " ".join(repr(float(x)) for x in r["embedding"])))
+    corpus, holdout = load_vec_file(spark, path, normalize=True, holdout_word="w0")
+    q = holdout.select(F.col("id").alias("vec_id"), F.col("emb").alias("embedding"))
+    c = corpus.select(F.col("id").alias("vec_id"), F.col("emb").alias("embedding"))
+    return exact_knn(q, c, k=10)
+
+
 def dedup_vectors_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector value dedup over a corpus with injected duplicates (the data has
     none): every embedding appears twice, survivor = min id (lsh.rs:113-130
@@ -178,6 +207,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "vec_corpus_roundtrip": vec_corpus_roundtrip,
     "vk_vector_ops": vk_vector_ops,
     "knn_exact_cosine": knn_exact_cosine,
     "knn_exact_euclidean": knn_exact_euclidean,
