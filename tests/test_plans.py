@@ -126,3 +126,26 @@ def test_band_candidates_bucket_cap(spark, sf_dir):
         for r in minhash_neardup_pairs(docs, max_bucket=2).collect()
     }
     assert capped <= exact
+
+
+def test_minhash_pipeline_shapes(spark, sf_dir):
+    """The near-dup pipeline must never degrade to a cartesian product (the
+    band join is equi on (band_id, band_key)) and its signature aggregate
+    must have a map-side partial."""
+    from vers_spark.operators.text_dedup import minhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = minhash_neardup_pairs(docs)
+    plan = audit.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert audit.has_partial_aggregate(df)
+
+
+def test_simhash_pipeline_shapes(spark, sf_dir):
+    from vers_spark.operators.text_dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = simhash_neardup_pairs(docs)
+    plan = audit.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert audit.has_partial_aggregate(df)
