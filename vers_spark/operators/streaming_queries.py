@@ -55,6 +55,28 @@ def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriches against a static
+    user-segment dimension (derived deterministically from the batch table),
+    then aggregates per (segment, event_type). The static side is re-read
+    per micro-batch and broadcast — the canonical dimension-enrichment shape;
+    state is only the aggregate, not the join."""
+    from vers_spark.sources.tables import load_table
+
+    seg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg((F.count(F.lit(1)) % 4).cast("int").alias("segment"))
+    )
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    joined = ev.join(F.broadcast(seg), "user_id")
+    agg = joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return run_to_table(agg, output_mode="complete")
+
+
 def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list sizes after streaming the corpus through foreachBatch
     IVF assignment — rows-only (k-means centroids not SQL-expressible)."""
@@ -126,8 +148,21 @@ ORACLE_SQL["stream_dedup_users"] = """
     ORDER BY event_type
 """
 
+ORACLE_SQL["stream_static_enrich"] = """
+    WITH seg AS (
+        SELECT user_id, CAST(count(*) % 4 AS INT) AS segment
+        FROM events GROUP BY user_id
+    )
+    SELECT segment, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events JOIN seg USING (user_id)
+    GROUP BY segment, event_type
+"""
+
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
+    "stream_static_enrich": stream_static_enrich,
     "stream_dedup_users": stream_dedup_users,
     "stream_events_sliding": stream_events_sliding,
     "stream_sessions": stream_sessions,
