@@ -77,6 +77,39 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(agg, output_mode="complete")
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase event joins the same
+    user's click events from the preceding hour. Both sides carry
+    watermarks and the join condition bounds event-time distance, so state
+    on each side is evicted once the other side's watermark passes —
+    the canonical bounded-state stream-stream join. Returned as per-user
+    match counts; inner joins emit eagerly, so the finite-stream output
+    equals the batch join."""
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts <= purchases.p_ts)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR")),
+    )
+    out = run_to_table(joined, output_mode="append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_click_purchase_pairs"))
+        .orderBy("user_id")
+    )
+
+
 def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list sizes after streaming the corpus through foreachBatch
     IVF assignment — rows-only (k-means centroids not SQL-expressible)."""
@@ -160,8 +193,20 @@ ORACLE_SQL["stream_static_enrich"] = """
     GROUP BY segment, event_type
 """
 
+ORACLE_SQL["stream_interval_join"] = """
+    SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_click_purchase_pairs
+    FROM (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.c_ts <= p.p_ts
+     AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+"""
+
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
+    "stream_interval_join": stream_interval_join,
     "stream_static_enrich": stream_static_enrich,
     "stream_dedup_users": stream_dedup_users,
     "stream_events_sliding": stream_events_sliding,
