@@ -52,10 +52,11 @@ def _plane_side(vec_col, coeff_col, const_col):
     return F.when(V.dot(vec_col, coeff_col) + const_col >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
-# Above this row count the per-task whole-tree build stops being reasonable
-# (each task holds its tree's full corpus slice in memory) and the
-# level-synchronous distributed build takes over.
-_LOCAL_BUILD_MAX_ROWS = 2_000_000
+# Above this row count the per-task whole-tree build stops being reasonable —
+# each task holds the FULL (deduped) corpus as a float64 matrix plus pandas
+# row objects, ~2-4 KB/row at typical dims, and T tree tasks run concurrently
+# — so the level-synchronous distributed build takes over.
+_LOCAL_BUILD_MAX_ROWS = 500_000
 
 def _local_build_schema(emb_type: str) -> str:
     """Output schema preserves the INPUT embedding element type — forcing a
