@@ -11,7 +11,37 @@ from vers_spark.operators.relational import ORACLE_SQL, QUERIES
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_oracle_match_smoke(spark, sf_dir, name):
+    if name not in ORACLE_SQL:  # rows-only (sketches): accuracy-gated below
+        assert QUERIES[name](spark, sf_dir).count() > 0
+        return
     assert_oracle_match(spark, sf_dir, name, QUERIES[name], ORACLE_SQL[name])
+
+
+def test_sketch_stats_accuracy(spark, sf_dir):
+    """Sketch results track their exact twins: HLL++ distinct within 5%,
+    t-digest p50/p90 within 10% of exact interpolated percentiles."""
+    from pyspark.sql import functions as F
+
+    from vers_spark.operators.relational import q_sketch_stats
+    from vers_spark.sources.tables import load_table
+
+    got = {r["event_type"]: r for r in q_sketch_stats(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        g = got[et]
+        assert abs(g["approx_users"] - ex["users"]) <= max(0.05 * ex["users"], 2)
+        for p in ("p50", "p90"):
+            assert abs(g[p] - ex[p]) <= max(0.10 * abs(ex[p]), 1e-6)
 
 
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "q5_revenue_by_nation", "q_events_user_stats"])

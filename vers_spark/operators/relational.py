@@ -402,6 +402,33 @@ def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch surface — the one-pass mergeable scale variants of the exact
+    queries above: HyperLogLog++ distinct users (vs the shuffle-heavy exact
+    countDistinct) and t-digest percentiles (vs the per-group sort of
+    percentile_cont). Rows-only: sketch internals are engine-specific, so no
+    cross-engine hash — accuracy is gated in tests against the exact twins.
+    At 100 TB these are the defaults; the exact forms are the oracles."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("value_pcts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.round(F.element_at("value_pcts", 1), 4).alias("p50"),
+            F.round(F.element_at("value_pcts", 2), 4).alias("p90"),
+            F.round(F.element_at("value_pcts", 3), 4).alias("p99"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured: parse the props JSON column, aggregate the extracted
     field per event type."""
@@ -639,6 +666,7 @@ QUERIES = {
     "q4_late_orders": q4_late_orders,
     "q_events_range_window": q_events_range_window,
     "q_doc_length_percentiles": q_doc_length_percentiles,
+    "q_sketch_stats": q_sketch_stats,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q_events_grouping_sets": q_events_grouping_sets,
