@@ -446,6 +446,297 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. Needs the nation dim twice (supplier side + customer side) — two
+    broadcast joins of the same bounded table under different aliases; the
+    disjunctive nation-pair predicate is applied after both joins, but each
+    alias is pre-filtered to the two nations so the fact rows that survive
+    the broadcast joins are already the minimal set. Fact-side joins stay
+    shuffle joins keyed on orderkey/suppkey/custkey (AQE handles skew)."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cust_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = _money("l_extendedprice") * (F.lit(1).cast(_PCT) - _pct("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_supp), sup.s_nationkey == F.col("supp_nkey"))
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cust_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. Date + returnflag filters push to the two fact scans; the final
+    top-k is a TakeOrderedAndProject (no global sort materialization)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = _money("l_extendedprice") * (F.lit(1).cast(_PCT) - _pct("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted — no partsupp table): parts whose lineitem
+    revenue exceeds 0.1% of global revenue. The global-total scalar subquery
+    is a 1-row aggregate crossJoin-broadcast back onto the per-part
+    aggregate — two passes over the same shuffled aggregate, never a per-row
+    subquery. Sums are exact DECIMAL (order-independent), compared in
+    double after identical casts on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _money("l_extendedprice") * (F.lit(1).cast(_PCT) - _pct("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(revenue).alias("v_dec"))
+    total = per_part.agg(F.sum("v_dec").cast("double").alias("total_v"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("v_dec").cast("double") > 0.001 * F.col("total_v"))
+        .select("l_partkey", F.col("v_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer, keeping
+    zero-order customers via LEFT OUTER join (the join-condition filter on
+    orders must NOT drop unmatched customers — filter-before-join preserves
+    the outer semantics). Two aggregations: per-customer count, then
+    count-of-counts; both shuffle on small keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    aggregate ratio. Both sums are exact DECIMAL then cast to double, so the
+    final division is one double op with identical operands in any engine.
+    Only p_type is needed from part: project before the join so the shuffle
+    carries two columns."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = _money("l_extendedprice") * (F.lit(1).cast(_PCT) - _pct("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_dec"),
+            F.sum(revenue).cast("double").alias("total_dec"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_dec") / F.col("total_dec")).alias("promo_pct"),
+            "n_items",
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    aggregate, then select rows equal to the aggregate's max (ties all
+    returned, as in the spec). Equality is tested on the exact DECIMAL sum
+    (order-independent), so Spark and the oracle agree bit-for-bit; the max
+    is a 1-row broadcast, not a correlated subquery."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = _money("l_extendedprice") * (F.lit(1).cast(_PCT) - _pct("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("rev_dec"))
+    top = rev.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    with a NOT IN exclusion list. NOT IN over a non-null key compiles to a
+    left-anti join (broadcast — the exclusion list is small); countDistinct
+    adds a second shuffle keyed on the group key + suppkey, which AQE
+    coalesces at small SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(excluded), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst extracts the common `p_partkey = l_partkey` equi-condition so
+    the join stays hash-based (never a cross product), and pushes the
+    per-side conjuncts (`p_brand IN (...)`, quantity bounds) below the join
+    as scan filters derived from the disjunction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#10")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(20, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = _money("l_extendedprice") * (F.lit(1).cast(_PCT) - _pct("l_discount"))
+    return joined.filter(clause).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted — no phone column): per nation, customers
+    with above-average positive balance and no orders. The global-average
+    scalar subquery is computed as exact DECIMAL sum / count then one double
+    division (order-independent, engine-identical) and broadcast; the "no
+    orders" NOT EXISTS is a left-anti join against the orders key column
+    only."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(_money("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — no partsupp): for each size-5 part, the
+    supplier rows selling it at the groupwise-minimum price. The correlated
+    MIN subquery decorrelates to a per-part aggregate joined back on
+    partkey + price equality (min over doubles is order-independent, so
+    equality is exact). Two shuffles on partkey; ties all returned."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 5).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    sized = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    min_price = sized.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        sized.join(
+            min_price,
+            (sized.l_partkey == F.col("mk"))
+            & (sized.l_extendedprice == F.col("min_price")),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+        .orderBy("l_partkey", "l_suppkey")
+    )
+
+
+def q_customer_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-analytic windows (surface distinct from ranking/frames
+    elsewhere): ntile quartiles, percent_rank, cume_dist per market segment.
+    percent_rank/cume_dist are integer-ratio doubles — engine-identical.
+    One shuffle on the segment key; single ordered pass per partition."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -661,8 +952,170 @@ ORACLE_SQL["q_doc_length_percentiles"] = """
     ORDER BY lang
 """
 
+_REV_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+ORACLE_SQL["q7_volume_shipping"] = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               {_REV_DEC} AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+ORACLE_SQL["q10_returned_items"] = f"""
+    SELECT c_custkey, c_name,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           n_name,
+           CAST(sum({_REV_DEC}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+ORACLE_SQL["q11_part_value_concentration"] = f"""
+    SELECT l_partkey, CAST(v_dec AS DOUBLE) AS part_value
+    FROM (SELECT l_partkey, sum({_REV_DEC}) AS v_dec FROM lineitem GROUP BY l_partkey)
+    WHERE CAST(v_dec AS DOUBLE) > 0.001 * (
+        SELECT CAST(sum({_REV_DEC}) AS DOUBLE) FROM lineitem
+    )
+    ORDER BY part_value DESC, l_partkey
+"""
+
+ORACLE_SQL["q13_customer_distribution"] = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLE_SQL["q14_promo_revenue"] = f"""
+    SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_DEC}
+                                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(sum({_REV_DEC}) AS DOUBLE) AS promo_pct,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+ORACLE_SQL["q15_top_supplier"] = f"""
+    WITH rev AS (
+        SELECT l_suppkey, sum({_REV_DEC}) AS rev_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+ORACLE_SQL["q16_supplier_count"] = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLE_SQL["q19_disjunctive_revenue"] = f"""
+    SELECT CAST(sum({_REV_DEC}) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLE_SQL["q22_idle_rich_customers"] = """
+    SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+ORACLE_SQL["q2_cheapest_supplier"] = """
+    SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DOUBLE) AS price
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 5
+      AND l_extendedprice = (
+        SELECT min(l2.l_extendedprice) FROM lineitem l2
+        JOIN part p2 ON l2.l_partkey = p2.p_partkey
+        WHERE p2.p_size = 5 AND l2.l_partkey = lineitem.l_partkey
+      )
+    ORDER BY l_partkey, l_suppkey
+"""
+
+ORACLE_SQL["q_customer_value_windows"] = """
+    SELECT c_custkey, c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q2_cheapest_supplier": q2_cheapest_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q11_part_value_concentration": q11_part_value_concentration,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_count": q16_supplier_count,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q_customer_value_windows": q_customer_value_windows,
     "q4_late_orders": q4_late_orders,
     "q_events_range_window": q_events_range_window,
     "q_doc_length_percentiles": q_doc_length_percentiles,
