@@ -147,9 +147,38 @@ def evt_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the SQL-expressible twin of
+    ``streaming.sessions.sessionize`` (same 30-min inactivity gap): a session
+    break is a gap > 1800 s from the previous event of the same user; the
+    session id is the running count of breaks. Two ordered window passes over
+    one shuffle on user_id, then one aggregate — no state store needed in
+    batch. Gap arithmetic is integer microseconds (unix_micros ⇄ epoch_us),
+    never float seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 QUERIES = {
     "evt_purchase_asof_click": evt_purchase_asof_click,
     "evt_error_context": evt_error_context,
+    "evt_sessionize_batch": evt_sessionize_batch,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -188,5 +217,29 @@ ORACLE_SQL: dict[str, str] = {
          AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000
         WHERE e.event_type = 'error'
         GROUP BY e.event_id, e.user_id
+    """,
+    "evt_sessionize_batch": """
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS session_id
+            FROM tagged
+        )
+        SELECT user_id, session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
     """,
 }

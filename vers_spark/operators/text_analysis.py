@@ -142,7 +142,54 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency: top-5 whitespace-token bigrams per language.
+    Bigrams are built array-side inside each row (zip_with over two slices —
+    no posexplode+window shuffle), so the only shuffles are the count
+    aggregate (map-side partial combine first) and the small per-language
+    top-k window. At 100 TB the aggregate key space (lang × bigram) is the
+    pressure point; heavy-hitter bigrams are absorbed by the partial
+    aggregation before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("lang", "rank")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "doc_bigram_topk": f"""
+        WITH big AS (
+            SELECT lang,
+                   unnest(list_transform(range(1, len(arr)),
+                                         i -> arr[i] || ' ' || arr[i+1])) AS bigram
+            FROM (SELECT lang, {D_TOKENS.format(t='text')} AS arr FROM documents)
+        ), counts AS (
+            SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+            FROM big GROUP BY lang, bigram
+        )
+        SELECT lang, bigram, n, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS INT) AS rank
+            FROM counts
+        ) WHERE rank <= 5
+        ORDER BY lang, rank
+    """,
     "doc_token_stats": f"""
         SELECT doc_id,
                CAST(len({D_TOKENS.format(t='text')}) AS BIGINT) AS n_tokens,
@@ -195,4 +242,5 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "doc_bigram_topk": doc_bigram_topk,
 }
