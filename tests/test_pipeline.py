@@ -62,3 +62,36 @@ def test_resize_and_frames(media):
         by_media.setdefault(fr["media_id"], []).append(fr["frame_idx"])
     for idxs in by_media.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation equals classic union-find on a seeded random graph
+    plus a long path (worst-case diameter for the propagation loop)."""
+    import random
+
+    from vers_spark.operators.graph import connected_components
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(45)]
+    edges += [(100 + i, 101 + i) for i in range(25)]  # path: diameter 25
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected

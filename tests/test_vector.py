@@ -85,3 +85,46 @@ def test_knn_distances_monotone_and_recomputable(spark, sf_dir):
     for dists in by_q.values():
         assert dists == sorted(dists)
         assert dists[0] == 0.0  # query is in the corpus → self-match at rank 1
+
+
+def test_int8_quantization_roundtrip_bound(spark, sf_dir):
+    """Symmetric int8 quantization error is bounded by scale/2 per element
+    (round-to-nearest), and recall@10 of asymmetric quantized KNN vs the
+    exact oracle stays ≥ 0.95 on the test corpus."""
+    from pyspark.sql import functions as F
+
+    from vers_spark.functions import vector as V
+    from vers_spark.operators.vector_queries import (
+        knn_exact_euclidean,
+        knn_int8_euclidean,
+    )
+    from vers_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = V.quantize_scale(F.col("embedding"))
+    q = emb.select("embedding", scale.alias("scale")).select(
+        "embedding",
+        "scale",
+        V.quantize_int8(F.col("embedding"), F.col("scale")).alias("q"),
+    )
+    viol = q.select(
+        F.zip_with(
+            "embedding",
+            V.dequantize(F.col("q"), F.col("scale")),
+            lambda x, y: F.abs(x.cast("double") - y),
+        ).alias("err"),
+        "scale",
+    ).filter(
+        F.exists("err", lambda e: e > F.col("scale") / 2 + 1e-12)
+    )
+    assert viol.count() == 0
+
+    exact = {
+        (r["query_id"], r["neighbour_id"])
+        for r in knn_exact_euclidean(spark, sf_dir).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbour_id"])
+        for r in knn_int8_euclidean(spark, sf_dir).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.95

@@ -106,6 +106,32 @@ def value_key(a: Column) -> Column:
     return a
 
 
+# ---- int8 scalar quantization (compression path for 100 TB ANN) ------------
+# Symmetric per-vector quantization: scale = max|x|/127, q = round(x/scale).
+# 4x memory/IO reduction for the corpus side of KNN; search dequantizes on the
+# fly (asymmetric distance: full-precision query vs int8 corpus). Rounding is
+# HALF-AWAY-FROM-ZERO in both Spark (HALF_UP on magnitude) and DuckDB, so the
+# quantized vectors are engine-identical and SQL-oracle-checkable.
+
+QUANT_EPSILON = 1e-30  # all-zero vector guard: scale 1.0, quantizes to zeros
+
+
+def quantize_scale(a: Column) -> Column:
+    """Per-vector symmetric int8 scale: max(|x|)/127 (1.0 for ~zero vectors)."""
+    m = F.aggregate(a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(_f64(x))))
+    return F.when(m < F.lit(QUANT_EPSILON), F.lit(1.0)).otherwise(m / F.lit(127.0))
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """q = round(x / scale) ∈ [-127, 127] (scale from :func:`quantize_scale`)."""
+    return F.transform(a, lambda x: F.round(_f64(x) / scale).cast("int"))
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """Reconstruction q * scale (lossy inverse of :func:`quantize_int8`)."""
+    return F.transform(q, lambda x: _f64(x) * scale)
+
+
 DISTANCE_FNS = {
     "sq_euclidean": sq_euclidean,
     "cosine": cosine_distance,

@@ -165,10 +165,58 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def neardup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group assignment: n-gram-Jaccard pairs → connected
+    components → survivor flag (min doc_id per group). The oracle computes
+    the identical transitive closure with a recursive CTE; component ids are
+    exact integers, so this hash-matches despite the iterative Spark
+    formulation."""
+    from pyspark.sql import functions as F  # noqa: F401 (local alias clarity)
+
+    from vers_spark.operators.graph import connected_components, dedup_survivors
+
+    pairs = TD.ngram_jaccard_pairs(_augmented(spark, sf_dir, 7, NEAR_TAIL), threshold=0.8)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return dedup_survivors(comp).orderBy("doc_id")
+
+
+ORACLE_SQL["neardup_components"] = f"""
+    WITH RECURSIVE
+    pairs AS (
+        WITH {_jaccard_tail_sql(
+            _d_augmented(7, NEAR_TAIL),
+            '''cand AS (
+                SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+                FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
+                WHERE sa.doc_id < sb.doc_id
+            )''',
+            0.8,
+        )}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size,
+           CAST(CASE WHEN node = component THEN 1 ELSE 0 END AS INT) AS is_survivor
+    FROM comp
+    ORDER BY doc_id
+"""
+
 QUERIES = {
     "minhash_signatures": minhash_signatures_q,
     "minhash_neardup": minhash_neardup_q,
     "ngram_jaccard_pairs": ngram_jaccard_q,
     "simhash_docs": simhash_q,
     "simhash_neardup": simhash_neardup_q,
+    "neardup_components": neardup_components_q,
 }

@@ -144,7 +144,99 @@ _KNN_SQL = """
     SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}
 """
 
+def knn_int8_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric quantized KNN (scale path): corpus stored int8 (4x smaller
+    resident set / scan), queries stay full-precision, distances computed on
+    the dequantized corpus. Same query/corpus split as knn_exact_euclidean;
+    rows-only here (quantization error reorders distance ties), recall vs the
+    exact oracle is gated in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = V.quantize_scale(F.col("embedding"))
+    corpus = (
+        emb.filter(F.col("vec_id") % 97 != 0)
+        .select("vec_id", "embedding", scale.alias("scale"))
+        .select(
+            "vec_id",
+            "scale",
+            V.quantize_int8(F.col("embedding"), F.col("scale")).alias("q"),
+        )
+        .select("vec_id", V.dequantize(F.col("q"), F.col("scale")).alias("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select("vec_id", "embedding")
+    return K.exact_knn(queries, corpus, k=10, metric="sq_euclidean")
+
+
+def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization audit: per label, mean per-vector
+    reconstruction MSE and worst absolute element error. Per-vector folds are
+    fixed-order (deterministic); the cross-row mean rounds each MSE to a
+    DECIMAL(20,14) first so the sum is order-independent — the same money
+    discipline, applied to error metrics. At 100 TB the quantized corpus is
+    the resident set (4x smaller scans); this query is the quality gate that
+    ships with it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = V.quantize_scale(F.col("embedding"))
+    q = emb.select("vec_id", "label", "embedding", scale.alias("scale")).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "scale",
+        V.quantize_int8(F.col("embedding"), F.col("scale")).alias("q"),
+    )
+    err = F.zip_with(
+        F.col("embedding"),
+        V.dequantize(F.col("q"), F.col("scale")),
+        lambda x, y: x.cast("double") - y,
+    )
+    per_vec = q.select(
+        "label",
+        F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e).alias("sse"),
+        F.aggregate(err, F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e))).alias(
+            "max_abs_err"
+        ),
+        F.size("embedding").alias("dim"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum((F.col("sse") / F.col("dim")).cast("decimal(20,14)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_mse"),
+            F.max("max_abs_err").alias("worst_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+_D_QSCALE = (
+    "CASE WHEN list_reduce(list_transform({a}, x -> abs(CAST(x AS DOUBLE))), (x,y) -> greatest(x,y)) < 1e-30 "
+    "THEN 1.0 ELSE list_reduce(list_transform({a}, x -> abs(CAST(x AS DOUBLE))), (x,y) -> greatest(x,y)) / 127.0 END"
+)
+
 ORACLE_SQL: dict[str, str] = {
+    "emb_quantize_stats": f"""
+        WITH per_vec AS (
+            SELECT label,
+                   list_reduce(list_transform(embedding,
+                       x -> (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / ({_D_QSCALE.format(a='embedding')})) * ({_D_QSCALE.format(a='embedding')}))
+                            * (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / ({_D_QSCALE.format(a='embedding')})) * ({_D_QSCALE.format(a='embedding')}))),
+                       (x,y) -> x + y) AS sse,
+                   list_reduce(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / ({_D_QSCALE.format(a='embedding')})) * ({_D_QSCALE.format(a='embedding')}))),
+                       (x,y) -> greatest(x,y)) AS max_abs_err,
+                   len(embedding) AS dim
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CAST(sse / dim AS DECIMAL(20,14))) AS DOUBLE) / count(*) AS mean_mse,
+               max(max_abs_err) AS worst_abs_err
+        FROM per_vec
+        GROUP BY label
+        ORDER BY label
+    """,
     "vk_vector_ops": f"""
         SELECT a.vec_id AS pair_id,
                {_D_DOT.format(a='a.embedding', b='b.embedding')} AS dot_ab,
@@ -212,6 +304,8 @@ QUERIES = {
     "knn_exact_cosine": knn_exact_cosine,
     "knn_exact_euclidean": knn_exact_euclidean,
     "knn_blocked_euclidean": knn_blocked_euclidean,
+    "knn_int8_euclidean": knn_int8_euclidean,
+    "emb_quantize_stats": emb_quantize_stats,
     "dedup_vectors_stats": dedup_vectors_stats,
     "dedup_docs_first_wins": dedup_docs_first_wins,
 }
