@@ -35,7 +35,9 @@ HEADLINE = [
     "stream_events_hourly",
     "minhash_neardup",
     "simhash_neardup",
+    "neardup_components",
     "doc_quality",
+    "doc_bigram_topk",
     "emb_neardup_pairs",
 ]
 

@@ -190,3 +190,30 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_skew_split_join_equivalence_and_shape(spark, sf_dir):
+    """skew_split_join returns exactly the plain join's rows (inner and
+    left), the hot path broadcasts, and hot discovery finds the planted
+    heavy hitter."""
+    from vers_spark.operators.skew import find_hot_keys, skew_split_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # plant a heavy hitter: remap 30% of orders onto one customer key
+    skewed = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1)).otherwise(F.col("o_custkey")),
+    )
+    hot = find_hot_keys(skewed, "o_custkey", threshold=0.05, sample_fraction=1.0)
+    assert hot == [1]
+
+    for how in ("inner", "left"):
+        plain = skewed.join(cust, skewed.o_custkey == cust.c_custkey, how)
+        split = skew_split_join(skewed, cust, "o_custkey", "c_custkey", hot, how)
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, split.collect()))
+        assert a == b, f"row mismatch for {how}"
+
+    split = skew_split_join(skewed, cust, "o_custkey", "c_custkey", hot)
+    assert audit.has_broadcast_join(split)

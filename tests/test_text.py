@@ -59,3 +59,27 @@ def test_simhash_exact_dups_hamming_zero(spark, sf_dir):
     }
     for p in expected:
         assert pairs.get(p) == 0
+
+
+def test_jsonl_roundtrip_preserves_rows(spark, sf_dir):
+    """JSONL round trip: every document row survives with its (source, lang)
+    intact, and the injected corrupt lines are quarantined (counted, not
+    dropped)."""
+    from vers_spark.operators.text_analysis import doc_jsonl_roundtrip
+    from vers_spark.sources.tables import load_table
+
+    got = {
+        (r["source"], r["lang"]): (r["n_rows"], r["n_corrupt"])
+        for r in doc_jsonl_roundtrip(spark, sf_dir).collect()
+    }
+    direct = {
+        (r["source"], r["lang"]): r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    corrupt = got.pop((None, None))
+    assert corrupt == (2, 2)  # both bad lines quarantined, none dropped
+    assert {k: v[0] for k, v in got.items()} == direct
+    assert all(v[1] == 0 for v in got.values())

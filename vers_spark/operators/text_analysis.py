@@ -173,7 +173,68 @@ def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: tokens accounting for > 0.5% of all token
+    occurrences. Exact two-aggregate form — per-token counts are partial/
+    final (map-side combine absorbs the heavy hitters by definition: the
+    hotter the token, the better the combine ratio), and the global total is
+    a 1-row broadcast. This stays exact at 100 TB because the OUTPUT is tiny
+    (≤ 200 tokens can each exceed 0.5%); a count-min sketch only becomes
+    necessary when the threshold drops below ~1/width of memory."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.ws_tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n").cast("double") > 0.005 * F.col("total").cast("double"))
+        .select("tok", "n", (F.col("n") / F.col("total")).alias("share"))
+        .orderBy(F.desc("n"), "tok")
+    )
+
+
+def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink end-to-end (sources.jsonl): dump the documents
+    table to JSONL, append two malformed lines, read back schema-enforced —
+    valid rows survive byte-identical and the corrupt lines land in the
+    quarantine column instead of vanishing. Rows-only (the intermediate
+    file is invisible to the oracle); the per-(source, lang) counts it
+    returns are checked against the direct table in tests."""
+    import os
+    import tempfile
+
+    from vers_spark.sources.jsonl import DOCUMENTS_SCHEMA, read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="vs_jsonl_")
+    path = os.path.join(d, "docs")
+    write_jsonl(docs, path, num_files=4)
+    with open(os.path.join(path, "part-corrupt.json"), "w") as f:
+        f.write('{"doc_id": "not-a-number", "text": 12.5e\n')
+        f.write("this is not json at all\n")
+    back = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "doc_heavy_hitter_tokens": f"""
+        WITH counts AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({D_TOKENS.format(t='text')}) AS tok FROM documents)
+            GROUP BY tok
+        ), total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+        SELECT tok, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM counts, total
+        WHERE CAST(n AS DOUBLE) > 0.005 * CAST(total AS DOUBLE)
+        ORDER BY n DESC, tok
+    """,
     "doc_bigram_topk": f"""
         WITH big AS (
             SELECT lang,
@@ -243,4 +304,6 @@ QUERIES = {
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "doc_bigram_topk": doc_bigram_topk,
+    "doc_heavy_hitter_tokens": doc_heavy_hitter_tokens,
+    "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
 }
