@@ -95,3 +95,55 @@ def test_connected_components_vs_union_find(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Hash-bucket stratified sampling hits each language's configured rate
+    within binomial tolerance, and is exactly reproducible run-to-run."""
+    from vers_spark.operators.curation import (
+        SAMPLE_DEFAULT_K,
+        SAMPLE_RATES_K,
+        doc_stratified_sample,
+    )
+    from vers_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got1 = {r["lang"]: r["n_sampled"] for r in doc_stratified_sample(spark, sf_dir).collect()}
+    got2 = {r["lang"]: r["n_sampled"] for r in doc_stratified_sample(spark, sf_dir).collect()}
+    assert got1 == got2  # deterministic: identical on re-run
+    for lang, total in totals.items():
+        rate = SAMPLE_RATES_K.get(lang, SAMPLE_DEFAULT_K) / 1000
+        n = got1.get(lang, 0)
+        # 4-sigma binomial band
+        sigma = (total * rate * (1 - rate)) ** 0.5
+        assert abs(n - total * rate) <= 4 * sigma + 1, (lang, n, total, rate)
+
+
+def test_write_compacted_file_layout(spark, sf_dir, tmp_path):
+    """write_compacted hits the requested file count, each file respects the
+    row cap, and the data round-trips intact."""
+    import glob
+
+    from vers_spark.sources.layout import read_back, write_compacted
+    from vers_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    target = max(1, n // 7)
+    path = str(tmp_path / "compacted")
+    files = write_compacted(docs, path, target, row_count=n)
+    on_disk = glob.glob(path + "/part-*.parquet")
+    assert len(on_disk) == files
+    back = read_back(spark, path)
+    assert back.count() == n
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from vers_spark.functions import text as TX
 from vers_spark.operators.text_analysis import (
+    D_HASH60,
     D_TOKENS,
     _argmax_lang,
     _d_argmax_lang,
@@ -108,7 +109,49 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _budgeted(kept, TOKEN_BUDGET)
 
 
+# per-language sampling rates in thousandths (en-heavy mixes downsample the
+# dominant language — the standard data-mix rebalancing move)
+SAMPLE_RATES_K = {"en": 800, "de": 500, "fr": 500, "es": 300}
+SAMPLE_DEFAULT_K = 200
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling by language via DETERMINISTIC hash-bucket
+    selection: keep a doc iff ``stable_hash60(doc_id) % 1000 < rate(lang)``.
+    Hash sampling (vs seeded RNG ``sampleBy``) is the scale-correct design:
+    the decision is a pure row function — reproducible across runs, engines,
+    partitionings, and retries, usable as an incremental-ingest filter, and
+    SQL-oracle-checkable. One scan, no shuffle before the audit aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = TX.stable_hash60(F.col("doc_id").cast("string")) % 1000
+    rate = F.lit(SAMPLE_DEFAULT_K)
+    for lang, k in sorted(SAMPLE_RATES_K.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(k)).otherwise(rate)
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+_D_RATE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {k}" for lang, k in sorted(SAMPLE_RATES_K.items())
+) + f" ELSE {SAMPLE_DEFAULT_K} END"
+
 ORACLE_SQL = {
+    "doc_stratified_sample": f"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+        FROM documents
+        WHERE {D_HASH60.format(x='CAST(doc_id AS VARCHAR)')} % 1000 < {_D_RATE}
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "doc_curation_pipeline": f"""
         WITH aug AS (
             SELECT doc_id, text FROM documents
@@ -151,4 +194,7 @@ ORACLE_SQL = {
     """,
 }
 
-QUERIES = {"doc_curation_pipeline": doc_curation_pipeline}
+QUERIES = {
+    "doc_curation_pipeline": doc_curation_pipeline,
+    "doc_stratified_sample": doc_stratified_sample,
+}

@@ -1,0 +1,48 @@
+"""Output-layout control: the small-files problem and its inverse.
+
+A 100 TB pipeline stage that writes one file per post-shuffle task produces
+millions of KB-sized parquet files (metadata-bound scans, NameNode/listing
+pressure) — or, after a heavy filter, a handful of multi-GB files (no scan
+parallelism). Both are layout bugs, fixed at WRITE time:
+
+- ``maxRecordsPerFile`` caps file size without an extra shuffle (a task
+  rolls to a new file when full) — the cheap knob, applied always;
+- ``compact()`` additionally coalesces/repartitions to hit a target file
+  COUNT, trading one round-robin shuffle for a clean layout. Use after
+  heavy filters; skip when upstream partitioning is already right.
+
+Parquet-specific: files in the 128 MB-1 GB range with row groups ~128 MB
+keep scans splittable and footers cheap; at local test scale we target row
+counts instead of bytes (same mechanism, observable in tests).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    row_count: int | None = None,
+) -> int:
+    """Write ``df`` as parquet in ``ceil(rows / target_rows_per_file)``
+    roughly equal files; returns the file count. ``row_count`` skips the
+    counting job when the caller already knows it (at scale, pull it from
+    the previous stage's metrics rather than re-scanning)."""
+    n = row_count if row_count is not None else df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    (
+        df.repartition(files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )
+    return files
+
+
+def read_back(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
