@@ -1,0 +1,190 @@
+"""Product quantization (PQ) — the compression tier below int8 for
+billion-vector ANN (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011). Not in the reference (its indexes store raw
+f32 vectors, `ivfflat.rs:11`, `lsh.rs:53`, `hnsw.rs:26`); this is extension
+surface for the 100 TB regime where even int8 vectors don't fit the scan
+budget: dim D splits into ``m`` subspaces, each quantized against its own
+``k_codebook``-centroid codebook, so a D-dim f32 vector becomes ``m`` bytes
+(64-dim → 8 bytes, 32x).
+
+Spark-first layout, mirroring the IVF split (indexes/ivfflat.py):
+- **train** is driver-local numpy k-means per subspace over a bounded sample
+  (same ``_kmeans_numpy`` kernel and rationale: a codebook is tiny, the
+  Lloyd loop on a sample costs one collect; corpus-size-independent);
+- **encode** is one distributed ``mapInPandas`` pass (codebooks broadcast,
+  per-batch vectorized argmin per subspace) — the only corpus-wide job;
+- **search** is asymmetric distance computation (ADC): per query ONE
+  (m × k_codebook) lookup table of exact subspace distances, then every
+  code's distance is m table lookups — the blocked partial/final top-k
+  shape of operators/knn.exact_knn_blocked, reading only (id, codes);
+- optional exact re-rank of an oversampled shortlist against the raw
+  vectors (the standard PQ-shortlist → exact-rerank serving pattern):
+  recall@k then depends on oversample, not on quantization alone.
+
+Determinism: seeded k-means, numpy float64 throughout, ties broken by id.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vers_spark.indexes.ivfflat import _kmeans_numpy
+from vers_spark.operators.knn import _ranked
+
+
+@dataclass
+class PQCodec:
+    codebooks: np.ndarray  # (m, k_codebook, dsub) float64
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+    @classmethod
+    def train(
+        cls,
+        train_vecs: DataFrame,
+        vec_col: str = "embedding",
+        m: int = 8,
+        k_codebook: int = 32,
+        max_iter: int = 10,
+        seed: int = 42,
+    ) -> "PQCodec":
+        """Train per-subspace codebooks on ``train_vecs`` (caller bounds the
+        sample — at 100 TB pass a hash-sampled slice, the codebook quality
+        saturates around 10⁵-10⁶ rows; see operators/curation hash-sampling)."""
+        X = np.array(
+            [r[0] for r in train_vecs.select(vec_col).collect()], dtype=np.float64
+        )
+        d = X.shape[1]
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        dsub = d // m
+        books = np.empty((m, k_codebook, dsub), dtype=np.float64)
+        for j in range(m):
+            sub = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
+            books[j], _ = _kmeans_numpy(sub, k_codebook, max_iter, seed + j)
+        return cls(codebooks=books)
+
+    def encode(
+        self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """One distributed pass: ``(id, codes array<int>)``, codes[j] =
+        argmin centroid of subspace j (ties → lowest centroid id, numpy
+        argmin semantics in both train and encode)."""
+        m, dsub = self.m, self.dsub
+        bc = df.sparkSession.sparkContext.broadcast(self.codebooks)
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            books = bc.value
+            norms = [np.einsum("ij,ij->i", books[j], books[j]) for j in range(m)]
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                codes = np.empty((len(X), m), dtype=np.int64)
+                for j in range(m):
+                    sub = X[:, j * dsub : (j + 1) * dsub]
+                    dmat = (
+                        np.einsum("ij,ij->i", sub, sub)[:, None]
+                        + norms[j][None, :]
+                        - 2.0 * (sub @ books[j].T)
+                    )
+                    codes[:, j] = dmat.argmin(axis=1)
+                yield pd.DataFrame(
+                    {"vec_id": pdf[id_col].to_numpy(np.int64), "codes": list(codes)}
+                )
+
+        return df.mapInPandas(fn, "vec_id long, codes array<long>")
+
+    def search(
+        self,
+        queries: DataFrame,
+        codes: DataFrame,
+        corpus: DataFrame | None = None,
+        k: int = 10,
+        oversample: int = 5,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+    ) -> DataFrame:
+        """ADC top-k over the coded corpus; with ``corpus`` given, the
+        ADC shortlist (k·oversample) is exactly re-ranked against the raw
+        vectors. Returns (query_id, neighbour_id, distance, rank) like
+        operators/knn.exact_knn."""
+        spark = codes.sparkSession
+        q_rows = queries.select(query_id, query_vec).collect()
+        if not q_rows:
+            return spark.createDataFrame(
+                [], "query_id long, neighbour_id long, distance double, rank int"
+            )
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+        m, dsub = self.m, self.dsub
+        # per-query LUT: exact squared distance from the query's j-th slice
+        # to every centroid of codebook j → code distance = m lookups
+        luts = np.empty((len(q_ids), m, self.codebooks.shape[1]), dtype=np.float64)
+        for j in range(m):
+            qs = q_mat[:, j * dsub : (j + 1) * dsub]
+            diff = qs[:, None, :] - self.codebooks[j][None, :, :]
+            luts[:, j, :] = np.einsum("qkd,qkd->qk", diff, diff)
+        shortlist = k * oversample
+        bc = spark.sparkContext.broadcast((q_ids, luts, shortlist))
+
+        def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids, tables, kk = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                c_ids = pdf["vec_id"].to_numpy(np.int64)
+                C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
+                # gather: dist[q, b] = Σ_j tables[q, j, C[b, j]]
+                d = tables[:, np.arange(C.shape[1])[None, :], C].sum(axis=2)
+                take = min(kk, d.shape[1])
+                part = np.argpartition(d, take - 1, axis=1)[:, :take]
+                out = []
+                for qi in range(d.shape[0]):
+                    cols = part[qi]
+                    order = np.lexsort((c_ids[cols], d[qi, cols]))
+                    sel = cols[order]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(take, ids[qi]),
+                                "neighbour_id": c_ids[sel],
+                                "_dist": d[qi, sel],
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+        cands = codes.mapInPandas(
+            partial_topk, "query_id long, neighbour_id long, _dist double"
+        )
+        if corpus is None:
+            return _ranked(cands, "_dist", k)
+        # exact re-rank of the global shortlist against raw vectors
+        shortlisted = _ranked(cands, "_dist", shortlist).select(
+            "query_id", "neighbour_id"
+        )
+        q = queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_vec")
+        )
+        c = corpus.select(F.col("vec_id").alias("neighbour_id"), F.col("embedding").alias("c_vec"))
+        from vers_spark.functions import vector as V
+
+        exact = (
+            shortlisted.join(F.broadcast(q), "query_id")
+            .join(c, "neighbour_id")
+            .withColumn("_dist", V.sq_euclidean(F.col("q_vec"), F.col("c_vec")))
+        )
+        return _ranked(exact, "_dist", k)
