@@ -54,6 +54,7 @@ def _clear_state(spark) -> None:
     index_queries._IVF_CACHE.clear()
     index_queries._LSH_CACHE.clear()
     index_queries._HNSW_CACHE.clear()
+    index_queries._PQ_CACHE.clear()
     spark.catalog.clearCache()
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()

@@ -93,3 +93,40 @@ def test_add_honors_ids(spark, emb, index):
     assert idx2.assignments.filter(F.col("id") == 999999).count() == 1
     got = idx2.search(new, k=1, n_probes=16).collect()
     assert got[0]["neighbour_id"] == 999999 and got[0]["distance"] == 0.0
+
+
+def test_ivfpq_recall_monotone_in_probes(spark, sf_dir):
+    """IVF x PQ composition: recall vs the exact oracle grows with n_probes
+    and the all-probes + rerank configuration recovers >= 0.8 (quantization
+    shortlist is the only loss source left)."""
+    from pyspark.sql import functions as F
+
+    from vers_spark.indexes.ivfflat import IVFFlatIndex
+    from vers_spark.indexes.pq import PQCodec, ivfpq_search
+    from vers_spark.operators.knn import exact_knn
+    from vers_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    ivf = IVFFlatIndex.build(corpus, num_clusters=8, seed=1)
+    codec = PQCodec.train(corpus, m=16, k_codebook=64, max_iter=15)
+    codes = codec.encode(corpus).cache()
+    exact = {
+        (r["query_id"], r["neighbour_id"])
+        for r in exact_knn(queries, corpus, k=10).collect()
+    }
+    recalls = []
+    for n_probes in (2, 4, 8):
+        got = {
+            (r["query_id"], r["neighbour_id"])
+            for r in ivfpq_search(
+                ivf, codec, codes, queries, k=10, n_probes=n_probes, oversample=5,
+                corpus=corpus,
+            ).collect()
+        }
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls == sorted(recalls), recalls  # more probes never hurts
+    assert recalls[-1] >= 0.8, recalls
+    assert recalls[1] >= 0.5, recalls
+    codes.unpersist()

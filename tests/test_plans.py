@@ -217,3 +217,27 @@ def test_skew_split_join_equivalence_and_shape(spark, sf_dir):
 
     split = skew_split_join(skewed, cust, "o_custkey", "c_custkey", hot)
     assert audit.has_broadcast_join(split)
+
+
+def test_ivfpq_adc_is_jvm_side(spark, sf_dir):
+    """The IVFPQ ADC scan must be pure JVM (aggregate over zip_with/
+    element_at inside codegen): once the codes table is materialized, the
+    search plan may contain no Python evaluation node — the 16x-compressed
+    scan would otherwise pay the row-at-a-time Python toll at exactly the
+    scale the compression is for."""
+    from vers_spark.indexes.ivfflat import IVFFlatIndex
+    from vers_spark.indexes.pq import PQCodec, ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    queries = emb.filter(F.col("vec_id") < 3)
+    ivf = IVFFlatIndex.build(corpus, num_clusters=4, seed=1)
+    # materialize both one-time build passes (encode + cluster assignment,
+    # numpy kernels by design) so the plan shows only the per-query path
+    ivf.assignments = ivf.assignments.localCheckpoint()
+    codec = PQCodec.train(corpus, m=8, k_codebook=16, max_iter=5)
+    codes = codec.encode(corpus).localCheckpoint()
+    df = ivfpq_search(ivf, codec, codes, queries, k=5, n_probes=2)
+    plan = audit.executed_plan(df)
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    assert df.count() > 0

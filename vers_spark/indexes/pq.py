@@ -188,3 +188,99 @@ class PQCodec:
             .withColumn("_dist", V.sq_euclidean(F.col("q_vec"), F.col("c_vec")))
         )
         return _ranked(exact, "_dist", k)
+
+    def luts_df(
+        self, queries: DataFrame, query_id: str = "vec_id", query_vec: str = "embedding"
+    ) -> DataFrame:
+        """Per-query ADC lookup tables as a DataFrame column
+        ``lut array<array<double>>`` (m × k_codebook): computed driver-side
+        (queries are the small side by contract), joined/broadcast to
+        candidates so the per-candidate distance is a pure JVM expression."""
+        spark = queries.sparkSession
+        q_rows = queries.select(query_id, query_vec).collect()
+        m, dsub = self.m, self.dsub
+        out = []
+        for r in q_rows:
+            qv = np.asarray(r[1], dtype=np.float64)
+            lut = []
+            for j in range(m):
+                diff = self.codebooks[j] - qv[j * dsub : (j + 1) * dsub][None, :]
+                lut.append(np.einsum("kd,kd->k", diff, diff).tolist())
+            out.append((int(r[0]), lut))
+        return spark.createDataFrame(out, "query_id long, lut array<array<double>>")
+
+
+def ivfpq_search(
+    ivf,
+    codec: PQCodec,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 2,
+    oversample: int = 5,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """IVF × PQ composition — the standard billion-scale serving layout
+    (coarse quantizer prunes the corpus to n_probes posting lists; PQ codes
+    make the scanned residue 16x smaller; exact re-rank restores recall):
+
+    1. probe: rank IVF centroids per query (broadcast — centroid count is
+       bounded), keep the ``n_probes`` nearest (plus the reference's
+       underflow fill rule, ivfflat.rs:166-195);
+    2. candidates: probed posting lists semi-joined to the PQ codes —
+       partition pruning + compression compose;
+    3. ADC: distance = Σⱼ lut[j][code_j], expressed as
+       ``aggregate(zip_with(codes, lut, element_at))`` — whole-stage
+       codegen, no Python in the per-candidate loop;
+    4. optional exact re-rank of the k·oversample shortlist.
+    """
+    from pyspark.sql import Window as W
+
+    from vers_spark.functions import vector as V
+
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    sizes = ivf.assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c_size"))
+    cents = F.broadcast(ivf.centroids.join(F.broadcast(sizes), "cluster_id", "left").fillna(0))
+    ranked = q.crossJoin(cents).withColumn(
+        "c_rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.asc(V.sq_euclidean(F.col("q_vec"), F.col("centroid"))),
+                F.asc("cluster_id"),
+            )
+        ),
+    )
+    wcum = W.partitionBy("query_id").orderBy("c_rank").rowsBetween(W.unboundedPreceding, -1)
+    probes = ranked.withColumn(
+        "cum_before", F.coalesce(F.sum("c_size").over(wcum), F.lit(0))
+    ).filter((F.col("c_rank") <= n_probes) | (F.col("cum_before") < k))
+
+    luts = codec.luts_df(queries)
+    cands = (
+        probes.select("query_id", "cluster_id")
+        .join(ivf.assignments.select("id", "cluster_id"), "cluster_id")
+        .join(codes.withColumnRenamed("vec_id", "id"), "id")
+        .join(F.broadcast(luts), "query_id")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            "codes", "lut", lambda c, row: F.element_at(row, (c + 1).cast("int"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shortlist = _ranked(
+        cands.withColumn("_dist", adc).withColumnRenamed("id", "neighbour_id"),
+        "_dist",
+        k * oversample if corpus is not None else k,
+    )
+    if corpus is None:
+        return shortlist
+    c = corpus.select(F.col("vec_id").alias("neighbour_id"), F.col("embedding").alias("c_vec"))
+    exact = (
+        shortlist.select("query_id", "neighbour_id")
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbour_id")
+        .withColumn("_dist", V.sq_euclidean(F.col("q_vec"), F.col("c_vec")))
+    )
+    return _ranked(exact, "_dist", k)

@@ -176,6 +176,39 @@ _LSH_DEGENERATE_SQL = """
     SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM r WHERE rank <= 8
 """
 
+_PQ_CACHE: dict[tuple, tuple] = {}
+
+
+def _ivfpq(spark: SparkSession, sf_dir: str):
+    from vers_spark.indexes.pq import PQCodec
+
+    key = (sf_dir,)
+    if key not in _PQ_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % 97 != 0)
+        codec = PQCodec.train(corpus, m=16, k_codebook=64, max_iter=15)
+        codes = codec.encode(corpus).cache()
+        _PQ_CACHE[key] = (codec, codes)
+    return _PQ_CACHE[key]
+
+
+def ivfpq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ composition (indexes/pq.ivfpq_search): coarse probe prunes
+    posting lists, ADC scans 16x-compressed codes JVM-side, exact re-rank
+    restores recall. n_probes=4 of 8 — rows-only; recall + monotonicity
+    gated in tests."""
+    from vers_spark.indexes.pq import ivfpq_search
+
+    ivf = _ivf(spark, sf_dir, 8)
+    codec, codes = _ivfpq(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return ivfpq_search(
+        ivf, codec, codes, queries, k=10, n_probes=4, oversample=5, corpus=corpus
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "ivf_search_all": _KNN_ALL_SQL,
     "ivf_search_filtered": _KNN_FILTERED_SQL,
@@ -183,6 +216,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "ivfpq_search": ivfpq_search_q,
     "ivf_search_all": ivf_search_all,
     "ivf_search_filtered": ivf_search_filtered,
     "ivf_search_p4": ivf_search_p4,
