@@ -720,6 +720,158 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of regional PROMO revenue
+    per year — conditional-sum ratio inside a 7-table star join. Both the
+    numerator and denominator are exact DECIMAL sums cast to double before
+    the one division; nation/region dims broadcast twice (supplier side vs
+    customer-region side) under different aliases."""
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_regionkey")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_regionkey") == 1)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    volume = _money("l_extendedprice") * (F.lit(1).cast(_PCT) - _pct("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation_s), sup.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("c_regionkey") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(target).cast("double").alias("nation_volume"),
+            F.sum(volume).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+            "total_volume",
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted — no partsupp.supplycost: cost proxy is
+    p_retailprice/10 per unit): profit by supplier nation × order year for
+    parts named like '%widget%'. The profit expression mixes two DECIMAL
+    products before one exact sum; the name filter prunes the part dim
+    before its broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = _money("l_extendedprice") * (F.lit(1).cast(_PCT) - _pct("l_discount")) - (
+        F.col("l_quantity").cast(_DEC) * _money("p_retailprice") / F.lit(10).cast("decimal(3,0)")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted — no l_shipmode: classified by returnflag):
+    among lineitems shipped > 90 days after their order date, count
+    high-priority vs other orders per class — the two-way CASE-sum
+    classification. The date inequality rides the join condition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted — no partsupp.availqty): suppliers that
+    shipped more than 30 units of at least one PROMO part — a nested
+    semi-join chain (supplier IN (aggregate-HAVING subquery over
+    lineitem ⋈ part)). The inner aggregate shuffles on the compound
+    (suppkey, partkey) key; the outer membership is a left-semi join."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    bulk = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(bulk, sup.s_suppkey == bulk.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted — lateness is shipdate > orderdate + 60
+    days): suppliers who were the ONLY late supplier on a multi-supplier
+    order. The spec's EXISTS/NOT-EXISTS pair decorrelates to one per-order
+    aggregate — distinct suppliers vs distinct LATE suppliers — keeping the
+    orders that had >1 supplier but exactly 1 late one; this is the
+    aggregate form a distributed engine prefers over two correlated
+    traversals of lineitem (identical result, one shuffle on orderkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier")
+    tagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    per_order = tagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    return (
+        blamed.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(sup, F.col("late_supp") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
 def q_customer_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-analytic windows (surface distinct from ranking/frames
     elsewhere): ntile quartiles, percent_rank, cume_dist per market segment.
@@ -1093,6 +1245,89 @@ ORACLE_SQL["q2_cheapest_supplier"] = """
     ORDER BY l_partkey, l_suppkey
 """
 
+ORACLE_SQL["q8_market_share"] = f"""
+    SELECT year(o_orderdate) AS o_year,
+           CAST(sum(CASE WHEN n1.n_name = 'NATION_1' THEN {_REV_DEC}
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(sum({_REV_DEC}) AS DOUBLE) AS mkt_share,
+           CAST(sum({_REV_DEC}) AS DOUBLE) AS total_volume
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE p_type = 'PROMO'
+      AND r_regionkey = 1
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+ORACLE_SQL["q9_product_profit"] = """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    - CAST(CAST(l_quantity AS DECIMAL(12,2))
+                           * CAST(p_retailprice AS DECIMAL(12,2))
+                           / CAST(10 AS DECIMAL(3,0)) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name, o_year DESC
+"""
+
+ORACLE_SQL["q12_priority_classes"] = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q20_bulk_suppliers"] = """
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'PROMO'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 30
+    )
+    ORDER BY s_suppkey
+"""
+
+ORACLE_SQL["q21_sole_late_supplier"] = """
+    WITH tagged AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp,
+               max(CASE WHEN late THEN l_suppkey END) AS late_supp
+        FROM tagged GROUP BY l_orderkey
+    )
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_order JOIN supplier ON late_supp = s_suppkey
+    WHERE n_supp > 1 AND n_late_supp = 1
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 20
+"""
+
 ORACLE_SQL["q_customer_value_windows"] = """
     SELECT c_custkey, c_mktsegment,
            CAST(c_acctbal AS DOUBLE) AS c_acctbal,
@@ -1107,7 +1342,12 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_cheapest_supplier": q2_cheapest_supplier,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
     "q10_returned_items": q10_returned_items,
+    "q12_priority_classes": q12_priority_classes,
+    "q20_bulk_suppliers": q20_bulk_suppliers,
+    "q21_sole_late_supplier": q21_sole_late_supplier,
     "q11_part_value_concentration": q11_part_value_concentration,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
