@@ -28,6 +28,7 @@ HEADLINE = [
     "q_top_customers_per_nation",
     "knn_exact_euclidean",
     "knn_blocked_euclidean",
+    "knn_pq_euclidean",
     "ivf_search_p4",
     "ivf_build_ref",
     "lsh_search_forest",

@@ -76,3 +76,18 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert "late" not in types  # dropped by the watermark
     starts = {r["window_start"].hour for r in rows}
     assert 10 in starts  # the 10:00 window closed and was emitted
+
+
+def test_stream_dedup_ingest_rejects_later_copies(spark, sf_dir):
+    """Every original survives, every later-batch copy is rejected by the
+    fingerprint-store anti-join, and re-reading the store shows exactly one
+    row per distinct document."""
+    from vers_spark.operators.streaming_queries import stream_dedup_ingest_q
+    from vers_spark.sources.tables import load_table
+
+    store = stream_dedup_ingest_q(spark, sf_dir)
+    rows = store.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # one survivor per distinct document
+    assert all(r["doc_id"] < 10000 for r in rows)  # no injected copy won
+    assert len({r["fp"] for r in rows}) == len(rows)  # store is fp-unique

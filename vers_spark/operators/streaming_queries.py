@@ -110,6 +110,19 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental first-wins dedup ingest (streaming.events
+    .stream_dedup_ingest): micro-batched corpus + injected later-batch
+    copies, fingerprint store anti-join per batch. The end state must equal
+    global min-doc_id-per-fingerprint dedup, so the stream result itself is
+    the oracle-checked output."""
+    sink = tempfile.mkdtemp(prefix="vs_dedup_store_")
+    from vers_spark.streaming.events import stream_dedup_ingest
+
+    store = stream_dedup_ingest(spark, sf_dir, f"{sink}/store")
+    return store.select("doc_id", "fp", "lang", "source").orderBy("doc_id")
+
+
 def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list sizes after streaming the corpus through foreachBatch
     IVF assignment — rows-only (k-means centroids not SQL-expressible)."""
@@ -204,11 +217,34 @@ ORACLE_SQL["stream_interval_join"] = """
     ORDER BY p.user_id
 """
 
+ORACLE_SQL["stream_dedup_ingest"] = """
+    WITH aug AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, text, lang, source FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           list_reduce(list_transform(string_split(substr(md5(text), 1, 15), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b) AS fp,
+           lang, source
+    FROM (
+        SELECT doc_id, text, lang, source,
+               row_number() OVER (
+                   PARTITION BY list_reduce(list_transform(string_split(substr(md5(text), 1, 15), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)
+                   ORDER BY doc_id) AS rn
+        FROM aug
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+"""
+
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
     "stream_interval_join": stream_interval_join,
     "stream_static_enrich": stream_static_enrich,
     "stream_dedup_users": stream_dedup_users,
+    "stream_dedup_ingest": stream_dedup_ingest_q,
     "stream_events_sliding": stream_events_sliding,
     "stream_sessions": stream_sessions,
     "stream_ivf_assign_stats": stream_ivf_assign_stats,

@@ -146,3 +146,83 @@ def stream_ivf_ingest(
     )
     q.awaitTermination()
     return spark.read.parquet(sink_dir)
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    n_files: int = 4,
+    dup_mod: int = 5,
+) -> DataFrame:
+    """Incremental first-occurrence-wins dedup ingest — the streaming gate a
+    training-data pipeline puts in front of its corpus store. Documents
+    arrive in micro-batches (maxFilesPerTrigger=1 over doc_id-range-
+    partitioned files, so batch order follows id order deterministically);
+    each batch is fingerprinted (stable_hash60 of text), deduped within the
+    batch (min doc_id per fingerprint), anti-joined against the ACCUMULATED
+    fingerprint store, and the survivors are appended to the store. The
+    arriving corpus is the documents table plus exact copies at
+    doc_id+10000 (every ``dup_mod``-th doc) — copies land in later batches
+    and must be rejected by the store lookup.
+
+    End state ≡ batch-global first-wins dedup (min doc_id per fingerprint) —
+    exactly the reference's dedup semantics (lsh.rs:113-130) made
+    incremental — so the stream RESULT hash-matches a plain SQL oracle.
+
+    Scale notes: the store lookup is an anti-join against a Parquet store
+    that only ever holds one row per distinct document — for a real deploy
+    partition/bucket it by fingerprint range so each micro-batch prunes to
+    the buckets it touches; the within-batch window is bounded by batch
+    size."""
+    from vers_spark.functions.text import stable_hash60
+    from vers_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    dups = docs.filter(F.col("doc_id") % dup_mod == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source"
+    )
+    arriving = docs.unionByName(dups)
+    src_dir = tempfile.mkdtemp(prefix="vs_dedup_src_")
+    arriving.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(src_dir)
+    # FileStreamSource orders micro-batches by file modification time, and a
+    # parallel write leaves mtimes racy — pin strictly increasing mtimes in
+    # range order (part-0000N holds range-partition N) so arrival order is
+    # doc_id order, deterministically.
+    import glob as _glob
+    import time as _time
+
+    base = _time.time() - 3600
+    for i, f in enumerate(sorted(_glob.glob(f"{src_dir}/part-*.parquet"))):
+        os.utime(f, (base + i, base + i))
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string"
+    ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    from pyspark.sql import Window as W
+
+    def ingest(bdf: DataFrame, batch_id: int) -> None:
+        b = bdf.withColumn("fp", stable_hash60(F.col("text")))
+        w = W.partitionBy("fp").orderBy("doc_id")
+        b = (
+            b.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "fp", "lang", "source")
+        )
+        sess = bdf.sparkSession
+        try:
+            store = sess.read.parquet(store_dir).select("fp")
+            b = b.join(store, "fp", "left_anti")
+        except Exception:  # first batch: store doesn't exist yet
+            pass
+        b.write.mode("append").parquet(store_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store_dir)
