@@ -371,7 +371,9 @@ def q_events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        # ts is TIMESTAMP_NTZ in the driver parquet; Spark 4 forbids a direct
+        # NTZ→BIGINT cast, so hop through TIMESTAMP to get epoch seconds
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
         .rangeBetween(-3600, 0)
     )
     return ev.select(

@@ -35,13 +35,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong conf);
-    # truncate to microseconds exactly like DuckDB's micro-resolution reader.
-    # Integer `div`, NOT `/1000` — ~1.7e18 ns exceeds double's 2^53 mantissa,
-    # so float division is off by ±1 µs.
+    # Normalize the event timestamp to plain TIMESTAMP (session tz = UTC):
+    # - TIMESTAMP(NANOS) parquet arrives as long (nanosAsLong conf) —
+    #   truncate to microseconds exactly like DuckDB's micro-resolution
+    #   reader. Integer `div`, NOT `/1000` — ~1.7e18 ns exceeds double's
+    #   2^53 mantissa, so float division is off by ±1 µs.
+    # - timestamp[us] without tz arrives as TIMESTAMP_NTZ, which Spark 4
+    #   refuses to feed to unix_micros / numeric casts — value-preserving
+    #   cast to LTZ under the pinned UTC session zone.
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

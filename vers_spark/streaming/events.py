@@ -32,10 +32,22 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# TIMESTAMP(NANOS) parquet arrives as long under nanosAsLong (see session.py)
-_EVENTS_FILE_SCHEMA = (
+# TIMESTAMP(NANOS) parquet arrives as long under nanosAsLong (see session.py);
+# timestamp[us] without tz arrives as TIMESTAMP_NTZ. The driver has shipped
+# both flavors across rounds, so the file schema is probed from the footer.
+_EVENTS_FILE_SCHEMA_NS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
+_EVENTS_FILE_SCHEMA_US = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+)
+
+
+def _events_ts_is_long(sf_dir: str) -> bool:
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return str(ts_type) in ("int64", "timestamp[ns]")
 _EMB_FILE_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 _sink_counter = itertools.count()
@@ -57,9 +69,12 @@ def _stage_dir(sf_dir: str, name: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (micro-batch per file)."""
-    raw = spark.readStream.schema(_EVENTS_FILE_SCHEMA).parquet(_stage_dir(sf_dir, "events"))
-    # integer div: float /1000 loses µs precision on ns-scale longs
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if _events_ts_is_long(sf_dir):
+        raw = spark.readStream.schema(_EVENTS_FILE_SCHEMA_NS).parquet(_stage_dir(sf_dir, "events"))
+        # integer div: float /1000 loses µs precision on ns-scale longs
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(_EVENTS_FILE_SCHEMA_US).parquet(_stage_dir(sf_dir, "events"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(
