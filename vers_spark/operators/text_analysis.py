@@ -193,6 +193,175 @@ def doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): unique
+    token ratio, adjacent-duplicate-token fraction, fraction of characters in
+    the most frequent word bigram, and fraction of characters in duplicated
+    word trigrams. All array-side per-row expressions — a single scan with
+    zero shuffles, so at 100 TB this is embarrassingly parallel and scales
+    with input bytes; the per-doc n-gram counting is O(distinct² ) in the
+    document's OWN n-grams, bounded by doc length, never by corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text", TX.ws_tokens(F.col("text")).alias("toks"))
+    n = F.size(F.col("toks"))
+    empty = F.filter(F.col("toks"), lambda x: F.lit(False))
+    d = d.withColumns(
+        {
+            "bg": F.zip_with(
+                F.slice(F.col("toks"), 1, n - 1),
+                F.slice(F.col("toks"), 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            "adj_dups": F.size(
+                F.filter(
+                    F.zip_with(
+                        F.slice(F.col("toks"), 1, n - 1),
+                        F.slice(F.col("toks"), 2, n - 1),
+                        lambda a, b: a == b,
+                    ),
+                    lambda x: x,
+                )
+            ),
+            "tg": F.when(
+                n >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(2)),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+                ),
+            ).otherwise(empty),
+        }
+    )
+    d = d.withColumns({"dbg": F.array_distinct("bg"), "dtg": F.array_distinct("tg")})
+    d = d.withColumns(
+        {
+            "bgc": F.transform(
+                "dbg", lambda g: F.size(F.filter(F.col("bg"), lambda x: x == g))
+            ),
+            "tgc": F.transform(
+                "dtg", lambda g: F.size(F.filter(F.col("tg"), lambda x: x == g))
+            ),
+        }
+    )
+    maxc = F.array_max("bgc")
+    top_bg = F.array_min(
+        F.filter(
+            F.col("dbg"),
+            lambda g, i: F.element_at(F.col("bgc"), i + F.lit(1)) == maxc,
+        )
+    )
+    n_chars = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    dup_tg_chars = F.aggregate(
+        F.zip_with(
+            F.col("dtg"),
+            F.col("tgc"),
+            lambda g, c: F.when(c >= 2, c * F.length(g)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.greatest(F.size("toks"), F.lit(1)).cast("double")
+        ).alias("unique_token_ratio"),
+        (
+            F.col("adj_dups").cast("double")
+            / F.greatest(F.size("toks") - 1, F.lit(1)).cast("double")
+        ).alias("adjacent_dup_frac"),
+        F.when(F.size("bg") > 0, (maxc * F.length(top_bg)).cast("double") / n_chars)
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_char_frac"),
+        (dup_tg_chars.cast("double") / n_chars).alias("dup_trigram_char_frac"),
+    )
+
+
+# Shared PII regexes (Java regex ∩ RE2 — no lookarounds, no \b).
+RE_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+RE_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+RE_IP = r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + mask (emails, phone numbers, IPv4): the redaction pass a
+    training-data pipeline runs before tokenization. The synthetic corpus
+    contains no PII, so the query first APPENDS deterministic PII to a
+    doc_id-keyed subset (making the op non-degenerate) and then detects and
+    masks it; the oracle performs the identical augmentation. Single scan,
+    no shuffle — regexp work is JVM codegen, linear in input bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".42"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", aug.alias("aug"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("aug", RE_EMAIL, "[EMAIL]"), RE_PHONE, "[PHONE]"
+        ),
+        RE_IP,
+        "[IP]",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("aug", F.lit(RE_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("aug", F.lit(RE_PHONE), 0)).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all("aug", F.lit(RE_IP), 0)).cast("long").alias("n_ips"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        F.substring(F.md5(scrubbed), 1, 16).alias("fp_scrubbed"),
+    )
+
+
+def dedup_docs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-exact dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, then first-doc_id-wins per normalized text. The
+    shuffle key is a 16-hex-char md5 fingerprint of the normalized text, NOT
+    the text itself — at 100 TB the exchange carries ~24 bytes/row instead
+    of the document body (the norm column is projected away pre-shuffle)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    slim = docs.select(
+        "doc_id",
+        F.substring(F.md5(norm), 1, 16).alias("fp_norm"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+    w = W.partitionBy("fp_norm")
+    ranked = slim.withColumns(
+        {
+            "rn": F.row_number().over(w.orderBy("doc_id")),
+            "group_size": F.count(F.lit(1)).over(w),
+        }
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id", F.col("group_size").cast("long").alias("group_size"), "fp_norm", "n_chars_norm"
+    )
+
+
 def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink end-to-end (sources.jsonl): dump the documents
     table to JSONL, append two malformed lines, read back schema-enforced —
@@ -296,6 +465,88 @@ ORACLE_SQL: dict[str, str] = {
                {D_HASH60.format(x='text')} AS fp_hash60
         FROM documents
     """,
+    "doc_repetition_quality": f"""
+        WITH base AS (
+            SELECT doc_id, text, {D_TOKENS.format(t='text')} AS toks FROM documents
+        ), arr AS (
+            SELECT doc_id, text, toks,
+                   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg,
+                   len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1])) AS adj_dups,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                        ELSE [] END AS tg
+            FROM base
+        ), dist AS (
+            SELECT *, list_distinct(bg) AS dbg, list_distinct(tg) AS dtg FROM arr
+        ), cnt AS (
+            SELECT *,
+                   list_transform(dbg, g -> len(list_filter(bg, x -> x = g))) AS bgc,
+                   list_transform(dtg, g -> len(list_filter(tg, x -> x = g))) AS tgc
+            FROM dist
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(greatest(len(toks), 1) AS DOUBLE) AS unique_token_ratio,
+               CAST(adj_dups AS DOUBLE)
+                   / CAST(greatest(len(toks) - 1, 1) AS DOUBLE) AS adjacent_dup_frac,
+               CASE WHEN len(bg) > 0
+                    THEN CAST(list_max(bgc) * length(list_min(list_filter(dbg,
+                              (g, i) -> bgc[i] = list_max(bgc)))) AS DOUBLE)
+                         / CAST(greatest(length(text), 1) AS DOUBLE)
+                    ELSE 0.0 END AS top_bigram_char_frac,
+               CAST(coalesce(list_sum(list_transform(dtg,
+                        (g, i) -> CASE WHEN tgc[i] >= 2 THEN tgc[i] * length(g) ELSE 0 END)), 0) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS dup_trigram_char_frac
+        FROM cnt
+    """,
+    "doc_pii_scrub": f"""
+        WITH a AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.42'
+                           ELSE '' END AS aug
+            FROM documents
+        ), s AS (
+            SELECT doc_id, aug,
+                   regexp_replace(regexp_replace(regexp_replace(aug,
+                       '{RE_EMAIL}', '[EMAIL]', 'g'),
+                       '{RE_PHONE}', '[PHONE]', 'g'),
+                       '{RE_IP}', '[IP]', 'g') AS scrubbed
+            FROM a
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '{RE_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(aug, '{RE_PHONE}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(aug, '{RE_IP}')) AS BIGINT) AS n_ips,
+               CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+               substr(md5(scrubbed), 1, 16) AS fp_scrubbed
+        FROM s
+    """,
+    "dedup_docs_normalized": r"""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+            FROM documents
+        ), slim AS (
+            SELECT doc_id, substr(md5(norm), 1, 16) AS fp_norm,
+                   CAST(length(norm) AS BIGINT) AS n_chars_norm
+            FROM n
+        ), r AS (
+            SELECT doc_id, fp_norm, n_chars_norm,
+                   row_number() OVER (PARTITION BY fp_norm ORDER BY doc_id) AS rn,
+                   CAST(count(*) OVER (PARTITION BY fp_norm) AS BIGINT) AS group_size
+            FROM slim
+        )
+        SELECT doc_id, group_size, fp_norm, n_chars_norm FROM r WHERE rn = 1
+    """,
 }
 
 QUERIES = {
@@ -306,4 +557,7 @@ QUERIES = {
     "doc_bigram_topk": doc_bigram_topk,
     "doc_heavy_hitter_tokens": doc_heavy_hitter_tokens,
     "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
+    "doc_repetition_quality": doc_repetition_quality,
+    "doc_pii_scrub": doc_pii_scrub,
+    "dedup_docs_normalized": dedup_docs_normalized,
 }
