@@ -362,6 +362,43 @@ def dedup_docs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing word 4-gram
+    shingles with the eval split (source = 'src0' stands in for the held-out
+    benchmark). Eval's distinct-shingle set is BROADCAST — eval sets are
+    small by construction, so the train side streams through a map-side hash
+    join with no shuffle; the only exchange is the per-doc count aggregate,
+    whose map-side partial combine reduces it to one row per training doc.
+    If the eval set ever outgrew broadcast, the same plan shuffle-joins on
+    a 60-bit shingle hash instead (narrow key, no document text moved)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(TX.word_shingles(TX.ws_tokens(F.col("text")), 4))
+    base = docs.select("doc_id", "source", F.explode(sh).alias("shingle"))
+    ev = (
+        base.filter(F.col("source") == "src0")
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = base.filter(F.col("source") != "src0")
+    agg = (
+        tr.join(F.broadcast(ev), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )
+    ratio = F.col("n_hits").cast("double") / F.col("n_shingles").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        ratio.alias("contamination_ratio"),
+        (ratio >= 0.05).alias("contaminated"),
+    )
+
+
 def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink end-to-end (sources.jsonl): dump the documents
     table to JSONL, append two malformed lines, read back schema-enforced —
@@ -529,6 +566,32 @@ ORACLE_SQL: dict[str, str] = {
                substr(md5(scrubbed), 1, 16) AS fp_scrubbed
         FROM s
     """,
+    "doc_decontaminate": r"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, source, unnest(list_distinct(
+                CASE WHEN len(t) >= 4
+                     THEN list_transform(range(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                     ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+            FROM toks
+        ), ev AS (
+            SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+        ), agg AS (
+            SELECT tr.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM (SELECT doc_id, shingle FROM sh WHERE source <> 'src0') tr
+            LEFT JOIN ev ON tr.shingle = ev.shingle
+            GROUP BY tr.doc_id
+        )
+        SELECT doc_id, n_shingles, n_hits,
+               CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination_ratio,
+               CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.05 AS contaminated
+        FROM agg
+    """,
     "dedup_docs_normalized": r"""
         WITH n AS (
             SELECT doc_id,
@@ -558,6 +621,7 @@ QUERIES = {
     "doc_heavy_hitter_tokens": doc_heavy_hitter_tokens,
     "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
     "doc_repetition_quality": doc_repetition_quality,
+    "doc_decontaminate": doc_decontaminate,
     "doc_pii_scrub": doc_pii_scrub,
     "dedup_docs_normalized": dedup_docs_normalized,
 }
