@@ -24,6 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vers_spark.operators import (
         curation,
+        diversity,
         index_queries,
         pipeline_queries,
         relational,
@@ -36,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(curation.QUERIES)
+    out.update(diversity.QUERIES)
     out.update(temporal.QUERIES)
     out.update(relational.QUERIES)
     out.update(vector_queries.QUERIES)
@@ -50,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from vers_spark.operators import (
         curation,
+        diversity,
         index_queries,
         pipeline_queries,
         relational,
@@ -62,6 +65,7 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(curation.ORACLE_SQL)
+    out.update(diversity.ORACLE_SQL)
     out.update(temporal.ORACLE_SQL)
     out.update(relational.ORACLE_SQL)
     out.update(vector_queries.ORACLE_SQL)

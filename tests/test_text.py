@@ -83,3 +83,27 @@ def test_jsonl_roundtrip_preserves_rows(spark, sf_dir):
     assert corrupt == (2, 2)  # both bad lines quarantined, none dropped
     assert {k: v[0] for k, v in got.items()} == direct
     assert all(v[1] == 0 for v in got.values())
+
+
+def test_csv_roundtrip_preserves_rows(spark, sf_dir):
+    """CSV round trip: every document row survives with its (source, lang)
+    intact; the injected bad-arity line is quarantined, not dropped."""
+    from vers_spark.operators.text_analysis import doc_csv_roundtrip
+    from vers_spark.sources.tables import load_table
+
+    got = {
+        (r["source"], r["lang"]): (r["n_rows"], r["n_corrupt"])
+        for r in doc_csv_roundtrip(spark, sf_dir).collect()
+    }
+    direct = {
+        (r["source"], r["lang"]): r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    clean = {k: v for k, v in got.items() if k in direct}
+    assert {k: v[0] for k, v in clean.items()} == direct
+    assert all(v[1] == 0 for v in clean.values())
+    quarantined = sum(v[1] for k, v in got.items() if k not in direct)
+    assert quarantined == 1

@@ -429,6 +429,44 @@ def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink end-to-end (sources.csv_file): dump documents to
+    quoted CSV, append a malformed line (wrong arity, bad long), read back
+    schema-enforced — valid rows survive and corrupt lines are quarantined.
+    Rows-only check (the intermediate directory is invisible to the oracle);
+    tests assert the per-(source, lang) counts equal the direct table."""
+    import os
+    import tempfile
+
+    from vers_spark.sources.csv_file import read_csv, write_csv
+    from vers_spark.sources.jsonl import DOCUMENTS_SCHEMA
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="vs_csv_")
+    path = os.path.join(d, "docs")
+    write_csv(docs, path, num_files=4)
+    with open(os.path.join(path, "part-corrupt.csv"), "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")
+        # PERMISSIVE CSV keeps fields that DO parse and only flags arity
+        # mismatches (a bad long just nulls the field in Spark 4) — so the
+        # injected corrupt line is a short row, with sentinel values keeping
+        # it out of the real (source, lang) groups.
+        f.write('"9999999","x","xx","zz-corrupt"\n')
+    # cache() materializes ALL columns before the aggregate: under column
+    # pruning the CSV parser would only parse (source, lang) and never
+    # notice the short row's missing 5th field (Spark's documented
+    # corrupt-column caveat) — malformation detection needs the full parse.
+    back = read_csv(spark, path, DOCUMENTS_SCHEMA).cache()
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_heavy_hitter_tokens": f"""
         WITH counts AS (
@@ -620,6 +658,7 @@ QUERIES = {
     "doc_bigram_topk": doc_bigram_topk,
     "doc_heavy_hitter_tokens": doc_heavy_hitter_tokens,
     "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
+    "doc_csv_roundtrip": doc_csv_roundtrip,
     "doc_repetition_quality": doc_repetition_quality,
     "doc_decontaminate": doc_decontaminate,
     "doc_pii_scrub": doc_pii_scrub,
