@@ -241,3 +241,42 @@ def test_ivfpq_adc_is_jvm_side(spark, sf_dir):
     plan = audit.executed_plan(df)
     assert "MapInPandas" not in plan and "EvalPython" not in plan
     assert df.count() > 0
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    from vers_spark.operators.text_analysis import doc_decontaminate
+
+    df = doc_decontaminate(spark, sf_dir)
+    # eval shingle set must broadcast; a sort-merge join here would shuffle
+    # every training shingle at 100 TB
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_sort_merge_join(df)
+    assert audit.has_partial_aggregate(df)
+
+
+def test_normalized_dedup_shuffles_fingerprint_not_text(spark, sf_dir):
+    from vers_spark.operators.text_analysis import dedup_docs_normalized
+
+    df = dedup_docs_normalized(spark, sf_dir)
+    plan = audit.executed_plan(df)
+    # the window exchange must partition on the md5 fingerprint; the raw
+    # normalized text (unbounded width) must be projected away before it
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "fp_norm" in m.group(1)
+        assert "text" not in m.group(1)
+
+
+def test_repetition_quality_single_pass(spark, sf_dir):
+    from vers_spark.operators.text_analysis import doc_repetition_quality
+
+    df = doc_repetition_quality(spark, sf_dir)
+    assert audit.num_exchanges(df) == 0  # pure per-row array expressions
+
+
+def test_pii_scrub_single_pass(spark, sf_dir):
+    from vers_spark.operators.text_analysis import doc_pii_scrub
+
+    df = doc_pii_scrub(spark, sf_dir)
+    assert audit.num_exchanges(df) == 0
