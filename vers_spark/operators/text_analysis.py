@@ -33,6 +33,53 @@ def d_count_in_set(tokens: str, words: list[str]) -> str:
     return f"len(list_filter({tokens}, t -> list_contains([{lst}], t)))"
 
 
+def quality_score(text: Column) -> Column:
+    """The doc_quality composite score as a reusable column expression
+    (identical arithmetic to the doc_quality query / oracle)."""
+    toks = TX.ws_tokens(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_chr = F.greatest(F.length(text), F.lit(1)).cast("double")
+    stop = TX.count_in_set(toks, TX.STOPWORDS_EN).cast("double") / n_tok
+    punct = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:()\[\]{}'\"]", ""))
+    ).cast("double") / n_chr
+    digit = (F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))).cast(
+        "double"
+    ) / n_chr
+    mean_wl = n_chr / n_tok
+    return (
+        F.lit(0.4) * stop
+        + F.lit(0.3) * (F.lit(1.0) - punct)
+        + F.lit(0.2) * (F.lit(1.0) - digit)
+        + F.lit(0.1) * F.least(mean_wl / F.lit(10.0), F.lit(1.0))
+    )
+
+
+def d_quality_score(t: str = "text") -> str:
+    """DuckDB twin of ``quality_score`` parametrized by the text expression."""
+    toks = D_TOKENS.format(t=t)
+    stop = (
+        f"CAST({d_count_in_set(toks, TX.STOPWORDS_EN)} AS DOUBLE)"
+        f" / CAST(greatest(len({toks}), 1) AS DOUBLE)"
+    )
+    punct = (
+        f"CAST(length({t}) - length(regexp_replace({t}, '[.,!?;:()\\[\\]{{}}''\"]', '', 'g')) AS DOUBLE)"
+        f" / CAST(greatest(length({t}), 1) AS DOUBLE)"
+    )
+    digit = (
+        f"CAST(length({t}) - length(regexp_replace({t}, '[0-9]', '', 'g')) AS DOUBLE)"
+        f" / CAST(greatest(length({t}), 1) AS DOUBLE)"
+    )
+    mean_wl = (
+        f"CAST(greatest(length({t}), 1) AS DOUBLE)"
+        f" / CAST(greatest(len({toks}), 1) AS DOUBLE)"
+    )
+    return (
+        f"0.4 * ({stop}) + 0.3 * (1.0 - ({punct})) + 0.2 * (1.0 - ({digit}))"
+        f" + 0.1 * least(({mean_wl}) / 10.0, 1.0)"
+    )
+
+
 def _argmax_lang(scores: dict[str, Column]) -> Column:
     """First language (alphabetical) whose score ties the max — identical
     CASE chain in the SQL twin."""

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 
 from vers_spark.functions import text as TX
 from vers_spark.operators import text_dedup as TD
-from vers_spark.operators.text_analysis import D_HASH60, D_TOKENS
+from vers_spark.operators.text_analysis import D_HASH60, D_TOKENS, d_quality_score
+
+TA_D_QUALITY = d_quality_score("text")
 from vers_spark.sources.tables import load_table
 
 NEAR_TAIL = " near dup tail"
@@ -203,6 +205,82 @@ ORACLE_SQL["neardup_components"] = f"""
     ORDER BY doc_id
 """
 
+def neardup_best_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship: same duplicate components as
+    neardup_components, but the survivor of each group is the member with
+    the HIGHEST doc_quality composite score (ties by doc_id) — the policy a
+    training-data pipeline actually wants (keep the best copy, not the
+    first-seen one). Components are tiny relative to the corpus, so the
+    quality join broadcasts the component table; the per-component window
+    partitions on exact integer component ids (no skew — component size is
+    bounded by the dup-group size)."""
+    from pyspark.sql import Window as W
+
+    from vers_spark.operators.graph import connected_components
+    from vers_spark.operators.text_analysis import quality_score
+
+    aug = _augmented(spark, sf_dir, 7, NEAR_TAIL)
+    pairs = TD.minhash_neardup_pairs(aug, threshold=0.8)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    qual = aug.select("doc_id", quality_score(F.col("text")).alias("quality_score"))
+    j = comp.join(qual, comp.node == qual.doc_id).select(
+        "doc_id", "component", "quality_score"
+    )
+    w = W.partitionBy("component")
+    ranked = j.withColumns(
+        {
+            "comp_size": F.count(F.lit(1)).over(w).cast("long"),
+            "rn": F.row_number().over(
+                w.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+            ),
+        }
+    )
+    return ranked.select(
+        "doc_id",
+        "component",
+        "comp_size",
+        "quality_score",
+        (F.col("rn") == 1).cast("int").alias("is_survivor"),
+    ).orderBy("doc_id")
+
+
+ORACLE_SQL["neardup_best_quality"] = f"""
+    WITH RECURSIVE
+    pairs AS (
+        WITH {_jaccard_tail_sql(_d_augmented(7, NEAR_TAIL), _D_MINHASH_CAND, 0.8)}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    qual AS (
+        SELECT doc_id, {TA_D_QUALITY} AS quality_score
+        FROM {_d_augmented(7, NEAR_TAIL)}
+    ),
+    j AS (
+        SELECT c.node AS doc_id, c.component, q.quality_score
+        FROM comp c JOIN qual q ON q.doc_id = c.node
+    )
+    SELECT doc_id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size,
+           quality_score,
+           CAST(CASE WHEN row_number() OVER (
+                    PARTITION BY component
+                    ORDER BY quality_score DESC, doc_id ASC) = 1
+                THEN 1 ELSE 0 END AS INT) AS is_survivor
+    FROM j
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "minhash_signatures": minhash_signatures_q,
     "minhash_neardup": minhash_neardup_q,
@@ -210,4 +288,5 @@ QUERIES = {
     "simhash_docs": simhash_q,
     "simhash_neardup": simhash_neardup_q,
     "neardup_components": neardup_components_q,
+    "neardup_best_quality": neardup_best_quality_q,
 }
