@@ -409,6 +409,53 @@ def dedup_docs_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·(N/df). The idf is the
+    RAW inverse document-frequency ratio, not ln(N/df): ×, ÷ are IEEE
+    correctly-rounded (bit-identical across engines) while ln is not, and
+    the within-document ranking only needs a monotone idf. Shape: per-doc
+    tf is computed array-side (no (doc, term) explode shuffle); the df
+    table is one partial-combined aggregate over distinct doc-terms; the
+    join back on term is the one real shuffle (AQE may broadcast the df
+    side when small); top-k is a per-doc window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.col("text"))
+    d = docs.select("doc_id", F.array_distinct(toks).alias("terms"), toks.alias("toks"))
+    d = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                "terms",
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter(F.col("toks"), lambda x: x == t)).alias("tf"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.term", "e.tf")
+    df_tbl = d.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    scored = (
+        d.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"), "df", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing word 4-gram
     shingles with the eval split (source = 'src0' stands in for the held-out
@@ -651,6 +698,29 @@ ORACLE_SQL: dict[str, str] = {
                substr(md5(scrubbed), 1, 16) AS fp_scrubbed
         FROM s
     """,
+    "doc_tfidf_topk": f"""
+        WITH d AS (
+            SELECT doc_id, {D_TOKENS.format(t='text')} AS toks FROM documents
+        ), tf AS (
+            SELECT doc_id, unnest(list_transform(list_distinct(toks),
+                       t -> struct_pack(term := t,
+                                        tf := len(list_filter(toks, x -> x = t)))), recursive := true) AS _
+            FROM d
+        ), dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, df, tfidf, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
     "doc_decontaminate": r"""
         WITH toks AS (
             SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
@@ -708,6 +778,7 @@ QUERIES = {
     "doc_csv_roundtrip": doc_csv_roundtrip,
     "doc_repetition_quality": doc_repetition_quality,
     "doc_decontaminate": doc_decontaminate,
+    "doc_tfidf_topk": doc_tfidf_topk,
     "doc_pii_scrub": doc_pii_scrub,
     "dedup_docs_normalized": dedup_docs_normalized,
 }
