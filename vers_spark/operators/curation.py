@@ -142,7 +142,66 @@ _D_RATE = "CASE lang " + " ".join(
     f"WHEN '{lang}' THEN {k}" for lang, k in sorted(SAMPLE_RATES_K.items())
 ) + f" ELSE {SAMPLE_DEFAULT_K} END"
 
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing, concat-and-chunk policy: per language,
+    documents are concatenated in doc_id order and split into fixed
+    SEQ_LEN-token windows; each doc reports the sequence it starts in, its
+    token offset there, and how many sequences it spans. Pure integer
+    window arithmetic (running token cumsum) — exact in both engines.
+    One shuffle: the per-language window. At 100 TB the lang partitions
+    are few and huge, so the production form shards each language
+    (partitionBy(lang, shard) with per-shard base offsets composed in a
+    tiny second pass — same two-phase global-cumsum trick as _budgeted);
+    the single-window form here keeps the oracle simple."""
+    from pyspark.sql import Window as W
+
+    from vers_spark.functions import text as TX
+
+    seq_len = 512
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(TX.ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    start = cum - F.col("n_tok")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        cum.alias("cum_tokens"),
+        F.floor(start / seq_len).cast("long").alias("start_seq"),
+        (start % seq_len).cast("long").alias("start_offset"),
+        (F.floor((cum - 1) / seq_len) - F.floor(start / seq_len) + 1)
+        .cast("long")
+        .alias("n_seqs_spanned"),
+    )
+
+
 ORACLE_SQL = {
+    "doc_pack_sequences": r"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id, lang, n_tok,
+                   CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM d
+        )
+        SELECT doc_id, lang, n_tok, cum_tokens,
+               CAST(floor((cum_tokens - n_tok) / 512) AS BIGINT) AS start_seq,
+               CAST((cum_tokens - n_tok) % 512 AS BIGINT) AS start_offset,
+               CAST(floor((cum_tokens - 1) / 512) - floor((cum_tokens - n_tok) / 512) + 1 AS BIGINT) AS n_seqs_spanned
+        FROM c
+    """,
     "doc_stratified_sample": f"""
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_sampled,
@@ -197,4 +256,5 @@ ORACLE_SQL = {
 QUERIES = {
     "doc_curation_pipeline": doc_curation_pipeline,
     "doc_stratified_sample": doc_stratified_sample,
+    "doc_pack_sequences": doc_pack_sequences,
 }
