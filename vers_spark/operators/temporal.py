@@ -175,13 +175,105 @@ def evt_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOUR_US = 3_600_000_000
+
+
+def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a view converts when the
+    FIRST click after it (in (ts, event_id) order) lands within 1 h and the
+    first purchase after that click lands within 1 h of the click. Per-user
+    conversion counts and rate.
+
+    Shape: ONE shuffle on user_id for the following-frame window (masked
+    min gives each row its next click/purchase timestamp — no self-join,
+    no range explosion), then an equi-join of views to the deduplicated
+    click table on (user_id, next_click_ts). All time arithmetic is integer
+    microseconds; every tie is broken by event_id, so the identical window
+    program in DuckDB hash-matches."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", F.unix_micros("ts").alias("tus"), "event_type")
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    e = ev.withColumns(
+        {
+            "nc": F.min(F.when(F.col("event_type") == "click", F.col("tus"))).over(w_next),
+            "np": F.min(F.when(F.col("event_type") == "purchase", F.col("tus"))).over(w_next),
+        }
+    )
+    w_dedup = Window.partitionBy("user_id", "tus").orderBy("event_id")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("tus").alias("cts"), F.col("np").alias("c_np"))
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("tus").alias("vts"), "nc"
+    )
+    j = views.join(
+        clicks,
+        (views.user_id == clicks.user_id) & (views.nc == clicks.cts),
+        "left",
+    ).select(views.user_id, "vts", "nc", "c_np")
+    converted = (
+        F.col("nc").isNotNull()
+        & (F.col("nc") <= F.col("vts") + F.lit(_HOUR_US))
+        & F.col("c_np").isNotNull()
+        & (F.col("c_np") <= F.col("nc") + F.lit(_HOUR_US))
+    ).cast("long")
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.sum(converted).alias("n_conversions"),
+        (
+            F.sum(converted).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("conv_rate"),
+    )
+
+
 QUERIES = {
     "evt_purchase_asof_click": evt_purchase_asof_click,
     "evt_error_context": evt_error_context,
     "evt_sessionize_batch": evt_sessionize_batch,
+    "evt_funnel_conversion": evt_funnel_conversion,
 }
 
 ORACLE_SQL: dict[str, str] = {
+
+    "evt_funnel_conversion": """
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+                   min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER w AS nc,
+                   min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER w AS np
+            FROM events WHERE event_type IN ('view', 'click', 'purchase')
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        ), clicks AS (
+            SELECT user_id, tus AS cts, np AS c_np FROM (
+                SELECT user_id, tus, np,
+                       row_number() OVER (PARTITION BY user_id, tus ORDER BY event_id) AS rn
+                FROM e WHERE event_type = 'click')
+            WHERE rn = 1
+        ), v AS (
+            SELECT e.user_id, e.tus AS vts, e.nc, c.c_np
+            FROM (SELECT * FROM e WHERE event_type = 'view') e
+            LEFT JOIN clicks c ON c.user_id = e.user_id AND c.cts = e.nc
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_views,
+               CAST(sum(CASE WHEN nc IS NOT NULL AND nc <= vts + 3600000000
+                              AND c_np IS NOT NULL AND c_np <= nc + 3600000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
+               CAST(sum(CASE WHEN nc IS NOT NULL AND nc <= vts + 3600000000
+                              AND c_np IS NOT NULL AND c_np <= nc + 3600000000
+                        THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
+        FROM v GROUP BY user_id
+    """,
     # identical union+window formulation (NOT DuckDB ASOF JOIN, whose
     # equal-ts tie-break is unspecified): side 1 rows are clicks, frame up to
     # current row, last click payload ignoring nulls, ties by event_id.
