@@ -175,14 +175,14 @@ def evt_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HOUR_US = 3_600_000_000
+_HOP_US = 172_800_000_000  # 48 h — sized to the corpus's ~34 h median next-click gap
 
 
 def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase: a view converts when the
-    FIRST click after it (in (ts, event_id) order) lands within 1 h and the
-    first purchase after that click lands within 1 h of the click. Per-user
-    conversion counts and rate.
+    FIRST click after it (in (ts, event_id) order) lands within the hop
+    window (48 h) and the first purchase after that click lands within the
+    same window of the click. Per-user conversion counts and rate.
 
     Shape: ONE shuffle on user_id for the following-frame window (masked
     min gives each row its next click/purchase timestamp — no self-join,
@@ -223,9 +223,9 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(views.user_id, "vts", "nc", "c_np")
     converted = (
         F.col("nc").isNotNull()
-        & (F.col("nc") <= F.col("vts") + F.lit(_HOUR_US))
+        & (F.col("nc") <= F.col("vts") + F.lit(_HOP_US))
         & F.col("c_np").isNotNull()
-        & (F.col("c_np") <= F.col("nc") + F.lit(_HOUR_US))
+        & (F.col("c_np") <= F.col("nc") + F.lit(_HOP_US))
     ).cast("long")
     return j.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_views"),
@@ -266,11 +266,11 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT user_id,
                CAST(count(*) AS BIGINT) AS n_views,
-               CAST(sum(CASE WHEN nc IS NOT NULL AND nc <= vts + 3600000000
-                              AND c_np IS NOT NULL AND c_np <= nc + 3600000000
+               CAST(sum(CASE WHEN nc IS NOT NULL AND nc <= vts + 172800000000
+                              AND c_np IS NOT NULL AND c_np <= nc + 172800000000
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
-               CAST(sum(CASE WHEN nc IS NOT NULL AND nc <= vts + 3600000000
-                              AND c_np IS NOT NULL AND c_np <= nc + 3600000000
+               CAST(sum(CASE WHEN nc IS NOT NULL AND nc <= vts + 172800000000
+                              AND c_np IS NOT NULL AND c_np <= nc + 172800000000
                         THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
         FROM v GROUP BY user_id
     """,
