@@ -147,3 +147,31 @@ def test_write_compacted_file_layout(spark, sf_dir, tmp_path):
     assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in docs.select("doc_id").collect()
     )
+
+
+def test_write_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
+    """write_partitioned produces one file per low-cardinality partition
+    value, round-trips intact, and a partition-column filter on the read
+    path scans ONLY the matching directory (partition pruning)."""
+    import glob
+
+    from vers_spark.plans import audit
+    from vers_spark.sources.layout import read_back, write_partitioned
+    from vers_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "by_lang")
+    write_partitioned(docs, path, ["lang"], max_records_per_file=10_000)
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dirs = glob.glob(path + "/lang=*")
+    assert {d.rsplit("=", 1)[1] for d in dirs} == langs
+    for d in dirs:
+        assert len(glob.glob(d + "/part-*.parquet")) == 1  # no small-files fanout
+    back = read_back(spark, path)
+    assert back.count() == docs.count()
+    filtered = back.filter(F.col("lang") == "en")
+    assert filtered.count() == docs.filter(F.col("lang") == "en").count()
+    plan = audit.executed_plan(filtered)
+    # pruning is visible in the scan's partition filters, and the scan must
+    # not enumerate non-matching directories
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]

@@ -46,3 +46,27 @@ def write_compacted(
 
 def read_back(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-style partitioned layout (``partitionBy`` directories): the
+    on-disk twin of partition pruning — a reader filtering on a partition
+    column opens only the matching directories, no file footers touched
+    elsewhere. The pre-write ``repartition(partition_cols)`` routes all of
+    a partition value's rows to ONE task, so each directory gets one file
+    instead of one per upstream task (the partitioned flavor of the
+    small-files bug: tasks × partitions files); oversized partitions roll
+    to extra files via ``maxRecordsPerFile``, no salt column needed.
+    Partition columns must be low-cardinality (lang, date, source — never
+    doc_id): each distinct value is a directory, and a high-cardinality
+    key recreates the listing pressure pruning was meant to solve."""
+    out = df.repartition(*[df[c] for c in partition_cols])
+    writer = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(path)
