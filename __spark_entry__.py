@@ -26,6 +26,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         curation,
         diversity,
         index_queries,
+        pca,
         pipeline_queries,
         relational,
         streaming_queries,
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(vector_queries.QUERIES)
     out.update(index_queries.QUERIES)
+    out.update(pca.QUERIES)
     out.update(text_analysis.QUERIES)
     out.update(text_dedup_queries.QUERIES)
     out.update(pipeline_queries.QUERIES)
@@ -54,6 +56,7 @@ def oracle_sql() -> dict[str, str]:
         curation,
         diversity,
         index_queries,
+        pca,
         pipeline_queries,
         relational,
         streaming_queries,
@@ -70,6 +73,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE_SQL)
     out.update(vector_queries.ORACLE_SQL)
     out.update(index_queries.ORACLE_SQL)
+    out.update(pca.ORACLE_SQL)
     out.update(text_analysis.ORACLE_SQL)
     out.update(text_dedup_queries.ORACLE_SQL)
     out.update(pipeline_queries.ORACLE_SQL)
