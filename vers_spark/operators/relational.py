@@ -404,6 +404,26 @@ def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier detection on a robust threshold: events whose value
+    exceeds the user's own p95 (percentile_cont — quantile thresholds stay
+    deterministic cross-engine, unlike mean/stddev whose float summation is
+    order-dependent). Two aggregates on user_id plus a broadcast join of
+    the tiny per-user threshold table back onto events; at 100 TB the p95
+    switches to approx_percentile (mergeable t-digest) with the same plan."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    p = ev.groupBy("user_id").agg(
+        F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    joined = ev.join(F.broadcast(p), "user_id")
+    return joined.groupBy("user_id").agg(
+        F.max("p95").alias("p95"),
+        F.max("n_events").alias("n_events"),
+        F.sum((F.col("value") > F.col("p95")).cast("long")).alias("n_outliers"),
+    )
+
+
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch surface — the one-pass mergeable scale variants of the exact
     queries above: HyperLogLog++ distinct users (vs the shuffle-heavy exact
@@ -1095,6 +1115,21 @@ ORACLE_SQL["q_events_range_window"] = """
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
 
+ORACLE_SQL["evt_value_outliers"] = """
+    WITH p AS (
+        SELECT user_id,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           max(p.p95) AS p95,
+           CAST(max(p.n_events) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN p USING (user_id)
+    GROUP BY e.user_id
+"""
+
 ORACLE_SQL["q_doc_length_percentiles"] = """
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -1361,6 +1396,7 @@ QUERIES = {
     "q4_late_orders": q4_late_orders,
     "q_events_range_window": q_events_range_window,
     "q_doc_length_percentiles": q_doc_length_percentiles,
+    "evt_value_outliers": evt_value_outliers,
     "q_sketch_stats": q_sketch_stats,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
