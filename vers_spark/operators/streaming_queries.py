@@ -123,6 +123,32 @@ def stream_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.select("doc_id", "fp", "lang", "source").orderBy("doc_id")
 
 
+
+def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate (streaming.events.stream_quality_gate):
+    micro-batched corpus routed to accept/quarantine stores by the
+    doc_quality score. Stateless gate => combined end state equals the
+    batch filter, so per-source counts + kept-score extrema hash-match a
+    plain SQL oracle."""
+    sink = tempfile.mkdtemp(prefix="vs_qgate_store_")
+    from vers_spark.streaming.events import stream_quality_gate
+
+    accept, reject = stream_quality_gate(spark, sf_dir, f"{sink}/store")
+    both = accept.withColumn("kept", F.lit(1)).unionByName(
+        reject.withColumn("kept", F.lit(0))
+    )
+    return (
+        both.groupBy("source")
+        .agg(
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(1 - F.col("kept")).cast("long").alias("n_dropped"),
+            F.max(F.when(F.col("kept") == 1, F.col("q"))).alias("max_kept_q"),
+            F.min(F.when(F.col("kept") == 1, F.col("q"))).alias("min_kept_q"),
+        )
+        .orderBy("source")
+    )
+
+
 def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list sizes after streaming the corpus through foreachBatch
     IVF assignment — rows-only (k-means centroids not SQL-expressible)."""
@@ -217,6 +243,18 @@ ORACLE_SQL["stream_interval_join"] = """
     ORDER BY p.user_id
 """
 
+from vers_spark.operators.text_analysis import d_quality_score as _dqs
+
+ORACLE_SQL["stream_quality_gate"] = f"""
+    WITH s AS (SELECT source, {_dqs('text')} AS q FROM documents)
+    SELECT source,
+           CAST(sum(CASE WHEN q >= 0.58 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN q < 0.58 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           max(CASE WHEN q >= 0.58 THEN q END) AS max_kept_q,
+           min(CASE WHEN q >= 0.58 THEN q END) AS min_kept_q
+    FROM s GROUP BY source ORDER BY source
+"""
+
 ORACLE_SQL["stream_dedup_ingest"] = """
     WITH aug AS (
         SELECT doc_id, text, lang, source FROM documents
@@ -245,6 +283,7 @@ QUERIES = {
     "stream_static_enrich": stream_static_enrich,
     "stream_dedup_users": stream_dedup_users,
     "stream_dedup_ingest": stream_dedup_ingest_q,
+    "stream_quality_gate": stream_quality_gate_q,
     "stream_events_sliding": stream_events_sliding,
     "stream_sessions": stream_sessions,
     "stream_ivf_assign_stats": stream_ivf_assign_stats,

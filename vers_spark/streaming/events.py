@@ -241,3 +241,49 @@ def stream_dedup_ingest(
     )
     q.awaitTermination()
     return spark.read.parquet(store_dir)
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    tau: float = 0.58,
+    n_files: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming quality gate: documents arrive in micro-batches and are
+    routed by the doc_quality composite score — score ≥ tau appends to the
+    accept store, the rest to a quarantine store (never dropped: rejected
+    rows stay auditable, the same policy as the corrupt-record quarantine
+    in sources.jsonl). The gate is stateless, so the combined end state is
+    EXACTLY the batch filter — both stores together hash-match a plain SQL
+    oracle. Returns (accepted, quarantined) DataFrames.
+
+    Scale notes: a stateless foreachBatch filter is the cheapest possible
+    streaming stage — no state store, no watermark, each batch a single
+    narrow pass; the two appends inherit the batch's partitioning."""
+    from vers_spark.operators.text_analysis import quality_score
+    from vers_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    src_dir = tempfile.mkdtemp(prefix="vs_qgate_src_")
+    docs.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string"
+    ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    def route(bdf: DataFrame, batch_id: int) -> None:
+        scored = bdf.withColumn("q", quality_score(F.col("text"))).select(
+            "doc_id", "lang", "source", "q"
+        )
+        scored.filter(F.col("q") >= tau).write.mode("append").parquet(f"{store_dir}/accept")
+        scored.filter(F.col("q") < tau).write.mode("append").parquet(f"{store_dir}/reject")
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{store_dir}/accept"), spark.read.parquet(f"{store_dir}/reject")
