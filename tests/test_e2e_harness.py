@@ -107,3 +107,34 @@ def test_ivf_add_honors_ids(spark, sf_dir):
     idx2 = idx.add(extra)
     added_ids = {r["id"] for r in idx2.assignments.filter(F.col("id") < 5).collect()}
     assert added_ids == {0, 1, 2, 3, 4}  # NOT remapped (ivfflat.rs:209 bug fixed)
+
+
+def test_unified_api_trait_roundtrip(spark, sf_dir, tmp_path):
+    """The reference's whole query surface through the unified facade
+    (api.py ≙ Index trait, base.rs:27-58): for every kind — build, add a
+    held-out vector, save, load, search — the held-out vector must find
+    itself at rank 1 (distance 0), mirroring the queen harness
+    (utils.rs:117-158)."""
+    from pyspark.sql import functions as F
+
+    from vers_spark import api
+    from vers_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    held = emb.orderBy(F.desc("vec_id")).limit(1).cache()
+    held_id = held.collect()[0]["vec_id"]
+    corpus = emb.filter(F.col("vec_id") != held_id)
+    for kind, params in [
+        ("ivfflat", {"num_clusters": 4}),
+        ("lsh", {"num_trees": 2, "max_node_size": 50}),
+        ("hnsw", {"num_layers": 4, "num_shards": 2}),
+    ]:
+        idx = api.build_index(kind, corpus, **params)
+        idx = api.add(idx, held.select("vec_id", "embedding"))
+        path = str(tmp_path / f"api_{kind}")
+        api.save_index(idx, path)
+        back = api.load_index(spark, path)
+        hits = api.search_approximate(back, held.select("vec_id", "embedding"), top_k=3)
+        top = hits.orderBy("rank").collect()[0]
+        assert top["neighbour_id"] == held_id, kind
+        assert top["distance"] == 0.0, kind
