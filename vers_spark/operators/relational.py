@@ -424,6 +424,29 @@ def evt_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    first event, × the weeks they were active, with distinct-user counts —
+    the activity-matrix query behind every retention chart. Two aggregates:
+    per-user first-seen (partial/final on user_id), then a distinct count
+    per (cohort_week, active_week) after a broadcast join of the tiny
+    per-user cohort table. Weeks via date_trunc('week') — ISO Monday in
+    both engines; emitted as DATE-formatted strings for a stable hash."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("active_week")
+    ).distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active_users"))
+        .orderBy("cohort_week", "active_week")
+    )
+
+
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch surface — the one-pass mergeable scale variants of the exact
     queries above: HyperLogLog++ distinct users (vs the shuffle-heavy exact
@@ -1115,6 +1138,21 @@ ORACLE_SQL["q_events_range_window"] = """
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
 
+ORACLE_SQL["evt_retention_cohorts"] = """
+    WITH first AS (
+        SELECT user_id, strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS cohort_week
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week, a.active_week,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_users
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY f.cohort_week, a.active_week
+    ORDER BY f.cohort_week, a.active_week
+"""
+
 ORACLE_SQL["evt_value_outliers"] = """
     WITH p AS (
         SELECT user_id,
@@ -1397,6 +1435,7 @@ QUERIES = {
     "q_events_range_window": q_events_range_window,
     "q_doc_length_percentiles": q_doc_length_percentiles,
     "evt_value_outliers": evt_value_outliers,
+    "evt_retention_cohorts": evt_retention_cohorts,
     "q_sketch_stats": q_sketch_stats,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
