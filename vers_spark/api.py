@@ -41,16 +41,23 @@ def _kind_of(index: AnyIndex) -> str:
     raise TypeError(f"not a vers_spark index: {type(index)!r}")
 
 
-def build_index(kind: str, corpus: DataFrame, **params) -> AnyIndex:
+def build_index(kind: str, corpus: DataFrame, validate: bool = False, **params) -> AnyIndex:
     """Build an index of ``kind`` ∈ {ivfflat, lsh, hnsw} over ``corpus``
     (id + embedding columns; names via ``id_col``/``vec_col`` kwargs).
     Remaining kwargs are the kind's hyperparameters — the same names as the
     reference harness (num_clusters/num_attempts/max_iterations for IVFFlat
     `main.rs:63-66`; num_trees/max_node_size for LSH `main.rs:81`;
     num_layers/ef_construction/ef_search/num_neighbours for HNSW
-    `main.rs:70-79`)."""
+    `main.rs:70-79`). ``validate=True`` adds the one-pass dimension
+    constraint check the reference gets from its const-generic type
+    (`base.rs:15-17`) — opt-in because it is a full extra scan; run it at
+    ingest, not per build."""
     if kind not in _KINDS:
         raise KeyError(f"unknown index kind {kind!r}; expected one of {sorted(_KINDS)}")
+    if validate:
+        from vers_spark.functions.validate import check_dims
+
+        check_dims(corpus, params.get("vec_col", "embedding"))
     return _KINDS[kind].build(corpus, **params)
 
 
