@@ -175,3 +175,67 @@ def test_write_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
     # pruning is visible in the scan's partition filters, and the scan must
     # not enumerate non-matching directories
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def _file_bbox_area(path: str, col_a: str, col_b: str) -> float:
+    """Mean normalized (a-range × b-range) bounding-box area across the
+    layout's parquet files, read from footer column statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    spans, boxes = {}, []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo, hi = {}, {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name not in (col_a, col_b) or col.statistics is None:
+                    continue
+                s = col.statistics
+                lo[name] = min(lo.get(name, s.min), s.min)
+                hi[name] = max(hi.get(name, s.max), s.max)
+        boxes.append((lo, hi))
+        for name in (col_a, col_b):
+            spans.setdefault(name, [lo[name], hi[name]])
+            spans[name][0] = min(spans[name][0], lo[name])
+            spans[name][1] = max(spans[name][1], hi[name])
+
+    def norm(v, name):
+        lo_g, hi_g = spans[name]
+        d = (hi_g - lo_g) or 1
+        return (v - lo_g) / d if not hasattr(v, "timestamp") else (
+            (v - lo_g).total_seconds() / ((hi_g - lo_g).total_seconds() or 1)
+        )
+
+    areas = [
+        (norm(hi[col_a], col_a) - norm(lo[col_a], col_a))
+        * (norm(hi[col_b], col_b) - norm(lo[col_b], col_b))
+        for lo, hi in boxes
+    ]
+    return sum(areas) / len(areas)
+
+
+def test_zorder_write_tightens_file_bounding_boxes(spark, sf_dir, tmp_path):
+    """Z-order clustering on (user_id, ts) must shrink each file's footer
+    min/max bounding box far below the naive layout's (which spans ~the
+    whole domain per file) — the property file/row-group skipping relies
+    on. Round-trip row-count preserved."""
+    from vers_spark.sources.layout import write_zordered
+    from vers_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    naive = str(tmp_path / "naive")
+    ev.repartition(8).write.mode("overwrite").parquet(naive)
+    z = str(tmp_path / "zorder")
+    write_zordered(ev, z, "user_id", "unix_micros(ts)", num_files=8)
+
+    assert spark.read.parquet(z).count() == ev.count()
+    a_naive = _file_bbox_area(naive, "user_id", "ts")
+    a_z = _file_bbox_area(z, "user_id", "ts")
+    # naive round-robin files each span ~the full (user, time) domain
+    assert a_naive > 0.5
+    assert a_z < a_naive / 3

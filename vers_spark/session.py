@@ -80,6 +80,11 @@ def get_spark(
         # convert in the scan layer (sources.tables) — DuckDB truncates the
         # same way (its TIMESTAMP is microseconds).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 (the legacy default) stores timestamps WITHOUT min/max
+        # footer stats — no file/row-group pruning on time predicates and
+        # 12 bytes/value; INT64 micros restores both. Read side accepts
+        # either, so this only affects what we write.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
