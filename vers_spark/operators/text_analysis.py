@@ -178,6 +178,19 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language-ID heuristic against
+    the labeled lang column — the evaluation query that decides whether the
+    classifier is good enough to gate on. Single scan + one small aggregate
+    on a (5 × 5)-bounded key space."""
+    d = doc_lang_id(spark, sf_dir)
+    return (
+        d.groupBy(F.col("labeled_lang"), F.col("predicted_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two deterministic fingerprints: md5 prefix + rolling polynomial hash."""
     docs = load_table(spark, sf_dir, "documents")
@@ -627,6 +640,18 @@ ORACLE_SQL: dict[str, str] = {
                {_d_argmax_lang(list(TX.LANG_MARKERS))} AS predicted_lang
         FROM s
     """,
+    "doc_lang_confusion": f"""
+        WITH s AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   {', '.join(f"CAST({d_count_in_set(D_TOKENS.format(t='text'), TX.LANG_MARKERS[lang])} AS BIGINT) AS s_{lang}" for lang in sorted(TX.LANG_MARKERS))}
+            FROM documents
+        ), p AS (
+            SELECT labeled_lang, {_d_argmax_lang(list(TX.LANG_MARKERS))} AS predicted_lang FROM s
+        )
+        SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM p GROUP BY labeled_lang, predicted_lang
+        ORDER BY labeled_lang, predicted_lang
+    """,
     "doc_fingerprint": f"""
         SELECT doc_id,
                substr(md5(text), 1, 16) AS fp_md5,
@@ -771,6 +796,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
+    "doc_lang_confusion": doc_lang_confusion,
     "doc_fingerprint": doc_fingerprint,
     "doc_bigram_topk": doc_bigram_topk,
     "doc_heavy_hitter_tokens": doc_heavy_hitter_tokens,
