@@ -157,3 +157,22 @@ def test_frontier_search_recall_and_order(spark, sf_dir, hnsw_idx):
         by_q.setdefault(r["query_id"], []).append(r["distance"])
     for dists in by_q.values():
         assert dists == sorted(dists)
+
+
+def test_filtered_search_recall_and_membership(spark, sf_dir, hnsw_idx):
+    """Post-filter search returns ONLY allowed ids, and recalls ≥ 0.8 of the
+    exact filtered KNN (4x overfetch over a ~1/3-selective predicate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = emb.filter(F.col("label") % 3 == 0)
+    keep_ids = {r["vec_id"] for r in keep.select("vec_id").collect()}
+    q = emb.filter(F.col("vec_id") < 20)
+    got_rows = hnsw_idx.search_filtered(
+        q, k=10, allowed_ids=keep.select("vec_id"), n_probe_shards=8
+    ).collect()
+    assert {r["neighbour_id"] for r in got_rows} <= keep_ids
+    exact = {
+        (r["query_id"], r["neighbour_id"])
+        for r in exact_knn(q, keep.select("vec_id", "embedding"), k=10).collect()
+    }
+    got = {(r["query_id"], r["neighbour_id"]) for r in got_rows}
+    assert len(got & exact) / len(exact) >= 0.8

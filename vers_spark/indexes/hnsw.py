@@ -459,6 +459,39 @@ class HNSWIndex:
             .select("query_id", "neighbour_id", "distance", "rank")
         )
 
+    def search_filtered(
+        self,
+        queries: DataFrame,
+        k: int,
+        allowed_ids: DataFrame,
+        overfetch: int = 4,
+        **kwargs,
+    ) -> DataFrame:
+        """Metadata-filtered ANN, post-filter strategy: overfetch
+        ``k·overfetch`` candidates (ef widened to match), semi-join the
+        allowed-id set, re-rank to k. Right when the predicate keeps a
+        sizable fraction of the corpus; for highly selective predicates
+        flip to pre-filter exact KNN over the allowed subset instead
+        (the IVF path composes the predicate into its posting-list scan —
+        ivf_search_filtered). The allowed-id set broadcasts; with an
+        id-selectivity of s, expected recall loss is the probability that
+        fewer than k of the k·overfetch neighbours pass — size overfetch
+        ≈ c/s for headroom."""
+        ef = int(kwargs.pop("ef_search", 0) or self.params["ef_search"])
+        raw = self.search(
+            queries, k=k * overfetch, ef_search=max(ef, k * overfetch), **kwargs
+        )
+        keep = allowed_ids.select(
+            F.col(allowed_ids.columns[0]).cast("long").alias("neighbour_id")
+        )
+        w = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
+        return (
+            raw.join(F.broadcast(keep), "neighbour_id", "left_semi")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbour_id", "distance", "rank")
+        )
+
     def search_frontier(
         self,
         queries: DataFrame,

@@ -128,6 +128,19 @@ def hnsw_search_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search_frontier(emb.filter(F.col("vec_id") < 10), k=10)
 
 
+def hnsw_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered HNSW (post-filter with 4x overfetch, label % 3 = 0
+    predicate) — rows-only; recall vs exact filtered KNN gated in tests.
+    Complements ivf_search_filtered, which composes the predicate into the
+    posting-list scan (pre-filter): the two queries demonstrate both
+    strategies of the filtered-ANN design space."""
+    idx = _hnsw(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+    q = emb.filter(F.col("vec_id") < 20)
+    return idx.search_filtered(q, k=10, allowed_ids=keep, n_probe_shards=8)
+
+
 def hnsw_layer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes per layer (hnsw.rs:480-485) — rows-only (layer draw is seeded
     RNG, not SQL-expressible)."""
@@ -225,6 +238,7 @@ QUERIES = {
     "lsh_search_degenerate": lsh_search_degenerate,
     "lsh_search_forest": lsh_search_forest,
     "hnsw_search": hnsw_search,
+    "hnsw_search_filtered": hnsw_search_filtered,
     "hnsw_search_frontier": hnsw_search_frontier,
     "hnsw_layer_stats": hnsw_layer_stats,
 }
