@@ -184,7 +184,43 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by a content-independent
+    hash of doc_id — reproducible across engines, partitionings, and reruns
+    (the property seeded RNG sampling lacks), and stable under corpus
+    appends: a doc's split never changes when other docs arrive. Returns
+    per-(lang, split) counts; the per-doc assignment is the md5-bucket of
+    the id, mirroring doc_stratified_sample's hash-bucket discipline."""
+    from vers_spark.functions.text import stable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = stable_hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
 ORACLE_SQL = {
+    "doc_split_assign": f"""
+        WITH b AS (
+            SELECT lang,
+                   CASE WHEN ({{h}}) % 100 < 90 THEN 'train'
+                        WHEN ({{h}}) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+        FROM b GROUP BY lang, split ORDER BY lang, split
+    """.format(
+        h="list_reduce(list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),"
+        " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
+    ),
     "doc_pack_sequences": r"""
         WITH d AS (
             SELECT doc_id, lang,
@@ -257,4 +293,5 @@ QUERIES = {
     "doc_curation_pipeline": doc_curation_pipeline,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_split_assign": doc_split_assign,
 }

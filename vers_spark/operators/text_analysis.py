@@ -469,6 +469,44 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep query: what fraction of all token OCCURRENCES does a
+    top-N frequency vocabulary cover, for N ∈ {10, 50, 200}? One count
+    aggregate (map-side combined), a global rank over the (small) distinct-
+    token table, running cumsum, then three threshold rows. The corpus-wide
+    window over distinct tokens is the scale pressure point — fine while
+    the vocab fits one partition (true even at 100 TB for word-level
+    vocabs: ~10⁷ distinct tokens); for open-ended byte-level vocabs,
+    pre-aggregate to the candidate top-K with a frequency floor first."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TX.ws_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = counts.withColumns(
+        {
+            "rank": F.row_number().over(w).cast("long"),
+            "cum": F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+        }
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        ranked.filter(F.col("rank").isin(10, 50, 200))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").alias("vocab_size"),
+            F.col("cum").alias("occurrences_covered"),
+            "total",
+            (F.col("cum").cast("double") / F.col("total").cast("double")).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing word 4-gram
     shingles with the eval split (source = 'src0' stands in for the held-out
@@ -746,6 +784,24 @@ ORACLE_SQL: dict[str, str] = {
         ) WHERE rank <= 3
         ORDER BY doc_id, rank
     """,
+    "doc_vocab_coverage": f"""
+        WITH counts AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({D_TOKENS.format(t='text')}) AS tok FROM documents)
+            GROUP BY tok
+        ), ranked AS (
+            SELECT tok, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rank,
+                   CAST(sum(n) OVER (ORDER BY n DESC, tok ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM counts
+        ), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+        SELECT rank AS vocab_size, cum AS occurrences_covered, total,
+               CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+        FROM ranked CROSS JOIN t
+        WHERE rank IN (10, 50, 200)
+        ORDER BY vocab_size
+    """,
     "doc_decontaminate": r"""
         WITH toks AS (
             SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
@@ -805,6 +861,7 @@ QUERIES = {
     "doc_repetition_quality": doc_repetition_quality,
     "doc_decontaminate": doc_decontaminate,
     "doc_tfidf_topk": doc_tfidf_topk,
+    "doc_vocab_coverage": doc_vocab_coverage,
     "doc_pii_scrub": doc_pii_scrub,
     "dedup_docs_normalized": dedup_docs_normalized,
 }
