@@ -149,6 +149,26 @@ def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def stream_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming funnel (streaming.funnel.stream_funnel): per-user
+    view→click→purchase state machine over micro-batches; the last emission
+    per user equals the batch window program exactly, so this hash-matches
+    the SAME SQL oracle as evt_funnel_conversion."""
+    sink = tempfile.mkdtemp(prefix="vs_funnel_sink_")
+    from vers_spark.streaming.funnel import stream_funnel
+
+    out = stream_funnel(spark, sf_dir, f"{sink}/snaps")
+    return out.select(
+        "user_id",
+        "n_views",
+        "n_conversions",
+        (
+            F.col("n_conversions").cast("double") / F.col("n_views").cast("double")
+        ).alias("conv_rate"),
+    )
+
+
 def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list sizes after streaming the corpus through foreachBatch
     IVF assignment — rows-only (k-means centroids not SQL-expressible)."""
@@ -245,6 +265,10 @@ ORACLE_SQL["stream_interval_join"] = """
 
 from vers_spark.operators.text_analysis import d_quality_score as _dqs
 
+from vers_spark.operators.temporal import ORACLE_SQL as _TEMPORAL_ORACLE
+
+ORACLE_SQL["stream_funnel"] = _TEMPORAL_ORACLE["evt_funnel_conversion"]
+
 ORACLE_SQL["stream_quality_gate"] = f"""
     WITH s AS (SELECT source, {_dqs('text')} AS q FROM documents)
     SELECT source,
@@ -284,6 +308,7 @@ QUERIES = {
     "stream_dedup_users": stream_dedup_users,
     "stream_dedup_ingest": stream_dedup_ingest_q,
     "stream_quality_gate": stream_quality_gate_q,
+    "stream_funnel": stream_funnel_q,
     "stream_events_sliding": stream_events_sliding,
     "stream_sessions": stream_sessions,
     "stream_ivf_assign_stats": stream_ivf_assign_stats,
