@@ -184,6 +184,62 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_pack_sequences_sharded(spark: SparkSession, sf_dir: str, n_shards: int = 8) -> DataFrame:
+    """The production form of doc_pack_sequences for skewed language
+    partitions: shard each language into contiguous doc_id ranges, run the
+    token cumsum per (lang, shard) — bounded-size windows instead of one
+    giant per-language sort — then compose per-shard base offsets from a
+    TINY (langs × shards) aggregate broadcast back. Output is defined to be
+    IDENTICAL to the single-window form (integer arithmetic, contiguous
+    ranges preserve doc_id order across shards), so it hash-matches the
+    same global SQL oracle — the point of the query: the scale-bounded
+    plan provably computes the same answer."""
+    from pyspark.sql import Window as W
+
+    from vers_spark.functions import text as TX
+
+    seq_len = 512
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(TX.ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    span = max((int(hi) - int(lo) + n_shards) // n_shards, 1)
+    d = d.withColumn("shard", ((F.col("doc_id") - int(lo)) / span).cast("int"))
+
+    w_local = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = d.withColumn("local_cum", F.sum("n_tok").over(w_local))
+
+    totals = d.groupBy("lang", "shard").agg(F.sum("n_tok").alias("tot"))
+    w_prior = (
+        W.partitionBy("lang").orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "base", F.coalesce(F.sum("tot").over(w_prior), F.lit(0))
+    ).select("lang", "shard", "base")
+
+    j = local.join(F.broadcast(offsets), ["lang", "shard"])
+    cum = (F.col("base") + F.col("local_cum")).cast("long")
+    start = cum - F.col("n_tok")
+    return j.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        cum.alias("cum_tokens"),
+        F.floor(start / seq_len).cast("long").alias("start_seq"),
+        (start % seq_len).cast("long").alias("start_offset"),
+        (F.floor((cum - 1) / seq_len) - F.floor(start / seq_len) + 1)
+        .cast("long")
+        .alias("n_seqs_spanned"),
+    )
+
+
 def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (90/5/5) by a content-independent
     hash of doc_id — reproducible across engines, partitionings, and reruns
@@ -293,5 +349,8 @@ QUERIES = {
     "doc_curation_pipeline": doc_curation_pipeline,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_pack_sequences_sharded": doc_pack_sequences_sharded,
     "doc_split_assign": doc_split_assign,
 }
+
+ORACLE_SQL["doc_pack_sequences_sharded"] = ORACLE_SQL["doc_pack_sequences"]
