@@ -176,3 +176,23 @@ def test_filtered_search_recall_and_membership(spark, sf_dir, hnsw_idx):
     }
     got = {(r["query_id"], r["neighbour_id"]) for r in got_rows}
     assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_frontier_probe_pruning_recall(spark, sf_dir, hnsw_idx):
+    """Centroid-routed frontier search (4 of 8 shards) keeps recall ≥ 0.8
+    vs exact, and all-shards frontier recall is at least as good."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbour_id"]) for r in exact_knn(q, emb, k=10).collect()}
+    pruned = {
+        (r["query_id"], r["neighbour_id"])
+        for r in hnsw_idx.search_frontier(q, k=10, n_probe_shards=4).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbour_id"])
+        for r in hnsw_idx.search_frontier(q, k=10).collect()
+    }
+    r_pruned = len(pruned & exact) / len(exact)
+    r_full = len(full & exact) / len(exact)
+    assert r_pruned >= 0.8
+    assert r_full >= r_pruned

@@ -498,6 +498,7 @@ class HNSWIndex:
         k: int,
         ef_search: int | None = None,
         max_hops: int = 6,
+        n_probe_shards: int | None = None,
         query_id: str = "vec_id",
         query_vec: str = "embedding",
     ) -> DataFrame:
@@ -543,9 +544,33 @@ class HNSWIndex:
         )
         top_layer = self.graph.filter(F.col("kind") == 1).agg(F.max("layer")).collect()[0][0] or 0
 
+        if (
+            n_probe_shards is not None
+            and self.centroids is not None
+            and n_probe_shards < int(self.params["num_shards"])
+        ):
+            # centroid routing, declaratively: rank shards per query by
+            # centroid distance (broadcast — num_shards rows) and start the
+            # descent only on the n nearest, the frontier twin of the batch
+            # path's probe_sets. All-shards remains the recall-exact mode.
+            cent_df = self.spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+                "shard_id int, c_vec array<double>",
+            )
+            cw = W.partitionBy("query_id").orderBy("c_dist", "shard_id")
+            probe = (
+                q.crossJoin(F.broadcast(cent_df))
+                .withColumn("c_dist", V.sq_euclidean(F.col("q_vec"), F.col("c_vec")))
+                .withColumn("_r", F.row_number().over(cw))
+                .filter(F.col("_r") <= n_probe_shards)
+                .select("query_id", "shard_id")
+            )
+            start = q.join(probe, "query_id").join(eps, "shard_id")
+        else:
+            start = q.crossJoin(eps)
         dist = V.sq_euclidean(F.col("q_vec"), F.col("n_vec"))
         cur = (
-            q.crossJoin(eps)
+            start
             .join(emb, ["shard_id", "node_id"])
             .withColumn("distance", dist)
             .select("query_id", "q_vec", "shard_id", "node_id", "distance")
