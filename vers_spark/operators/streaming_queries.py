@@ -169,6 +169,27 @@ def stream_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def stream_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental retention cohorts (streaming.funnel
+    .stream_retention_ingest): the accumulated (user, week) store aggregated
+    into the cohort x active-week matrix - equals batch evt_retention_cohorts,
+    so it shares that oracle."""
+    sink = tempfile.mkdtemp(prefix="vs_retn_store_")
+    from pyspark.sql import Window as W
+
+    from vers_spark.streaming.funnel import stream_retention_ingest
+
+    store = stream_retention_ingest(spark, sf_dir, f"{sink}/store")
+    cohort = store.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        store.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_week", F.col("week").alias("active_week"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active_users"))
+        .orderBy("cohort_week", "active_week")
+    )
+
+
 def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list sizes after streaming the corpus through foreachBatch
     IVF assignment — rows-only (k-means centroids not SQL-expressible)."""
@@ -269,6 +290,10 @@ from vers_spark.operators.temporal import ORACLE_SQL as _TEMPORAL_ORACLE
 
 ORACLE_SQL["stream_funnel"] = _TEMPORAL_ORACLE["evt_funnel_conversion"]
 
+from vers_spark.operators.relational import ORACLE_SQL as _REL_ORACLE
+
+ORACLE_SQL["stream_retention"] = _REL_ORACLE["evt_retention_cohorts"]
+
 ORACLE_SQL["stream_quality_gate"] = f"""
     WITH s AS (SELECT source, {_dqs('text')} AS q FROM documents)
     SELECT source,
@@ -309,6 +334,7 @@ QUERIES = {
     "stream_dedup_ingest": stream_dedup_ingest_q,
     "stream_quality_gate": stream_quality_gate_q,
     "stream_funnel": stream_funnel_q,
+    "stream_retention": stream_retention_q,
     "stream_events_sliding": stream_events_sliding,
     "stream_sessions": stream_sessions,
     "stream_ivf_assign_stats": stream_ivf_assign_stats,

