@@ -612,6 +612,32 @@ def doc_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink parity (the other columnar format Spark ships
+    built-in; same scan contract as parquet — predicate pushdown + column
+    pruning via ORC's stripe stats): documents round-trip through ORC and
+    the per-(source, lang) aggregate must equal the same aggregate stated
+    directly over the documents table — the oracle hash-match fails if the
+    round trip loses or corrupts a row. A pushed filter keeps the read
+    path honest."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="vs_orc_")
+    path = os.path.join(d, "docs")
+    docs.repartition(4).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("n_chars") > 0)
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_heavy_hitter_tokens": f"""
         WITH counts AS (
@@ -784,6 +810,13 @@ ORACLE_SQL: dict[str, str] = {
         ) WHERE rank <= 3
         ORDER BY doc_id, rank
     """,
+    "doc_orc_roundtrip": """
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE n_chars > 0
+        GROUP BY source, lang ORDER BY source, lang
+    """,
     "doc_vocab_coverage": f"""
         WITH counts AS (
             SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -858,6 +891,7 @@ QUERIES = {
     "doc_heavy_hitter_tokens": doc_heavy_hitter_tokens,
     "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
     "doc_csv_roundtrip": doc_csv_roundtrip,
+    "doc_orc_roundtrip": doc_orc_roundtrip,
     "doc_repetition_quality": doc_repetition_quality,
     "doc_decontaminate": doc_decontaminate,
     "doc_tfidf_topk": doc_tfidf_topk,
