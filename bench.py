@@ -43,6 +43,19 @@ HEADLINE = [
 ]
 
 
+def _spin_ms(n: int = 2_000_000) -> float:
+    """Fixed single-thread integer spin, wall-clock ms. On an uncontended
+    host this is constant run-to-run; host CPU steal inflates it in direct
+    proportion — sampled around every timed query so a contended window is
+    visible in the recorded JSON instead of masquerading as a regression
+    (BASELINE.md documents the rotating-spike steal signature)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(n):
+        acc += i & 7
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def _clear_state(spark) -> None:
     """Drop cached DFs + checkpointed index RDDs between queries so one
     query's working set doesn't squeeze the next one's shuffles (each
@@ -97,22 +110,29 @@ def main() -> None:
             _clear_state(spark)
         print(f"# warmup pass: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    spin_base = min(_spin_ms() for _ in range(3))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    spin: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
         # best-of-2, state cleared between attempts: each attempt is a full
         # cold run (index builds included); the min removes scheduler/GC
         # noise without changing what is measured
         best = None
+        probes = [_spin_ms()]
         for _ in range(2):
             t0 = time.perf_counter()
             rows[name] = fn(spark, SF_DIR).count()
             dt = round(time.perf_counter() - t0, 3)
             best = dt if best is None else min(best, dt)
             _clear_state(spark)
+            probes.append(_spin_ms())
         timings[name] = best
-        print(f"# {name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
+        # contention factor for this query's window: >1.5 means the host was
+        # stealing cycles while it ran — discount its wall time accordingly
+        spin[name] = round(max(probes) / spin_base, 2) if spin_base else 1.0
+        print(f"# {name}: {timings[name]}s ({rows[name]} rows, spin x{spin[name]})", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
@@ -123,6 +143,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "spin_base_ms": spin_base,
+                "contention": spin,
             }
         )
     )

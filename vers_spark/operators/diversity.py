@@ -31,9 +31,12 @@ from vers_spark.indexes.ivfflat import IVFFlatIndex
 from vers_spark.sources.tables import load_table
 
 
+TARGET_CLUSTER_SIZE = 2_000  # bounds the per-cluster Gram matrix (~32 MB f64)
+
+
 def semantic_dedup(
     emb: DataFrame,
-    num_clusters: int = 16,
+    num_clusters: int | None = None,
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -54,6 +57,10 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
+    if num_clusters is None:
+        # auto-size k ∝ n so expected cluster size (and the per-cluster
+        # Gram matrix) stays bounded regardless of corpus scale
+        num_clusters = max(16, emb.count() // TARGET_CLUSTER_SIZE)
     idx = IVFFlatIndex.build(
         emb, num_clusters=num_clusters, id_col=id_col, vec_col=vec_col, seed=seed
     )
