@@ -280,3 +280,28 @@ def test_pii_scrub_single_pass(spark, sf_dir):
 
     df = doc_pii_scrub(spark, sf_dir)
     assert audit.num_exchanges(df) == 0
+
+
+def test_ivf_bucketed_store_join_no_shuffle(spark, sf_dir, tmp_path):
+    """IVFFlatIndex.save_bucketed: the on-disk assignments table is bucketed
+    on cluster_id, so the similarity-join shape (per-cluster self-join)
+    consumes the scans co-located — zero Exchange — instead of re-shuffling
+    the corpus on every run."""
+    from vers_spark.indexes.ivfflat import IVFFlatIndex
+    from vers_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFFlatIndex.build(emb, num_clusters=8, seed=42)
+    b = idx.save_bucketed("b_ivf_assign", str(tmp_path / "ivf"), num_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = b.select("cluster_id", F.col("id").alias("a"))
+        right = b.select("cluster_id", F.col("id").alias("bid"))
+        pairs = left.join(right, "cluster_id").filter(F.col("a") < F.col("bid"))
+        assert pairs.count() > 0
+        assert audit.num_exchanges(pairs) == 0
+        assert "Bucketed: true" in audit.executed_plan(pairs)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_ivf_assign")

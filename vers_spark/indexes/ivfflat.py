@@ -335,6 +335,26 @@ class IVFFlatIndex:
 
     # ---------------- persistence ----------------
 
+    def save_bucketed(self, table: str, path: str, num_buckets: int = 16) -> DataFrame:
+        """Persist the assignments as a catalog-registered BUCKETED table on
+        cluster_id (sorted by (cluster_id, id)) — the serve-time layout for
+        join-shaped consumers: the IVF similarity join and any recurring
+        per-cluster self-join read the buckets co-located, zero Exchange,
+        instead of re-shuffling the corpus on cluster_id every run. The
+        plain ``save`` layout (partitionBy directories) stays the right one
+        for probe-style search, where pruning — not co-location — is the
+        win. Returns the catalog-backed DataFrame carrying the bucket spec."""
+        from vers_spark.sources.bucketed import write_bucketed
+
+        return write_bucketed(
+            self.assignments,
+            table,
+            f"{path}/assignments_bucketed",
+            ["cluster_id"],
+            num_buckets,
+            sort_keys=["cluster_id", "id"],
+        )
+
     def save(self, path: str) -> None:
         """Parquet tables + JSON manifest (replaces the bincode blob,
         base.rs:31-58). Posting lists partitioned by cluster_id → probe
