@@ -141,6 +141,30 @@ def hnsw_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search_filtered(q, k=10, allowed_ids=keep, n_probe_shards=8)
 
 
+def index_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full index lifecycle (SURVEY §3.3: build → add a
+    held-out vector → save → load → search) through the unified api.py
+    facade, as a driver-visible query: the held-out vector must find
+    itself at distance 0. Rows-only (k-means build not SQL-expressible);
+    the per-kind e2e tests pin the same flow for LSH/HNSW."""
+    import tempfile
+
+    from vers_spark import api
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    held_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    held = emb.filter(F.col("vec_id") == held_id)
+    corpus = emb.filter(F.col("vec_id") != held_id)
+    idx = api.build_index("ivfflat", corpus, num_clusters=8, seed=42)
+    idx = api.add(idx, held.select("vec_id", "embedding"))
+    path = tempfile.mkdtemp(prefix="vs_lifecycle_") + "/idx"
+    api.save_index(idx, path)
+    back = api.load_index(spark, path)
+    return api.search_approximate(
+        back, held.select("vec_id", "embedding"), top_k=3
+    ).orderBy("rank")
+
+
 def hnsw_layer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes per layer (hnsw.rs:480-485) — rows-only (layer draw is seeded
     RNG, not SQL-expressible)."""
@@ -239,6 +263,7 @@ QUERIES = {
     "lsh_search_forest": lsh_search_forest,
     "hnsw_search": hnsw_search,
     "hnsw_search_filtered": hnsw_search_filtered,
+    "index_lifecycle_roundtrip": index_lifecycle_roundtrip,
     "hnsw_search_frontier": hnsw_search_frontier,
     "hnsw_layer_stats": hnsw_layer_stats,
 }
