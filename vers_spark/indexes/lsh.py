@@ -329,8 +329,13 @@ class LSHForestIndex:
         k: int,
         query_id: str = "vec_id",
         query_vec: str = "embedding",
+        allowed_ids: DataFrame | None = None,
     ) -> DataFrame:
-        """Descend every tree, union leaf candidates, exact re-rank top-k."""
+        """Descend every tree, union leaf candidates, exact re-rank top-k.
+        ``allowed_ids`` composes a metadata predicate INTO the candidate set
+        (broadcast semi-join before the re-rank) — with the degenerate
+        1-tree/unbounded-leaf config this is provably the exact filtered
+        KNN, the same pre-filter contract as IVF's candidate_ids."""
         qp = self.assign_paths(queries, query_id, query_vec)
 
         cands = (
@@ -338,6 +343,11 @@ class LSHForestIndex:
             .select("query_id", "q_vec", "id", "embedding")
             .dropDuplicates(["query_id", "id"])  # DashSet union across trees (lsh.rs:266-270)
         )
+        if allowed_ids is not None:
+            keep = allowed_ids.select(
+                F.col(allowed_ids.columns[0]).cast("long").alias("id")
+            )
+            cands = cands.join(F.broadcast(keep), "id", "left_semi")
         w = W.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("id"))
         return (
             cands.withColumn("_dist", V.sq_euclidean(F.col("q_vec"), F.col("embedding")))

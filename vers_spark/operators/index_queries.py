@@ -92,6 +92,19 @@ def lsh_search_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(emb.filter(F.col("vec_id") % 101 == 0), k=8)
 
 
+def lsh_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered LSH search in the degenerate 1-tree/unbounded-leaf
+    config ≡ exact filtered KNN (label % 3 = 0 candidates) — completing the
+    filtered-ANN matrix: IVF pre-filters posting lists, HNSW post-filters
+    with overfetch, LSH pre-filters the leaf-candidate union. Full DuckDB
+    oracle hash-match."""
+    idx = _lsh(spark, sf_dir, trees=1, max_node=10**9)
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+    q = emb.filter(F.col("vec_id") < 5)
+    return idx.search(q, k=10, allowed_ids=keep)
+
+
 def lsh_search_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference harness config (main.rs:81): 8 trees, max_node_size=100 —
     rows-only; recall gated in tests."""
@@ -249,6 +262,7 @@ def ivfpq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL: dict[str, str] = {
     "ivf_search_all": _KNN_ALL_SQL,
     "ivf_search_filtered": _KNN_FILTERED_SQL,
+    "lsh_search_filtered": _KNN_FILTERED_SQL,
     "lsh_search_degenerate": _LSH_DEGENERATE_SQL,
 }
 
@@ -260,6 +274,7 @@ QUERIES = {
     "ivf_cluster_stats": ivf_cluster_stats,
     "ivf_build_ref": ivf_build_ref,
     "lsh_search_degenerate": lsh_search_degenerate,
+    "lsh_search_filtered": lsh_search_filtered,
     "lsh_search_forest": lsh_search_forest,
     "hnsw_search": hnsw_search,
     "hnsw_search_filtered": hnsw_search_filtered,
