@@ -36,18 +36,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vector_queries,
     )
 
+    # Registration order IS the driver's sweep order, and the sweep runs
+    # under a wall-clock budget (r01 truncated mid-list). Order by marginal
+    # value per second: the suites the r01 sweep never reached come FIRST
+    # (vector kernels, ANN indexes, text analysis/dedup, similarity,
+    # streaming), the r01-green relational/curation/temporal suites re-run
+    # at the end (each ≤1s), and vec_corpus_roundtrip — the entry the r01
+    # sweep stopped after (driver-side temp-file I/O) — registers dead last.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(curation.QUERIES)
-    out.update(diversity.QUERIES)
-    out.update(temporal.QUERIES)
-    out.update(relational.QUERIES)
     out.update(vector_queries.QUERIES)
+    roundtrip = out.pop("vec_corpus_roundtrip")
     out.update(index_queries.QUERIES)
-    out.update(pca.QUERIES)
     out.update(text_analysis.QUERIES)
     out.update(text_dedup_queries.QUERIES)
     out.update(pipeline_queries.QUERIES)
+    out.update(pca.QUERIES)
+    out.update(diversity.QUERIES)
     out.update(streaming_queries.QUERIES)
+    out.update(curation.QUERIES)
+    out.update(temporal.QUERIES)
+    out.update(relational.QUERIES)
+    out["vec_corpus_roundtrip"] = roundtrip
     return out
 
 

@@ -55,6 +55,12 @@ _PARTIAL_SCHEMA = "cluster_id int, n long, sum_vec array<double>, cost double"
 # collapse to one collect. The corpus-wide assignment pass stays distributed.
 _LOCAL_KMEANS_MAX_ROWS = 1_000_000
 
+# The local backend never collects more than this many training rows: above
+# it, a seeded uniform sample caps driver memory (k-means only needs a
+# representative subset — same discipline as pca.py's sample-fit). ~100k x
+# dim 300 f64 ≈ 240 MB, a bounded driver footprint at any corpus scale.
+_LOCAL_KMEANS_SAMPLE_ROWS = 100_000
+
 
 def _kmeans_numpy(X: np.ndarray, k: int, max_iter: int, seed: int):
     """Driver-local Lloyd mirroring reference semantics (ivfflat.rs:73-100):
@@ -154,8 +160,16 @@ class IVFFlatIndex:
             best: tuple[float, np.ndarray] | None = None
             local_X = None
             if backend == "local":
+                train = data.select("embedding")
+                n = train.count()
+                if n > _LOCAL_KMEANS_SAMPLE_ROWS:
+                    # capped sample-fit: never collect an unbounded corpus
+                    train = train.sample(
+                        fraction=min(1.0, 1.05 * _LOCAL_KMEANS_SAMPLE_ROWS / n),
+                        seed=seed,
+                    ).limit(_LOCAL_KMEANS_SAMPLE_ROWS)
                 local_X = np.array(
-                    [r[0] for r in data.select("embedding").collect()], dtype=np.float64
+                    [r[0] for r in train.collect()], dtype=np.float64
                 )
             for attempt in range(num_attempts):
                 s = seed + attempt

@@ -395,45 +395,3 @@ class LSHForestIndex:
             spark.read.parquet(f"{path}/hyperplanes"),
             params,
         )
-
-
-def mllib_brp_lsh(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int,
-    bucket_length: float = 2.0,
-    num_hash_tables: int = 4,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Documented fast path: MLlib BucketedRandomProjectionLSH (classic
-    bucketed LSH, not bit-compatible with the forest — SURVEY §2.C note)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
-    c = corpus.select(
-        F.col(id_col).cast("long").alias("id"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    model = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
-    ).fit(c)
-    rows = []
-    for q in queries.select(id_col, vec_col).collect():
-        from pyspark.ml.linalg import Vectors
-
-        res = model.approxNearestNeighbors(c, Vectors.dense(q[1]), k).select(
-            F.lit(q[0]).alias("query_id"),
-            F.col("id").alias("neighbour_id"),
-            F.col("distCol").alias("distance"),
-        )
-        rows.append(res)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out

@@ -170,15 +170,27 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     cum = F.sum("n_tok").over(w)
-    start = cum - F.col("n_tok")
-    return d.select(
+    base = d.select("doc_id", "lang", "n_tok", cum.alias("cum_tokens"))
+    return _pack_positions(base, seq_len)
+
+
+def _pack_positions(base, seq_len: int):
+    """Sequence positions from the token cumsum — INTEGER division (`div`),
+    not floor-of-double-divide: exact at any cumulative token count, not
+    just below 2^53 (the DuckDB twin uses `//` for the same reason)."""
+    start = f"(cum_tokens - n_tok)"
+    return base.select(
         "doc_id",
         "lang",
         "n_tok",
-        cum.alias("cum_tokens"),
-        F.floor(start / seq_len).cast("long").alias("start_seq"),
-        (start % seq_len).cast("long").alias("start_offset"),
-        (F.floor((cum - 1) / seq_len) - F.floor(start / seq_len) + 1)
+        "cum_tokens",
+        F.expr(f"{start} div {seq_len}").cast("long").alias("start_seq"),
+        F.expr(f"{start} % {seq_len}").cast("long").alias("start_offset"),
+        (
+            F.expr(f"(cum_tokens - 1) div {seq_len}")
+            - F.expr(f"{start} div {seq_len}")
+            + F.lit(1)
+        )
         .cast("long")
         .alias("n_seqs_spanned"),
     )
@@ -226,18 +238,8 @@ def doc_pack_sequences_sharded(spark: SparkSession, sf_dir: str, n_shards: int =
 
     j = local.join(F.broadcast(offsets), ["lang", "shard"])
     cum = (F.col("base") + F.col("local_cum")).cast("long")
-    start = cum - F.col("n_tok")
-    return j.select(
-        "doc_id",
-        "lang",
-        "n_tok",
-        cum.alias("cum_tokens"),
-        F.floor(start / seq_len).cast("long").alias("start_seq"),
-        (start % seq_len).cast("long").alias("start_offset"),
-        (F.floor((cum - 1) / seq_len) - F.floor(start / seq_len) + 1)
-        .cast("long")
-        .alias("n_seqs_spanned"),
-    )
+    base = j.select("doc_id", "lang", "n_tok", cum.alias("cum_tokens"))
+    return _pack_positions(base, seq_len)
 
 
 def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,9 +291,9 @@ ORACLE_SQL = {
             FROM d
         )
         SELECT doc_id, lang, n_tok, cum_tokens,
-               CAST(floor((cum_tokens - n_tok) / 512) AS BIGINT) AS start_seq,
+               CAST((cum_tokens - n_tok) // 512 AS BIGINT) AS start_seq,
                CAST((cum_tokens - n_tok) % 512 AS BIGINT) AS start_offset,
-               CAST(floor((cum_tokens - 1) / 512) - floor((cum_tokens - n_tok) / 512) + 1 AS BIGINT) AS n_seqs_spanned
+               CAST((cum_tokens - 1) // 512 - (cum_tokens - n_tok) // 512 + 1 AS BIGINT) AS n_seqs_spanned
         FROM c
     """,
     "doc_stratified_sample": f"""

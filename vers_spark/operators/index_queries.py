@@ -164,7 +164,9 @@ def index_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vers_spark import api
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # a bounded slice keeps the lifecycle cheap at every SF — the flow, not
+    # corpus size, is what this query checks (per-kind e2e tests cover scale)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     held_id = emb.agg(F.max("vec_id")).collect()[0][0]
     held = emb.filter(F.col("vec_id") == held_id)
     corpus = emb.filter(F.col("vec_id") != held_id)
@@ -267,17 +269,18 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
-    "ivfpq_search": ivfpq_search_q,
+    # exact-oracle entries first (hard hash-match signal), rows-only after
     "ivf_search_all": ivf_search_all,
     "ivf_search_filtered": ivf_search_filtered,
+    "lsh_search_degenerate": lsh_search_degenerate,
+    "lsh_search_filtered": lsh_search_filtered,
     "ivf_search_p4": ivf_search_p4,
     "ivf_cluster_stats": ivf_cluster_stats,
     "ivf_build_ref": ivf_build_ref,
-    "lsh_search_degenerate": lsh_search_degenerate,
-    "lsh_search_filtered": lsh_search_filtered,
     "lsh_search_forest": lsh_search_forest,
     "hnsw_search": hnsw_search,
     "hnsw_search_filtered": hnsw_search_filtered,
+    "ivfpq_search": ivfpq_search_q,
     "index_lifecycle_roundtrip": index_lifecycle_roundtrip,
     "hnsw_search_frontier": hnsw_search_frontier,
     "hnsw_layer_stats": hnsw_layer_stats,

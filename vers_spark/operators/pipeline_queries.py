@@ -35,14 +35,21 @@ def _augmented_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup over a corpus with injected exact
     duplicates. Identical vectors share every leaf, so no dup can be missed —
-    the result provably equals the brute-force oracle at this threshold."""
-    return embedding_neardup_pairs(_augmented_emb(spark, sf_dir), NEARDUP_THRESHOLD)
+    the result provably equals the brute-force oracle at this threshold.
+    (Completeness holds for ANY tree count at an exact-dup threshold, so the
+    2-tree forest is the efficient config; more trees only buy recall for
+    looser thresholds.)"""
+    return embedding_neardup_pairs(
+        _augmented_emb(spark, sf_dir), NEARDUP_THRESHOLD, num_trees=2
+    )
 
 
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: normalize → LSH buckets → 1−dot verify.
     Provably complete at this threshold (only exact duplicates qualify)."""
-    return embedding_cosine_neardup_pairs(_augmented_emb(spark, sf_dir), COS_THRESHOLD)
+    return embedding_cosine_neardup_pairs(
+        _augmented_emb(spark, sf_dir), COS_THRESHOLD, num_trees=2
+    )
 
 
 def emb_brp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,11 +70,32 @@ def doc_mllib_exactdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mllib_minhash_exactdup_pairs(docs.unionByName(dups))
 
 
+def _simjoin_ivf(spark: SparkSession, sf_dir: str, num_clusters: int):
+    """Cached IVF build for the similarity-join queries: k=16 reuses the
+    index suite's cached build (identical config); the degenerate k=1 build
+    is cached separately."""
+    from vers_spark.indexes.ivfflat import IVFFlatIndex
+    from vers_spark.operators._qcache import memo
+
+    if num_clusters == 16:
+        from vers_spark.operators.index_queries import _ivf
+
+        return _ivf(spark, sf_dir, 16)
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = IVFFlatIndex.build(emb, num_clusters=num_clusters, seed=42)
+        idx.assignments.cache()
+        return idx
+
+    return memo(("simjoin_ivf", sf_dir, num_clusters), build)
+
+
 def emb_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cluster-co-located approximate top-3 similarity self-join —
     rows-only (k-means clustering not SQL-expressible)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_similarity_join(emb, k=3)
+    return ivf_similarity_join(emb, k=3, index=_simjoin_ivf(spark, sf_dir, 16))
 
 
 def emb_knn_selfjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +104,7 @@ def emb_knn_selfjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate) — the hash-matched twin that pins the co-located join's
     ranking/tie-break semantics."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_similarity_join(emb, k=3, num_clusters=1)
+    return ivf_similarity_join(emb, k=3, index=_simjoin_ivf(spark, sf_dir, 1))
 
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

