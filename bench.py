@@ -63,12 +63,13 @@ def _clear_state(spark) -> None:
     memoized index objects must go too: their DataFrames sit on the
     checkpointed RDDs being unpersisted here, and a rebuild is exactly what
     cold timing means."""
-    from vers_spark.operators import index_queries
+    from vers_spark.operators import _qcache, index_queries
 
     index_queries._IVF_CACHE.clear()
     index_queries._LSH_CACHE.clear()
     index_queries._HNSW_CACHE.clear()
     index_queries._PQ_CACHE.clear()
+    _qcache._CACHE.clear()  # cross-query cached DataFrames (pairs/components)
     spark.catalog.clearCache()
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -118,19 +119,29 @@ def main() -> None:
         fn = qmap[name]
         # best-of-2, state cleared between attempts: each attempt is a full
         # cold run (index builds included); the min removes scheduler/GC
-        # noise without changing what is measured
+        # noise without changing what is measured. When the contention probe
+        # reads >1.5 around any attempt (host stealing cycles), extra
+        # attempts run — up to 4 — so no headline line is judged on a
+        # stolen window if an uncontended one can be had.
         best = None
         probes = [_spin_ms()]
-        for _ in range(2):
+        attempts = 0
+        while attempts < 4:
             t0 = time.perf_counter()
             rows[name] = fn(spark, SF_DIR).count()
             dt = round(time.perf_counter() - t0, 3)
             best = dt if best is None else min(best, dt)
             _clear_state(spark)
             probes.append(_spin_ms())
+            attempts += 1
+            contended = spin_base and max(probes) / spin_base > 1.5
+            if attempts >= 2 and not contended:
+                break
+            if attempts >= 2 and contended:
+                probes = probes[-1:]  # judge the retry on its own window
         timings[name] = best
-        # contention factor for this query's window: >1.5 means the host was
-        # stealing cycles while it ran — discount its wall time accordingly
+        # contention factor for the BEST attempt's era: >1.5 means even the
+        # kept attempt ran in a stolen window — discount its wall time
         spin[name] = round(max(probes) / spin_base, 2) if spin_base else 1.0
         print(f"# {name}: {timings[name]}s ({rows[name]} rows, spin x{spin[name]})", file=sys.stderr)
     total = round(sum(timings.values()), 3)

@@ -165,3 +165,23 @@ def test_pq_recall_and_compression(spark, sf_dir):
     assert len(exact & adc) / len(exact) >= 0.3  # ADC alone: coarse but sane
     assert len(exact & rerank) / len(exact) >= 0.9
     codes.unpersist()
+
+
+def test_dedup_vectors_bitexact_distinguishes_signed_zero(spark):
+    """HashKey semantics (base.rs:113-117) are selectable: the default mode
+    merges -0.0/0.0 twins (Spark array equality), bitexact mode keeps both."""
+    from vers_spark.operators.dedup import dedup_vectors
+
+    rows = [
+        (1, [0.0, 1.0]),
+        (2, [-0.0, 1.0]),   # array-equal to id 1, bit-distinct
+        (3, [0.5, 2.0]),
+        (4, [0.5, 2.0]),    # exact duplicate of id 3 in BOTH modes
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    loose = sorted(r["vec_id"] for r in dedup_vectors(df, "embedding", "vec_id").collect())
+    strict = sorted(
+        r["vec_id"] for r in dedup_vectors(df, "embedding", "vec_id", bitexact=True).collect()
+    )
+    assert loose == [1, 3]
+    assert strict == [1, 2, 3]

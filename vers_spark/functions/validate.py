@@ -50,3 +50,29 @@ def check_dims(df: DataFrame, vec_col: str = "embedding", expected_dim: int | No
     if problems:
         raise DimensionError(f"{vec_col}: " + "; ".join(problems))
     return int(row["max_dim"])
+
+
+class QueryBatchTooLarge(ValueError):
+    pass
+
+
+# Default driver-side cap for collected query batches. The batch-serving
+# operators (blocked KNN, HNSW cogrouped search, PQ ADC) collect the QUERY
+# side and broadcast it — a documented bounded-batch contract. The cap turns
+# a 10M-row mistake into a clear error instead of a driver OOM.
+MAX_QUERY_BATCH_ROWS = 1_000_000
+
+
+def bounded_collect(df: DataFrame, what: str, cap: int | None = None):
+    """Collect ``df`` enforcing the bounded-query-batch contract: at most
+    ``cap`` rows leave the cluster (limit cap+1 bounds the transfer even on
+    violation); above the cap, raise with the fix spelled out."""
+    cap = MAX_QUERY_BATCH_ROWS if cap is None else cap
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise QueryBatchTooLarge(
+            f"{what}: query batch exceeds the {cap}-row driver-collect cap. "
+            "Split the queries into blocks (or raise the cap explicitly) — "
+            "the batch-serving contract broadcasts the query side."
+        )
+    return rows

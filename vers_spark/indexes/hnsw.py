@@ -368,6 +368,25 @@ class HNSWIndex:
             .applyInPandas(lambda pdf: _build_local(pdf, params), _GRAPH_SCHEMA)
             .localCheckpoint(eager=True)  # build once, reuse across searches
         )
+        # per-shard entrypoints (max-layer, min-id node — §3.2 determinism)
+        # cached ONCE here and persisted in the manifest (SURVEY §9.6):
+        # searches start from the manifest instead of re-aggregating the
+        # graph table per query batch. num_shards rows — driver-trivial.
+        sw = W.partitionBy("shard_id")
+        ep_rows = (
+            graph.filter(F.col("kind") == 0)
+            .select("shard_id", "layer", F.col("src").alias("node_id"))
+            .withColumn("_top", F.max("layer").over(sw))
+            .filter(F.col("layer") == F.col("_top"))
+            .groupBy("shard_id", "_top")
+            .agg(F.min("node_id").alias("node_id"))
+            .collect()
+        )
+        params["entrypoints"] = {
+            str(int(r["shard_id"])): [int(r["node_id"]), int(r["_top"])] for r in ep_rows
+        }
+        top_edge = graph.filter(F.col("kind") == 1).agg(F.max("layer")).collect()[0][0]
+        params["top_edge_layer"] = int(top_edge) if top_edge is not None else 0
         return HNSWIndex(spark, nodes, graph, centroids, params)
 
     # ---------------- search ----------------
@@ -386,9 +405,15 @@ class HNSWIndex:
         greedy search, global per-query top-k merge."""
         ef = int(ef_search or self.params["ef_search"])
         probes = int(n_probe_shards or (1 if self.centroids is not None else self.params["num_shards"]))
-        q_rows = queries.select(
-            F.col(query_id).cast("long").alias("query_id"), F.col(query_vec).alias("q_vec")
-        ).collect()
+        from vers_spark.functions.validate import bounded_collect
+
+        q_rows = bounded_collect(
+            queries.select(
+                F.col(query_id).cast("long").alias("query_id"),
+                F.col(query_vec).alias("q_vec"),
+            ),
+            "HNSWIndex.search",
+        )
         if not q_rows:
             return self.spark.createDataFrame([], _RESULT_SCHEMA + ", rank int")
         qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
@@ -535,14 +560,25 @@ class HNSWIndex:
         emb = self.nodes.select(
             "shard_id", F.col("id").alias("node_id"), F.col("embedding").alias("n_vec")
         )
-        sw = W.partitionBy("shard_id")
-        eps = (
-            node_layers.withColumn("_top", F.max("layer").over(sw))
-            .filter(F.col("layer") == F.col("_top"))
-            .groupBy("shard_id")
-            .agg(F.min("node_id").alias("node_id"))
-        )
-        top_layer = self.graph.filter(F.col("kind") == 1).agg(F.max("layer")).collect()[0][0] or 0
+        ep = self.params.get("entrypoints")
+        if ep:
+            # manifest-cached entrypoints: no aggregate over the graph table
+            eps = self.spark.createDataFrame(
+                [(int(s), int(n)) for s, (n, _l) in ep.items()],
+                "shard_id int, node_id long",
+            )
+            top_layer = int(self.params.get("top_edge_layer", 0))
+        else:  # pre-§9.6 index loaded from disk: fall back to the scan
+            sw = W.partitionBy("shard_id")
+            eps = (
+                node_layers.withColumn("_top", F.max("layer").over(sw))
+                .filter(F.col("layer") == F.col("_top"))
+                .groupBy("shard_id")
+                .agg(F.min("node_id").alias("node_id"))
+            )
+            top_layer = (
+                self.graph.filter(F.col("kind") == 1).agg(F.max("layer")).collect()[0][0] or 0
+            )
 
         if (
             n_probe_shards is not None

@@ -21,8 +21,11 @@ Search (`lsh.rs:163-216`): queries descend by folding plane tests — one
 broadcast join per level on (tree_id, path) — then a semi-join against
 ``leaves`` on the final (tree_id, path) collects candidates from all trees,
 deduplicates, and exact-re-ranks by squared Euclidean (`lsh.rs:271-281`).
-The reference's backup-branch backtracking (`lsh.rs:203-215`) is replaced by
-multi-tree unioning — documented simplification; recall is gated in tests.
+The reference's backup-branch backtracking (`lsh.rs:203-215`) is implemented
+declaratively (``backup_fill``): underfilled (query, tree) pairs re-rank the
+tree's leaves by deviation-string order — provably the reference recursion's
+visit order — with cumulative-size admission and per-leaf budget caps;
+bit-parity with a local replay of the reference recursion is gated in tests.
 
 Degenerate config (1 tree, max_node_size ≥ n) ≡ exact brute force — the
 oracle check.
@@ -330,24 +333,66 @@ class LSHForestIndex:
         query_id: str = "vec_id",
         query_vec: str = "embedding",
         allowed_ids: DataFrame | None = None,
+        backup_fill: bool = True,
     ) -> DataFrame:
         """Descend every tree, union leaf candidates, exact re-rank top-k.
-        ``allowed_ids`` composes a metadata predicate INTO the candidate set
-        (broadcast semi-join before the re-rank) — with the degenerate
-        1-tree/unbounded-leaf config this is provably the exact filtered
-        KNN, the same pre-filter contract as IVF's candidate_ids."""
-        qp = self.assign_paths(queries, query_id, query_vec)
 
-        cands = (
-            qp.join(self.leaves, ["tree_id", "path"])
-            .select("query_id", "q_vec", "id", "embedding")
-            .dropDuplicates(["query_id", "id"])  # DashSet union across trees (lsh.rs:266-270)
-        )
+        ``backup_fill`` implements the reference's backup-branch rule
+        (lsh.rs:203-215): per tree, the search is a BUDGETED depth-first
+        visit — main branch first at every node, and whenever the visit has
+        accumulated fewer than k candidates, the sibling (backup) subtree of
+        the deepest unvisited divergence is taken next, recursively. Each
+        visited leaf contributes its ``remaining-budget`` nearest members
+        (lsh.rs:170-200). Declaratively: leaves sort per (query, tree) by
+        their DEVIATION STRING (bit i = 0 iff the leaf path agrees with the
+        query's plane side at ancestor level i — lexicographic order IS the
+        reference's DFS visit order), cumulative leaf sizes gate admission
+        (cum_before < k), and a within-leaf rank caps each leaf at its
+        remaining budget. Only underfilled (query, tree) pairs — main leaf
+        smaller than k — pay for this; filled pairs keep the single
+        main-leaf path.
+
+        ``allowed_ids`` composes a metadata predicate INTO the candidate set
+        (broadcast semi-join BEFORE counting/fill, so underflow and budgets
+        operate on the filtered corpus ≡ an index built on the subset) —
+        with the degenerate 1-tree/unbounded-leaf config this is provably
+        the exact filtered KNN, the same pre-filter contract as IVF's
+        candidate_ids."""
+        qp = self.assign_paths(queries, query_id, query_vec)
+        leaves = self.leaves
         if allowed_ids is not None:
             keep = allowed_ids.select(
                 F.col(allowed_ids.columns[0]).cast("long").alias("id")
             )
-            cands = cands.join(F.broadcast(keep), "id", "left_semi")
+            leaves = leaves.join(F.broadcast(keep), "id", "left_semi")
+
+        main = qp.join(leaves, ["tree_id", "path"]).select(
+            "query_id", "tree_id", "q_vec", "id", "embedding"
+        )
+        if backup_fill:
+            cnt = main.groupBy("query_id", "tree_id").agg(
+                F.count(F.lit(1)).alias("n_cand")
+            )
+            under = (
+                qp.join(cnt, ["query_id", "tree_id"], "left")
+                .filter(F.coalesce(F.col("n_cand"), F.lit(0)) < k)
+                .select("query_id", "tree_id", "q_vec")
+            )
+            filled = main.join(
+                under.select("query_id", "tree_id"),
+                ["query_id", "tree_id"],
+                "left_anti",
+            )
+            fill = self._backup_fill_candidates(under, leaves, k)
+            cands = (
+                filled.select("query_id", "q_vec", "id", "embedding")
+                .unionByName(fill)
+                .dropDuplicates(["query_id", "id"])
+            )
+        else:
+            cands = main.select("query_id", "q_vec", "id", "embedding").dropDuplicates(
+                ["query_id", "id"]  # DashSet union across trees (lsh.rs:266-270)
+            )
         w = W.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("id"))
         return (
             cands.withColumn("_dist", V.sq_euclidean(F.col("q_vec"), F.col("embedding")))
@@ -359,6 +404,87 @@ class LSHForestIndex:
                 F.col("_dist").alias("distance"),
                 F.col("rn").alias("rank"),
             )
+        )
+
+    def _backup_fill_candidates(
+        self, under: DataFrame, leaves: DataFrame, k: int
+    ) -> DataFrame:
+        """Budgeted whole-tree visit for underfilled (query, tree) pairs.
+
+        The reference's recursion (lsh.rs:203-215) visits leaves in
+        lexicographic order of their deviation string and takes
+        min(leaf_size, remaining_budget) nearest members from each, where
+        Σ taken over earlier leaves = min(k, Σ their sizes) — so a member is
+        admitted iff its within-leaf distance rank ≤ k − cum_size_before.
+        Cost is bounded by (underfilled pairs) × (planes per tree); filled
+        pairs never reach here, and at production max_node_size ≥ k
+        underflow is the rare edge, not the norm."""
+        # the query's side at EVERY inner node of its tree
+        sides = under.join(self.hyperplanes, "tree_id").select(
+            "query_id",
+            "tree_id",
+            F.col("path").alias("prefix"),
+            _plane_side(F.col("q_vec"), F.col("coeffs"), F.col("constant")).alias("q_bit"),
+        )
+        # leaf paths decomposed into (ancestor prefix, branch bit) per level
+        paths = leaves.select("tree_id", "path").distinct()
+        lp = (
+            paths.filter(F.length("path") >= 1)
+            .withColumn("level", F.explode(F.expr("sequence(0, length(path) - 1)")))
+            .select(
+                "tree_id",
+                "path",
+                "level",
+                F.expr("substring(path, 1, level)").alias("prefix"),
+                F.expr("substring(path, level + 1, 1)").alias("leaf_bit"),
+            )
+        )
+        dev = (
+            under.select("query_id", "tree_id")
+            .join(lp, "tree_id")
+            .join(sides, ["query_id", "tree_id", "prefix"])
+            .withColumn(
+                "bit", F.when(F.col("leaf_bit") == F.col("q_bit"), "0").otherwise("1")
+            )
+            .groupBy("query_id", "tree_id", "path")
+            .agg(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(level, bit))), x -> x.bit), '')"
+                ).alias("dev")
+            )
+        )
+        # single-leaf trees (empty path, no planes) sort first with dev = ''
+        root_leaves = (
+            under.select("query_id", "tree_id")
+            .join(paths.filter(F.length("path") == 0), "tree_id")
+            .withColumn("dev", F.lit(""))
+        )
+        sizes = leaves.groupBy("tree_id", "path").agg(F.count(F.lit(1)).alias("leaf_n"))
+        wdev = W.partitionBy("query_id", "tree_id").orderBy("dev")
+        adm = (
+            dev.unionByName(root_leaves)
+            .join(sizes, ["tree_id", "path"])
+            .withColumn(
+                "cum_before",
+                F.coalesce(
+                    F.sum("leaf_n").over(wdev.rowsBetween(W.unboundedPreceding, -1)),
+                    F.lit(0),
+                ),
+            )
+            .filter(F.col("cum_before") < k)
+            .withColumn("cap", F.lit(k) - F.col("cum_before"))
+            .select("query_id", "tree_id", "path", "cap")
+        )
+        wleaf = W.partitionBy("query_id", "tree_id", "path").orderBy(
+            F.asc("_d"), F.asc("id")
+        )
+        return (
+            adm.join(under, ["query_id", "tree_id"])
+            .join(leaves, ["tree_id", "path"])
+            .withColumn("_d", V.sq_euclidean(F.col("q_vec"), F.col("embedding")))
+            .withColumn("_lr", F.row_number().over(wleaf))
+            .filter(F.col("_lr") <= F.col("cap"))
+            .select("query_id", "q_vec", "id", "embedding")
         )
 
     # ---------------- maintenance ----------------

@@ -121,8 +121,10 @@ class PQCodec:
         ADC shortlist (k·oversample) is exactly re-ranked against the raw
         vectors. Returns (query_id, neighbour_id, distance, rank) like
         operators/knn.exact_knn."""
+        from vers_spark.functions.validate import bounded_collect
+
         spark = codes.sparkSession
-        q_rows = queries.select(query_id, query_vec).collect()
+        q_rows = bounded_collect(queries.select(query_id, query_vec), "PQCodec.search")
         if not q_rows:
             return spark.createDataFrame(
                 [], "query_id long, neighbour_id long, distance double, rank int"
@@ -196,8 +198,10 @@ class PQCodec:
         ``lut array<array<double>>`` (m × k_codebook): computed driver-side
         (queries are the small side by contract), joined/broadcast to
         candidates so the per-candidate distance is a pure JVM expression."""
+        from vers_spark.functions.validate import bounded_collect
+
         spark = queries.sparkSession
-        q_rows = queries.select(query_id, query_vec).collect()
+        q_rows = bounded_collect(queries.select(query_id, query_vec), "PQCodec.lut")
         m, dsub = self.m, self.dsub
         out = []
         for r in q_rows:

@@ -35,7 +35,18 @@ def dedup_group_stats(df: DataFrame, keys: Sequence[str], id_col: str) -> DataFr
     )
 
 
-def dedup_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    """Vector dedup by array value (HashKey analogue; see functions.vector
-    note on 0.0/-0.0 divergence). Returns survivors only."""
+def dedup_vectors(df: DataFrame, vec_col: str, id_col: str, bitexact: bool = False) -> DataFrame:
+    """Vector dedup by array value. Default keys on Spark array equality
+    (-0.0 == 0.0, NaNs normalized — SURVEY §1.2 documented divergence);
+    ``bitexact=True`` keys on the packed-f32-bytes digest instead, the
+    reference's HashKey identity (base.rs:113-117) where -0.0 ≠ 0.0 and
+    NaN payloads are distinct. Returns survivors only."""
+    if bitexact:
+        from vers_spark.functions.vector_np import bitexact_key_udf
+
+        return (
+            df.withColumn("_bk", bitexact_key_udf(F.col(vec_col)))
+            .transform(lambda d: dedup_exact(d, ["_bk"], [id_col]))
+            .drop("_bk")
+        )
     return dedup_exact(df, [vec_col], [id_col])

@@ -113,6 +113,17 @@ def lsh_search_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(emb.filter(F.col("vec_id") < 20), k=10)
 
 
+def lsh_search_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backup-branch fill rule (lsh.rs:203-215) under forced underflow:
+    max_node_size=8 < k=10, so EVERY (query, tree) pair underfills its main
+    leaf and the budgeted sibling-branch visit supplies the remainder —
+    rows-only here; bit-parity with a local replay of the reference
+    recursion is gated in tests/test_lsh_backup.py."""
+    idx = _lsh(spark, sf_dir, trees=2, max_node=8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return idx.search(emb.filter(F.col("vec_id") < 10), k=10)
+
+
 def _hnsw(spark: SparkSession, sf_dir: str) -> HNSWIndex:
     if (sf_dir,) not in _HNSW_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -278,6 +289,7 @@ QUERIES = {
     "ivf_cluster_stats": ivf_cluster_stats,
     "ivf_build_ref": ivf_build_ref,
     "lsh_search_forest": lsh_search_forest,
+    "lsh_search_backup": lsh_search_backup,
     "hnsw_search": hnsw_search,
     "hnsw_search_filtered": hnsw_search_filtered,
     "ivfpq_search": ivfpq_search_q,

@@ -79,7 +79,9 @@ def exact_knn_blocked(
     import numpy as np
 
     spark = corpus.sparkSession
-    q_rows = queries.select(query_id, query_vec).collect()
+    from vers_spark.functions.validate import bounded_collect
+
+    q_rows = bounded_collect(queries.select(query_id, query_vec), "exact_knn_blocked")
     if not q_rows:
         return spark.createDataFrame([], "query_id long, neighbour_id long, distance double, rank int")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)

@@ -638,6 +638,35 @@ def doc_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink parity (SURVEY §9.5): documents round-trip through
+    Avro OCF files and the per-(source, lang) aggregate must equal the same
+    aggregate stated directly over the table. Uses the spark-avro module
+    when on the classpath; otherwise sources/avro_file's self-contained
+    null-codec fallback (distributed write-per-partition + binaryFile read)
+    — the SAME oracle hash-match gates both paths."""
+    import os
+    import tempfile
+
+    from vers_spark.sources.avro_file import read_avro, write_avro
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="vs_avro_")
+    path = os.path.join(d, "docs")
+    write_avro(docs, path)
+    back = read_avro(
+        spark, path, "doc_id long, text string, lang string, source string, n_chars long"
+    ).filter(F.col("n_chars") > 0)
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_heavy_hitter_tokens": f"""
         WITH counts AS (
@@ -817,6 +846,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents WHERE n_chars > 0
         GROUP BY source, lang ORDER BY source, lang
     """,
+    "doc_avro_roundtrip": """
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE n_chars > 0
+        GROUP BY source, lang ORDER BY source, lang
+    """,
     "doc_vocab_coverage": f"""
         WITH counts AS (
             SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -892,6 +928,7 @@ QUERIES = {
     "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
     "doc_csv_roundtrip": doc_csv_roundtrip,
     "doc_orc_roundtrip": doc_orc_roundtrip,
+    "doc_avro_roundtrip": doc_avro_roundtrip,
     "doc_repetition_quality": doc_repetition_quality,
     "doc_decontaminate": doc_decontaminate,
     "doc_tfidf_topk": doc_tfidf_topk,

@@ -16,6 +16,11 @@ from vers_spark.sources.tables import load_table
 # DuckDB fragments mirroring the f64 left-fold kernels (list_reduce without an
 # init folds from the first element; 0.0 + x == x bitwise, so it matches the
 # Spark aggregate with a 0.0 accumulator).
+# vec_corpus_roundtrip stages a bounded slice through driver-side file I/O
+# (the .vec text format is a single local file by nature); ONE constant keeps
+# the driver-memory bound auditable.
+_VEC_ROUNDTRIP_ROWS = 300
+
 _D_DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x,y) -> x + y)"
 )
@@ -100,7 +105,9 @@ def vec_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vers_spark.sources.tables import load_table
     from vers_spark.sources.vec_file import load_vec_file
 
-    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(300)
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(
+        _VEC_ROUNDTRIP_ROWS
+    )
     rows = emb.collect()
     dim = len(rows[0]["embedding"])
     d = tempfile.mkdtemp(prefix="vs_vecfile_")
