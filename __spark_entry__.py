@@ -9,15 +9,56 @@ search, iterative builds) appear in ``queries()`` only → rows-only check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Runtime-settable session tuning applied on the driver's session the first
+# time any registered query runs: the driver may hand us a vanilla session
+# (shuffle=200, AQE off), which would cost ~6x task overhead at sweep SF and
+# mis-size every shuffle. All keys here are safe to set post-start; static
+# conf (e.g. parquet nanosAsLong) is handled structurally in sources/tables.
+_RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+_TUNED: set[int] = set()
+
+
+def _tune(spark: SparkSession) -> None:
+    if id(spark) in _TUNED:
+        return
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # immutable in this deployment — keep going
+            pass
+    _TUNED.add(id(spark))
+
+
+def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _tune(spark)
+        return fn(spark, sf_dir)
+
+    wrapper.__name__ = getattr(fn, "__name__", "query")
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q5-shape revenue-by-nation on sf0.001."""
     from vers_spark.operators.relational import q5_revenue_by_nation
 
+    _tune(spark)
     return q5_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
@@ -57,7 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(temporal.QUERIES)
     out.update(relational.QUERIES)
     out["vec_corpus_roundtrip"] = roundtrip
-    return out
+    return {name: _tuned(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -46,8 +46,11 @@ def test_feature_extract_deterministic(media):
     assert len(a) == media.count()
 
 
-def test_real_decode_raises(media):
-    with pytest.raises(Exception, match="NotImplementedError|image/audio"):
+def test_real_decode_rejects_non_format_payloads(media):
+    """decode="real" now actually parses (media_codecs BMP/WAV); the text-
+    byte payloads of the default synthesizer are NOT valid format bytes, so
+    the real path must fail loudly on them, naming the expected magic."""
+    with pytest.raises(Exception, match="BMP|WAV|RIFF|not a"):
         extract_features(media, decode="real").collect()
 
 

@@ -366,10 +366,17 @@ class LSHForestIndex:
             )
             leaves = leaves.join(F.broadcast(keep), "id", "left_semi")
 
+        if backup_fill:
+            # three consumers below (count, filled-branch, fill-branch) share
+            # the descent fold and the leaf join — persist both subplans so
+            # the final DAG computes them once, not per branch (Catalyst does
+            # not CSE whole subtrees across union branches)
+            qp = qp.localCheckpoint(eager=False)
         main = qp.join(leaves, ["tree_id", "path"]).select(
             "query_id", "tree_id", "q_vec", "id", "embedding"
         )
         if backup_fill:
+            main = main.localCheckpoint(eager=False)
             cnt = main.groupBy("query_id", "tree_id").agg(
                 F.count(F.lit(1)).alias("n_cand")
             )
@@ -377,18 +384,27 @@ class LSHForestIndex:
                 qp.join(cnt, ["query_id", "tree_id"], "left")
                 .filter(F.coalesce(F.col("n_cand"), F.lit(0)) < k)
                 .select("query_id", "tree_id", "q_vec")
-            )
-            filled = main.join(
-                under.select("query_id", "tree_id"),
-                ["query_id", "tree_id"],
-                "left_anti",
-            )
-            fill = self._backup_fill_candidates(under, leaves, k)
-            cands = (
-                filled.select("query_id", "q_vec", "id", "embedding")
-                .unionByName(fill)
-                .dropDuplicates(["query_id", "id"])
-            )
+            ).localCheckpoint(eager=False)
+            # short-circuit the common case: no underfilled pair -> every
+            # fill branch would be empty, but its stages would still be
+            # scheduled. The probe rides the persisted qp/main, and the
+            # persisted `under` feeds the fill plan when non-empty.
+            if under.isEmpty():
+                cands = main.select(
+                    "query_id", "q_vec", "id", "embedding"
+                ).dropDuplicates(["query_id", "id"])
+            else:
+                filled = main.join(
+                    under.select("query_id", "tree_id"),
+                    ["query_id", "tree_id"],
+                    "left_anti",
+                )
+                fill = self._backup_fill_candidates(under, leaves, k)
+                cands = (
+                    filled.select("query_id", "q_vec", "id", "embedding")
+                    .unionByName(fill)
+                    .dropDuplicates(["query_id", "id"])
+                )
         else:
             cands = main.select("query_id", "q_vec", "id", "embedding").dropDuplicates(
                 ["query_id", "id"]  # DashSet union across trees (lsh.rs:266-270)

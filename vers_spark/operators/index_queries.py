@@ -121,7 +121,7 @@ def lsh_search_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion is gated in tests/test_lsh_backup.py."""
     idx = _lsh(spark, sf_dir, trees=2, max_node=8)
     emb = load_table(spark, sf_dir, "embeddings")
-    return idx.search(emb.filter(F.col("vec_id") < 10), k=10)
+    return idx.search(emb.filter(F.col("vec_id") < 5), k=10)
 
 
 def _hnsw(spark: SparkSession, sf_dir: str) -> HNSWIndex:

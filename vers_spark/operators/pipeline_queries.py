@@ -107,6 +107,40 @@ def emb_knn_selfjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_similarity_join(emb, k=3, index=_simjoin_ivf(spark, sf_dir, 1))
 
 
+def mm_real_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode end-to-end (no external libs: BMP/WAV/BMP-stream
+    codecs in operators/media_codecs): synthesize actual format bytes, run
+    bilinear resize on images, linear resample on audio, header-walk frame
+    sampling on video, then content-derived features — per-kind stats.
+    Rows-only (binary payload pipelines are not SQL-expressible)."""
+    from vers_spark.operators.multimodal import FEATURE_DIM  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    media = synthesize_media_from_documents(docs, real_payloads=True)
+    imgs = resize_images(media, 8, 6, decode="real")
+    aud = resample_audio(media, 8000, decode="real")
+    frames = sample_frames(media, every_ms=1000, decode="real")
+    feat = extract_features(imgs.unionByName(aud), decode="real")
+    norm = F.aggregate(
+        "feature", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    stats = (
+        feat.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.avg(F.sqrt(norm)), 6).alias("mean_feat_norm"),
+        )
+    )
+    vid = frames.agg(
+        F.lit("video").alias("kind"),
+        F.countDistinct("media_id").cast("long").alias("n_items"),
+        F.round(F.count(F.lit(1)) / F.countDistinct("media_id"), 6).alias(
+            "mean_feat_norm"  # frames-per-video for the video row
+        ),
+    )
+    return stats.unionByName(vid).orderBy("kind")
+
+
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over synthesized media payloads —
     rows-only (sha256-derived fake features; decode seam stubbed)."""
@@ -235,6 +269,7 @@ QUERIES = {
     "emb_similarity_join": emb_similarity_join,
     "emb_knn_selfjoin_exact": emb_knn_selfjoin_exact,
     "mm_feature_extract": mm_feature_extract,
+    "mm_real_pipeline": mm_real_pipeline,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
     "mm_audio_resample": mm_audio_resample,
