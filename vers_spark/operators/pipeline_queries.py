@@ -141,6 +141,28 @@ def mm_real_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(vid).orderBy("kind")
 
 
+def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata audit — the one hash-matched query of the media
+    family: per-kind counts, payload byte totals, and meta ranges over the
+    synthesized media table. Payload bytes and meta fields are deterministic
+    functions of the documents table, so a DuckDB oracle states the same
+    aggregate directly; the binary column's byte length survives the whole
+    Spark path (encode → binary → length), which is exactly what an opaque-
+    payload pipeline needs to guarantee."""
+    media = synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.sum(F.length("payload")).cast("long").alias("sum_payload_bytes"),
+            F.min("meta.width").cast("int").alias("min_width"),
+            F.max("meta.height").cast("int").alias("max_height"),
+            F.sum("meta.duration_ms").cast("long").alias("sum_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over synthesized media payloads —
     rows-only (sha256-derived fake features; decode seam stubbed)."""
@@ -261,6 +283,25 @@ ORACLE_SQL["emb_knn_selfjoin_exact"] = f"""
     ) WHERE rank <= 3
 """
 
+ORACLE_SQL["mm_meta_stats"] = """
+    WITH m AS (
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS payload_bytes,
+               CAST(n_chars % 640 + 1 AS INT) AS width,
+               CAST(n_chars % 480 + 1 AS INT) AS height,
+               CAST(n_chars * 10 AS BIGINT) AS duration_ms
+        FROM documents
+    )
+    SELECT kind,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(payload_bytes) AS BIGINT) AS sum_payload_bytes,
+           min(width) AS min_width,
+           max(height) AS max_height,
+           CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms
+    FROM m GROUP BY kind ORDER BY kind
+"""
+
 QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_cosine_neardup": emb_cosine_neardup,
@@ -268,6 +309,7 @@ QUERIES = {
     "doc_mllib_exactdup": doc_mllib_exactdup,
     "emb_similarity_join": emb_similarity_join,
     "emb_knn_selfjoin_exact": emb_knn_selfjoin_exact,
+    "mm_meta_stats": mm_meta_stats,
     "mm_feature_extract": mm_feature_extract,
     "mm_real_pipeline": mm_real_pipeline,
     "mm_frame_sample": mm_frame_sample,

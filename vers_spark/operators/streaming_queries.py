@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vers_spark.streaming.events import (
+    scratch_dir,
     read_events_stream,
     run_to_table,
     stream_ivf_ingest,
@@ -116,7 +117,7 @@ def stream_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies, fingerprint store anti-join per batch. The end state must equal
     global min-doc_id-per-fingerprint dedup, so the stream result itself is
     the oracle-checked output."""
-    sink = tempfile.mkdtemp(prefix="vs_dedup_store_")
+    sink = scratch_dir("vs_dedup_store_")
     from vers_spark.streaming.events import stream_dedup_ingest
 
     store = stream_dedup_ingest(spark, sf_dir, f"{sink}/store")
@@ -130,7 +131,7 @@ def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_quality score. Stateless gate => combined end state equals the
     batch filter, so per-source counts + kept-score extrema hash-match a
     plain SQL oracle."""
-    sink = tempfile.mkdtemp(prefix="vs_qgate_store_")
+    sink = scratch_dir("vs_qgate_store_")
     from vers_spark.streaming.events import stream_quality_gate
 
     accept, reject = stream_quality_gate(spark, sf_dir, f"{sink}/store")
@@ -155,7 +156,7 @@ def stream_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     view→click→purchase state machine over micro-batches; the last emission
     per user equals the batch window program exactly, so this hash-matches
     the SAME SQL oracle as evt_funnel_conversion."""
-    sink = tempfile.mkdtemp(prefix="vs_funnel_sink_")
+    sink = scratch_dir("vs_funnel_sink_")
     from vers_spark.streaming.funnel import stream_funnel
 
     out = stream_funnel(spark, sf_dir, f"{sink}/snaps")
@@ -175,7 +176,7 @@ def stream_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     .stream_retention_ingest): the accumulated (user, week) store aggregated
     into the cohort x active-week matrix - equals batch evt_retention_cohorts,
     so it shares that oracle."""
-    sink = tempfile.mkdtemp(prefix="vs_retn_store_")
+    sink = scratch_dir("vs_retn_store_")
     from pyspark.sql import Window as W
 
     from vers_spark.streaming.funnel import stream_retention_ingest
@@ -193,7 +194,7 @@ def stream_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list sizes after streaming the corpus through foreachBatch
     IVF assignment — rows-only (k-means centroids not SQL-expressible)."""
-    sink = tempfile.mkdtemp(prefix="vs_ivf_ingest_")
+    sink = scratch_dir("vs_ivf_ingest_")
     ingested = stream_ivf_ingest(spark, sf_dir, f"{sink}/data")
     return (
         ingested.groupBy("cluster_id")

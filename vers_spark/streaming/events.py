@@ -52,6 +52,18 @@ _EMB_FILE_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 _sink_counter = itertools.count()
 
+def scratch_dir(prefix: str) -> str:
+    """Streaming scratch space (stage dirs, stores, sinks, checkpoints):
+    tmpfs when available — micro-batch checkpoints fsync many tiny files,
+    which on the harness's slow shared disk dominates small-stream wall
+    time; on a real cluster these live on provisioned fast storage and this
+    is a no-op choice."""
+    base = "/dev/shm/vs-scratch" if os.path.isdir("/dev/shm") else None
+    if base is not None:
+        os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 # Stateful streaming operators (windowed aggs, dropDuplicates, stream-stream
 # joins, applyInPandasWithState) create ONE state-store instance per shuffle
 # partition per micro-batch — at 32 partitions x 4-5 batches that is pure
@@ -87,7 +99,7 @@ def _stage_dir(sf_dir: str, name: str) -> str:
     read-only), so stage a tempdir holding a symlink to the parquet file."""
     key = f"{sf_dir}/{name}"
     if key not in _STAGE_CACHE:
-        d = tempfile.mkdtemp(prefix=f"vs_stream_{name}_")
+        d = scratch_dir(f"vs_stream_{name}_")
         os.symlink(f"{sf_dir}/{name}.parquet", f"{d}/{name}_000.parquet")
         _STAGE_CACHE[key] = d
     return _STAGE_CACHE[key]
@@ -234,7 +246,7 @@ def stream_dedup_ingest(
         (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source"
     )
     arriving = docs.unionByName(dups)
-    src_dir = tempfile.mkdtemp(prefix="vs_dedup_src_")
+    src_dir = scratch_dir("vs_dedup_src_")
     arriving.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(src_dir)
     # FileStreamSource orders micro-batches by file modification time, and a
     # parallel write leaves mtimes racy — pin strictly increasing mtimes in
@@ -302,7 +314,7 @@ def stream_quality_gate(
     from vers_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
-    src_dir = tempfile.mkdtemp(prefix="vs_qgate_src_")
+    src_dir = scratch_dir("vs_qgate_src_")
     docs.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(src_dir)
 
     stream = spark.readStream.schema(

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from vers_spark.sources.tables import load_table
+from vers_spark.streaming.events import scratch_dir
 
 _HOP_US = 172_800_000_000  # 48 h, matching operators.temporal.evt_funnel_conversion
 
@@ -61,7 +62,7 @@ def stream_funnel(
         .filter(F.col("event_type").isin("view", "click", "purchase"))
         .select("event_id", F.unix_micros("ts").alias("tus"), "user_id", "event_type")
     )
-    src_dir = tempfile.mkdtemp(prefix="vs_funnel_src_")
+    src_dir = scratch_dir("vs_funnel_src_")
     ev.repartitionByRange(n_files, "tus").write.mode("overwrite").parquet(src_dir)
     base = _time.time() - 3600
     for i, f in enumerate(sorted(_glob.glob(f"{src_dir}/part-*.parquet"))):
@@ -149,7 +150,7 @@ def stream_retention_ingest(
     Store lookups stay cheap at scale by bucketing the store on user_id;
     per-batch work never exceeds the batch's distinct pairs."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    src_dir = tempfile.mkdtemp(prefix="vs_retn_src_")
+    src_dir = scratch_dir("vs_retn_src_")
     ev.repartitionByRange(n_files, "ts", "event_id").write.mode("overwrite").parquet(src_dir)
     base = _time.time() - 3600
     for i, f in enumerate(sorted(_glob.glob(f"{src_dir}/part-*.parquet"))):
