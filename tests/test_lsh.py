@@ -77,3 +77,45 @@ def test_save_load_roundtrip(spark, forest, emb, tmp_path):
     loaded = LSHForestIndex.load(spark, path)
     after = loaded.search(q, k=5).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_add_splits_overflowed_leaves(spark, emb):
+    """lsh.rs:218-251 parity: adding past max_node_size rebuilds the leaf
+    into a subtree — leaf-size invariant holds after add, new planes extend
+    the tree, and every added vector finds itself at distance 0."""
+    from pyspark.sql import functions as F
+
+    base = emb.filter(F.col("vec_id") < 200)
+    extra = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400))
+    idx = LSHForestIndex.build(base, num_trees=2, max_node_size=16, seed=3)
+    n_planes_before = idx.hyperplanes.count()
+    grown = idx.add(extra)
+    sizes = (
+        grown.leaves.groupBy("tree_id", "path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert sizes <= 16
+    assert grown.hyperplanes.count() > n_planes_before
+    # routing consistency: every row's stored path is the path the (possibly
+    # deepened) tree assigns its vector
+    q = grown.assign_paths(extra, "vec_id", "embedding").select(
+        F.col("query_id").alias("id"), "tree_id", F.col("path").alias("q_path")
+    )
+    mismatch = (
+        grown.leaves.join(q, ["tree_id", "id"])
+        .filter(F.col("path") != F.col("q_path"))
+        .count()
+    )
+    assert mismatch == 0
+    hits = grown.search(extra.limit(5), k=1).collect()
+    assert all(r["neighbour_id"] == r["query_id"] and r["distance"] == 0.0 for r in hits)
+
+
+def test_add_defer_mode_keeps_old_behavior(spark, emb):
+    base = emb.filter(F.col("vec_id") < 100)
+    extra = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+    idx = LSHForestIndex.build(base, num_trees=1, max_node_size=16, seed=3)
+    grown = idx.add(extra, split_overflow=False)
+    assert grown.hyperplanes.count() == idx.hyperplanes.count()

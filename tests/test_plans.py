@@ -305,3 +305,34 @@ def test_ivf_bucketed_store_join_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_ivf_assign")
+
+
+def test_degenerate_simjoin_broadcasts_not_single_partition(spark, sf_dir):
+    """num_clusters=1 similarity join: the constant join key must NOT become
+    a one-partition shuffle join — the candidate side broadcasts and the
+    probe side stays spread (the round-2 fix for the all-pairs oracle twin)."""
+    from vers_spark.operators.pipeline_queries import _simjoin_ivf
+    from vers_spark.operators.similarity import ivf_similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = ivf_similarity_join(emb, k=3, index=_simjoin_ivf(spark, sf_dir, 1))
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_sort_merge_join(df)
+
+
+def test_avro_fallback_read_is_distributed(spark, sf_dir, tmp_path):
+    """The OCF fallback reader scans via binaryFile + mapInPandas — the
+    plan must show a file-source scan feeding a Python/Arrow eval, with no
+    driver-side collect anywhere in the read path."""
+    from vers_spark.sources.avro_file import has_spark_avro, read_avro, write_avro
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "avro_plan")
+    write_avro(docs, path, n_files=2)
+    back = read_avro(
+        spark, path, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    plan = audit.executed_plan(back)
+    if not has_spark_avro(spark):
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert back.count() == 50

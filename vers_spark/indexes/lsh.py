@@ -128,6 +128,63 @@ def _build_trees_in_pandas(num_trees: int, max_node_size: int, seed: int, max_de
     return build_tree
 
 
+def _split_leaf_in_pandas(max_node_size: int, seed: int, max_depth: int):
+    """Grouped-map kernel for ``add``'s overflow rebuild (lsh.rs:218-251):
+    one group = one oversized leaf's members (tree_id, path fixed); split it
+    into a subtree rooted at that path with the same hyperplane rule as the
+    build. Deterministic seeding keys on (seed, tree_id, node path) — the
+    reference's insert uses thread_rng here, so any fixed scheme is a
+    faithful strengthening."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    def split(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        tree_id = int(pdf["tree_id"].iloc[0])
+        root = str(pdf["path"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        embs = pdf["embedding"].tolist()
+        leaves: list[tuple[str, int, object]] = []
+        planes: list[tuple[str, list[float], float]] = []
+        stack: list[tuple[str, np.ndarray]] = [(root, np.arange(len(ids)))]
+        while stack:
+            path, idx = stack.pop()
+            if len(idx) <= max_node_size or len(path) >= max_depth:
+                for i in idx:
+                    leaves.append((path, int(ids[i]), embs[i]))
+                continue
+            rng = np.random.RandomState(
+                (seed * 1_000_003 + tree_id * 8191 + zlib.crc32(path.encode())) % (2**31)
+            )
+            i1, i2 = rng.choice(len(idx), 2, replace=False)
+            a, b = X[idx[i1]], X[idx[i2]]
+            if np.array_equal(a, b):  # duplicate-valued members: stay a leaf
+                for i in idx:
+                    leaves.append((path, int(ids[i]), embs[i]))
+                continue
+            coeff = b - a
+            const = float(-(coeff @ ((a + b) / 2.0)))
+            planes.append((path, coeff.tolist(), const))
+            side = X[idx] @ coeff + const >= 0
+            stack.append((path + "1", idx[side]))
+            stack.append((path + "0", idx[~side]))
+        return pd.DataFrame(
+            {
+                "tree_id": tree_id,
+                "kind": ["leaf"] * len(leaves) + ["plane"] * len(planes),
+                "path": [p for p, _, _ in leaves] + [p for p, _, _ in planes],
+                "id": [i for _, i, _ in leaves] + [None] * len(planes),
+                "embedding": [e for _, _, e in leaves] + [None] * len(planes),
+                "coeffs": [None] * len(leaves) + [c for _, c, _ in planes],
+                "constant": [None] * len(leaves) + [c for _, _, c in planes],
+            }
+        )
+
+    return split
+
+
 @dataclass
 class LSHForestIndex:
     spark: SparkSession
@@ -505,18 +562,62 @@ class LSHForestIndex:
 
     # ---------------- maintenance ----------------
 
-    def add(self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "LSHForestIndex":
+    def add(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        split_overflow: bool = True,
+    ) -> "LSHForestIndex":
         """Micro-append (lsh.rs:255-263): route new vectors through every
-        tree's planes into their leaves. The reference rebuilds a leaf's
-        subtree when it overflows max_node_size (lsh.rs:218-251); we accept
-        oversized leaves until the next full build — a documented batch
-        simplification (search stays correct, candidate sets just grow)."""
+        tree's planes into their leaves, then — like the reference's insert
+        (lsh.rs:218-251) — REBUILD any leaf that overflows max_node_size
+        into a subtree. The rebuild is a grouped applyInPandas over only the
+        affected (tree_id, path) groups (each holds one oversized leaf's
+        members), reusing the build's split kernel rooted at the leaf's
+        path — work is proportional to the overflowed leaves, never the
+        corpus. ``split_overflow=False`` restores the defer-to-next-build
+        behavior. Seeding differs from the full build's (it keys on the
+        leaf path, not the build-time row order) — allowed, the reference
+        uses thread_rng here (lsh.rs:63-65)."""
         routed = self.assign_paths(vectors, id_col, vec_col).select(
             "tree_id", "path", F.col("query_id").alias("id"), F.col("q_vec").alias("embedding")
         )
-        return LSHForestIndex(
-            self.spark, self.leaves.unionByName(routed), self.hyperplanes, self.params
-        )
+        leaves = self.leaves.unionByName(routed)
+        planes = self.hyperplanes
+        params = self.params
+        if split_overflow:
+            max_node = int(params["max_node_size"])
+            max_depth = int(params.get("max_depth", 24))
+            sizes = leaves.groupBy("tree_id", "path").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            over = sizes.filter(F.col("_n") > max_node).select("tree_id", "path")
+            if not over.isEmpty():
+                leaves = leaves.localCheckpoint(eager=False)
+                affected = leaves.join(F.broadcast(over), ["tree_id", "path"], "left_semi")
+                kept = leaves.join(F.broadcast(over), ["tree_id", "path"], "left_anti")
+                emb_type = leaves.schema["embedding"].dataType.simpleString()
+                rebuilt = affected.groupBy("tree_id", "path").applyInPandas(
+                    _split_leaf_in_pandas(max_node, int(params["seed"]), max_depth),
+                    schema=_local_build_schema(emb_type),
+                )
+                rebuilt = rebuilt.localCheckpoint(eager=True)  # read twice below
+                new_leaves = rebuilt.filter(F.col("kind") == "leaf").select(
+                    "tree_id", "path", "id", "embedding"
+                )
+                new_planes = rebuilt.filter(F.col("kind") == "plane").select(
+                    "tree_id", "path", "coeffs", "constant"
+                )
+                leaves = kept.unionByName(new_leaves)
+                planes = planes.unionByName(new_planes)
+                new_depth = (
+                    new_planes.agg(F.max(F.length("path"))).collect()[0][0]
+                )
+                if new_depth is not None:
+                    params = dict(params)
+                    params["depth"] = max(int(params["depth"]), int(new_depth) + 1)
+        return LSHForestIndex(self.spark, leaves, planes, params)
 
     # ---------------- persistence ----------------
 
