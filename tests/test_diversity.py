@@ -95,3 +95,22 @@ def test_semantic_dedup_drops_exact_twin(spark, sf_dir):
     }
     assert len(kept) == 2
     assert sum(kept.values()) == 1  # exactly one of the twins survives
+
+
+def test_semantic_dedup_spill_path_agrees_with_gram(spark, sf_dir, monkeypatch):
+    """The giant-cluster spill form (per-row dot vs kept set) must make the
+    same keep/drop decisions as the Gram-matrix form on real data."""
+    from vers_spark.operators import diversity as D
+    from vers_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gram = {
+        r["vec_id"]: r["kept"]
+        for r in D.semantic_dedup(emb, num_clusters=4, tau=0.95).collect()
+    }
+    monkeypatch.setattr(D, "GRAM_MAX_ROWS", 1)  # force spill on every cluster
+    spill = {
+        r["vec_id"]: r["kept"]
+        for r in D.semantic_dedup(emb, num_clusters=4, tau=0.95).collect()
+    }
+    assert gram == spill

@@ -33,6 +33,16 @@ from vers_spark.sources.tables import load_table
 
 TARGET_CLUSTER_SIZE = 2_000  # bounds the per-cluster Gram matrix (~32 MB f64)
 
+# Above this cluster size the c×c Gram matrix (the paper's one-matmul
+# pairwise step) stops being the right tool (~0.5 GB f64 at 8k×8k, growing
+# quadratically); the spill form compares each row only against the KEPT
+# set — O(c·kept) flops, O(kept·dim) memory. Deterministic run-to-run;
+# equal to the Gram path except when a similarity sits within one BLAS-ulp
+# of tau (agreement on real data asserted in tests). k is auto-sized to
+# keep clusters near TARGET_CLUSTER_SIZE, so this is the skewed-cluster
+# safety net, not the common path.
+GRAM_MAX_ROWS = 8_000
+
 
 def semantic_dedup(
     emb: DataFrame,
@@ -69,19 +79,21 @@ def semantic_dedup(
         "d_cent", V.sq_euclidean(F.col("embedding").cast("array<double>"), F.col("centroid"))
     )
 
+    gram_cap = GRAM_MAX_ROWS
+
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["d_cent", "id"]).reset_index(drop=True)
         X = np.array(list(pdf["embedding"]), dtype=np.float64)
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0.0] = 1.0
         Xn = X / norms[:, None]
-        S = Xn @ Xn.T  # per-cluster Gram matrix: the paper's pairwise step
+        S = Xn @ Xn.T if len(pdf) <= gram_cap else None
         kept_rows: list[int] = []
         kept_flags = np.zeros(len(pdf), dtype=bool)
         killer_sim = np.full(len(pdf), np.nan)
         for i in range(len(pdf)):
             if kept_rows:
-                sims = S[i, kept_rows]
+                sims = S[i, kept_rows] if S is not None else Xn[kept_rows] @ Xn[i]
                 j = int(np.argmax(sims))
                 if sims[j] >= tau:
                     killer_sim[i] = float(sims[j])
