@@ -16,14 +16,75 @@ def test_analysis_oracle(spark, sf_dir, name):
     assert_oracle_match(spark, sf_dir, name, TA.QUERIES[name], TA.ORACLE_SQL[name])
 
 
-def test_curation_pipeline_oracle(spark, sf_dir):
+def _curation_oracle_names():
+    from vers_spark.operators import curation
+
+    return sorted(curation.ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", _curation_oracle_names())
+def test_curation_oracle(spark, sf_dir, name):
     from vers_spark.operators import curation
 
     assert_oracle_match(
-        spark, sf_dir, "doc_curation_pipeline",
-        curation.QUERIES["doc_curation_pipeline"],
-        curation.ORACLE_SQL["doc_curation_pipeline"],
+        spark, sf_dir, name, curation.QUERIES[name], curation.ORACLE_SQL[name]
     )
+
+
+def test_upsert_merge_rewrites_only_impacted_buckets(spark, sf_dir):
+    """COW merge contract: bucket directories with no updated key keep their
+    parquet files BYTE-IDENTICAL (same paths, sizes, mtimes) — the rewrite
+    cost is proportional to the update batch's bucket fan-out, not table
+    size."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vers_spark.sources.tables import load_table
+    from vers_spark.sources.upsert import merge_into, read_cow_table, write_cow_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vs_cowtest_") + "/t"
+    write_cow_table(docs, path, key="doc_id", n_buckets=8)
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(path):
+            if not d.startswith("_part="):
+                continue
+            full = os.path.join(path, d)
+            out[d] = sorted(
+                (f, os.path.getsize(os.path.join(full, f)), os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    before = snapshot()
+    updates = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 7
+    )
+    impacted = merge_into(spark, path, updates, key="doc_id", n_buckets=8)
+    after = snapshot()
+    assert 0 < len(impacted) < 8, impacted  # the batch must not touch every bucket
+    for d, files in before.items():
+        bucket = int(d.split("=")[1])
+        if bucket not in impacted:
+            assert after[d] == files, f"untouched bucket {d} was rewritten"
+        else:
+            assert after[d] != files, f"impacted bucket {d} was not rewritten"
+
+    # merged content == declarative merge semantics
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in read_cow_table(spark, path).select("doc_id", "n_chars").collect()
+    }
+    want = {
+        r["doc_id"]: r["n_chars"] + (7 if r["doc_id"] % 50 == 0 else 0)
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    assert got == want
 
 
 @pytest.mark.parametrize("name", sorted(TDQ.ORACLE_SQL))

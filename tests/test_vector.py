@@ -45,6 +45,43 @@ def test_kernels_vs_numpy(spark):
         )
 
 
+def test_binary_sign_words_pack_and_hamming(spark):
+    """Sign-bit packing: MSB-first within each 32-bit word; short tail folds
+    into low bits; hamming_words == popcount of XOR (numpy twin)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 2.0, 0.5]), (2, [0.0, -3.0, -0.5, -1e-9])],
+        "id long, a array<float>",
+    )
+    rows = {r["id"]: r for r in df.select("id", V.binary_sign_words("a").alias("w")).collect()}
+    assert rows[1]["w"] == [0b1011]
+    assert rows[2]["w"] == [0]  # x > 0 strictly: zeros and negatives are 0-bits
+
+    wide = [(1, [1.0] * 40), (2, [-1.0] * 32 + [1.0] * 8)]
+    dfw = spark.createDataFrame(wide, "id long, a array<float>")
+    got = {
+        r["id"]: r
+        for r in dfw.select(
+            "id",
+            V.binary_sign_words("a").alias("w"),
+        ).collect()
+    }
+    assert got[1]["w"] == [(1 << 32) - 1, (1 << 8) - 1]
+    assert got[2]["w"] == [0, (1 << 8) - 1]
+
+    pairs = dfw.alias("x").crossJoin(dfw.alias("y")).select(
+        F.col("x.id").alias("xi"),
+        F.col("y.id").alias("yi"),
+        V.hamming_words(
+            V.binary_sign_words("x.a"), V.binary_sign_words("y.a")
+        ).alias("h"),
+    )
+    h = {(r["xi"], r["yi"]): r["h"] for r in pairs.collect()}
+    assert h[(1, 1)] == 0 and h[(2, 2)] == 0
+    assert h[(1, 2)] == 32 and h[(2, 1)] == 32
+
+
 def test_normalize_degenerate_guard(spark):
     """normalize() is the identity below the 1e-6 magnitude guard (base.rs:99-105)."""
     df = spark.createDataFrame(

@@ -132,6 +132,43 @@ def dequantize(q: Column, scale: Column) -> Column:
     return F.transform(q, lambda x: _f64(x) * scale)
 
 
+# ---- 1-bit (sign) binary quantization (coarse filter for 100 TB ANN) -------
+# Each element contributes one bit (x > 0); bits pack MSB-first into 32-bit
+# words via the fixed left-fold acc*2 + bit, so a dim-D vector becomes
+# ceil(D/32) BIGINT words — 32x less data movement than f32 on the scan side.
+# Hamming distance over the words (bit_count of XOR) is a monotone proxy for
+# angular distance; exact re-rank of a small shortlist restores precision.
+# Pure integer arithmetic end-to-end → engine-identical, SQL-oracle-checkable.
+
+BINARY_WORD_BITS = 32
+
+
+def binary_sign_words(a: Column) -> Column:
+    """Pack sign bits of ``a`` into ``array<long>`` 32-bit words (MSB-first).
+
+    Word ``w`` covers elements ``[w*32, w*32+31]``; a short tail folds into the
+    low bits of the last word (equivalent to zero-padding the vector).
+    """
+    last_word = F.floor((_f64(F.size(a)) - 1) / F.lit(float(BINARY_WORD_BITS))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), last_word),
+        lambda w: F.aggregate(
+            F.slice(a, w * BINARY_WORD_BITS + 1, BINARY_WORD_BITS),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + F.when(_f64(x) > 0.0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+
+
+def hamming_words(wa: Column, wb: Column) -> Column:
+    """Σ popcount(waᵢ XOR wbᵢ) over packed sign words — the binary distance."""
+    return F.aggregate(
+        F.zip_with(wa, wb, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 DISTANCE_FNS = {
     "sq_euclidean": sq_euclidean,
     "cosine": cosine_distance,

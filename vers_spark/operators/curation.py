@@ -264,7 +264,170 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- data-mix rebalancing to a global char budget --------------------------
+# Per-source mixture weights in thousandths; unlisted sources get the default.
+# The canonical pretraining "data mixing" move: cap each source's contribution
+# at weight/1000 of the global budget, filling each source in a deterministic
+# hash order (so the sample is reproducible and append-stable, like
+# doc_split_assign).
+MIXTURE_BUDGET_CHARS = 200_000
+MIXTURE_WEIGHTS_K = {"src0": 200, "src1": 150, "src2": 100, "src3": 100}
+MIXTURE_DEFAULT_K = 25
+
+
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling: each source gets ``weight/1000 * MIXTURE_BUDGET_CHARS``
+    chars; docs fill the per-source budget in ``(stable_hash60(doc_id), doc_id)``
+    order (a deterministic shuffle — no seeded RNG, so the pick is identical
+    across engines/partitionings and stable under appends of other sources).
+    Pure integer cumsum → exact oracle. One shuffle (per-source window); at
+    100 TB a skewed source shards exactly like doc_pack_sequences_sharded
+    (contiguous hash-ranges + composed base offsets)."""
+    from vers_spark.functions.text import stable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        stable_hash60(F.col("doc_id").cast("string")).alias("_h"),
+        F.expr(
+            f"CAST(({_MIX_WEIGHT_SPARK} * {MIXTURE_BUDGET_CHARS}) div 1000 AS BIGINT)"
+        ).alias("_budget"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.asc("_h"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    picked = (
+        d.withColumn("cum_chars", F.sum("n_chars").over(w).cast("long"))
+        .filter(F.col("cum_chars") <= F.col("_budget"))
+        .select("doc_id", "source", "n_chars", "cum_chars")
+    )
+    return picked
+
+
+_MIX_WEIGHT_SPARK = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {k}" for s, k in sorted(MIXTURE_WEIGHTS_K.items())
+) + f" ELSE {MIXTURE_DEFAULT_K} END"
+
+
+# ---- deterministic weight-biased priority sample ---------------------------
+# key = n_chars * (stable_hash60(doc_id) % 2^20): monotone-in-weight,
+# reproducible, integer-exact in both engines. (The textbook A-ES weighted
+# reservoir uses u^(1/w) keys — transcendentals whose last-ulp is NOT
+# bit-portable across engines; the integer product form keeps the same
+# "heavier docs are proportionally likelier to rank high" bias while staying
+# oracle-checkable. Documented operator spec, not a claim of exact
+# probability-proportional sampling.)
+WEIGHTED_SAMPLE_K = 200
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-``WEIGHTED_SAMPLE_K`` docs by the deterministic weighted
+    priority key (weight = n_chars). Top-k by sort+limit — Spark plans
+    TakeOrderedAndProject (per-partition heap + tiny driver merge), NOT a
+    global sort: the 100 TB plan shape."""
+    from vers_spark.functions.text import stable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    pri = (F.col("n_chars").cast("long") * (stable_hash60(F.col("doc_id").cast("string")) % F.lit(1048576))).alias(
+        "priority"
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", pri)
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+# ---- incremental corpus refresh: keyed COW upsert --------------------------
+UPSERT_BUCKETS = 16
+
+
+def doc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO end-to-end (sources.upsert): materialize documents as a
+    16-bucket hash-partitioned COW table, apply an update batch (doc_id%10
+    rows get re-scored n_chars+1000; doc_id%17 rows re-ingest as new 'xx'
+    docs under shifted ids), rewriting ONLY the impacted bucket directories,
+    then read the table back. The oracle states merge semantics declaratively
+    (update-wins anti-join ∪ updates) — the hash match fails if the COW
+    rewrite loses, duplicates, or corrupts any row in touched OR untouched
+    buckets. File-level no-rewrite of untouched buckets is asserted in
+    tests."""
+    import tempfile
+
+    from vers_spark.sources.upsert import merge_into, read_cow_table, write_cow_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vs_cow_") + "/docs"
+    write_cow_table(docs, path, key="doc_id", n_buckets=UPSERT_BUCKETS)
+    updates = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            (F.col("n_chars") + 1000).alias("n_chars"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 50000).alias("doc_id"),
+                "text",
+                F.lit("xx").alias("lang"),
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    merge_into(spark, path, updates, key="doc_id", n_buckets=UPSERT_BUCKETS)
+    return read_cow_table(spark, path).select("doc_id", "lang", "source", "n_chars")
+
+
 ORACLE_SQL = {
+    "doc_upsert_merge": """
+        WITH upd AS (
+            SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 50000 AS doc_id, 'xx' AS lang, source, n_chars
+            FROM documents WHERE doc_id % 17 = 0
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id)
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars FROM upd
+    """,
+    "doc_mixture_sample": f"""
+        WITH d AS (
+            SELECT doc_id, source, n_chars,
+                   {{h}} AS h,
+                   CAST((CASE source {' '.join(f"WHEN '{s}' THEN {k}" for s, k in sorted(MIXTURE_WEIGHTS_K.items()))} ELSE {MIXTURE_DEFAULT_K} END)
+                        * {MIXTURE_BUDGET_CHARS} // 1000 AS BIGINT) AS budget
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, cum_chars
+        FROM (
+            SELECT doc_id, source, n_chars, budget,
+                   CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+            FROM d
+        )
+        WHERE cum_chars <= budget
+    """.format(h=D_HASH60.format(x="CAST(doc_id AS VARCHAR)")),
+    "doc_weighted_sample": """
+        SELECT doc_id, source, n_chars,
+               CAST(n_chars * (({h}) % 1048576) AS BIGINT) AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id ASC
+        LIMIT {k}
+    """.format(
+        h=D_HASH60.format(x="CAST(doc_id AS VARCHAR)"),
+        k=WEIGHTED_SAMPLE_K,
+    ),
     "doc_split_assign": f"""
         WITH b AS (
             SELECT lang,
@@ -350,6 +513,9 @@ ORACLE_SQL = {
 QUERIES = {
     "doc_curation_pipeline": doc_curation_pipeline,
     "doc_stratified_sample": doc_stratified_sample,
+    "doc_mixture_sample": doc_mixture_sample,
+    "doc_weighted_sample": doc_weighted_sample,
+    "doc_upsert_merge": doc_upsert_merge,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_sequences_sharded": doc_pack_sequences_sharded,
     "doc_split_assign": doc_split_assign,

@@ -190,6 +190,67 @@ def knn_pq_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codec.search(queries, codes, corpus=corpus, k=10, oversample=5)
 
 
+# Binary shortlist size = k * this (the coarse Hamming filter keeps 4x the
+# final k for exact re-rank — the standard 1-bit-quantization serving shape).
+BINARY_SHORTLIST_MULT = 4
+
+
+def knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit-quantized KNN: sign-bit-pack the corpus into 32-bit words (32x
+    less scan IO than f32 — at 100 TB the packed corpus is ~3 TB and the
+    Hamming scan is bit_count over longs inside codegen), shortlist
+    k*BINARY_SHORTLIST_MULT per query by Hamming distance, then exact-re-rank
+    the shortlist at full precision. Every step is integer or fixed-fold f64
+    arithmetic → full DuckDB oracle (unlike int8/PQ, whose codebooks are
+    iterative). Same query/corpus split as knn_exact_euclidean."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        V.binary_sign_words(F.col("embedding")).alias("qw"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0).select(
+        F.col("vec_id").alias("neighbour_id"),
+        F.col("embedding").alias("cv"),
+        V.binary_sign_words(F.col("embedding")).alias("cw"),
+    )
+    k = 10
+    short_n = k * BINARY_SHORTLIST_MULT
+    ham = (
+        corpus.select("neighbour_id", "cw")
+        .crossJoin(F.broadcast(queries.select("query_id", "qw")))
+        .select(
+            "query_id",
+            "neighbour_id",
+            V.hamming_words(F.col("qw"), F.col("cw")).alias("hamming"),
+        )
+    )
+    w_short = W.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbour_id"))
+    shortlist = (
+        ham.withColumn("_hr", F.row_number().over(w_short))
+        .filter(F.col("_hr") <= short_n)
+        .drop("_hr")
+    )
+    rr = (
+        shortlist.join(corpus.select("neighbour_id", "cv"), "neighbour_id")
+        .join(F.broadcast(queries.select("query_id", "qv")), "query_id")
+        .select(
+            "query_id",
+            "neighbour_id",
+            "hamming",
+            V.sq_euclidean(F.col("qv"), F.col("cv")).alias("distance"),
+        )
+    )
+    w_final = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "hamming", "distance", "rank")
+    )
+
+
 def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization audit: per label, mean per-vector
     reconstruction MSE and worst absolute element error. Per-vector folds are
@@ -239,7 +300,51 @@ _D_QSCALE = (
     "THEN 1.0 ELSE list_reduce(list_transform({a}, x -> abs(CAST(x AS DOUBLE))), (x,y) -> greatest(x,y)) / 127.0 END"
 )
 
+# DuckDB twins of functions.vector.binary_sign_words / hamming_words (same
+# MSB-first acc*2+bit fold; list_reduce without init starts at the first bit,
+# which equals the 0-init fold).
+_D_SIGNWORDS = (
+    "list_transform("
+    "generate_series(0, CAST(floor((len({a}) - 1) / 32.0) AS INT)), "
+    "w -> list_reduce("
+    "list_transform(list_slice({a}, w*32 + 1, w*32 + 32), "
+    "x -> CAST(CASE WHEN CAST(x AS DOUBLE) > 0.0 THEN 1 ELSE 0 END AS BIGINT)), "
+    "(acc, b) -> acc*2 + b))"
+)
+_D_HAMMING = (
+    "list_reduce(list_transform(list_zip({wa}, {wb}), "
+    "s -> CAST(bit_count(xor(s[1], s[2])) AS BIGINT)), (x,y) -> x + y)"
+)
+
+_KNN_BINARY_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      {_D_SIGNWORDS.format(a='embedding')} AS qw
+               FROM embeddings WHERE vec_id % 97 = 0),
+    c AS (SELECT vec_id AS neighbour_id, embedding AS cv,
+                 {_D_SIGNWORDS.format(a='embedding')} AS cw
+          FROM embeddings WHERE vec_id % 97 <> 0),
+    h AS (SELECT query_id, neighbour_id,
+                 {_D_HAMMING.format(wa='qw', wb='cw')} AS hamming
+          FROM q CROSS JOIN c),
+    s AS (SELECT query_id, neighbour_id, hamming,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY hamming ASC, neighbour_id ASC) AS hr
+          FROM h),
+    r AS (SELECT s.query_id, s.neighbour_id, s.hamming,
+                 {_D_SQE.format(a='q.qv', b='c.cv')} AS distance
+          FROM s JOIN c ON c.neighbour_id = s.neighbour_id
+                 JOIN q ON q.query_id = s.query_id
+          WHERE s.hr <= {{short_n}}),
+    f AS (SELECT query_id, neighbour_id, hamming, distance,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY distance ASC, neighbour_id ASC) AS rank
+          FROM r)
+    SELECT query_id, neighbour_id, hamming, distance, CAST(rank AS INT) AS rank
+    FROM f WHERE rank <= {{k}}
+"""
+
 ORACLE_SQL: dict[str, str] = {
+    "knn_binary_rerank": _KNN_BINARY_SQL.format(short_n=10 * BINARY_SHORTLIST_MULT, k=10),
     "emb_quantize_stats": f"""
         WITH per_vec AS (
             SELECT label,
@@ -330,6 +435,7 @@ QUERIES = {
     "knn_blocked_euclidean": knn_blocked_euclidean,
     "knn_int8_euclidean": knn_int8_euclidean,
     "knn_pq_euclidean": knn_pq_euclidean,
+    "knn_binary_rerank": knn_binary_rerank,
     "emb_quantize_stats": emb_quantize_stats,
     "dedup_vectors_stats": dedup_vectors_stats,
     "dedup_docs_first_wins": dedup_docs_first_wins,
