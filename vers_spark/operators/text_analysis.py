@@ -548,9 +548,9 @@ def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink end-to-end (sources.jsonl): dump the documents
     table to JSONL, append two malformed lines, read back schema-enforced —
     valid rows survive byte-identical and the corrupt lines land in the
-    quarantine column instead of vanishing. Rows-only (the intermediate
-    file is invisible to the oracle); the per-(source, lang) counts it
-    returns are checked against the direct table in tests."""
+    quarantine column instead of vanishing. Oracle-backed: the per-(source,
+    lang) counts must equal the direct-table aggregate plus the known
+    quarantine group for the injected lines."""
     import os
     import tempfile
 
@@ -578,8 +578,8 @@ def doc_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source/sink end-to-end (sources.csv_file): dump documents to
     quoted CSV, append a malformed line (wrong arity, bad long), read back
     schema-enforced — valid rows survive and corrupt lines are quarantined.
-    Rows-only check (the intermediate directory is invisible to the oracle);
-    tests assert the per-(source, lang) counts equal the direct table."""
+    Oracle-backed: the per-(source, lang) counts must equal the direct-table
+    aggregate plus the sentinel quarantine group for the injected row."""
     import os
     import tempfile
 
@@ -914,6 +914,26 @@ ORACLE_SQL: dict[str, str] = {
             FROM slim
         )
         SELECT doc_id, group_size, fp_norm, n_chars_norm FROM r WHERE rn = 1
+    """,
+    # Roundtrip oracles: every valid row survives the trip byte-identical, so
+    # the per-group counts equal the direct-table aggregate, and the injected
+    # malformed lines land in exactly one known quarantine group (JSONL:
+    # all-null fields; CSV: the short row's parsed sentinel fields). The hash
+    # match fails if the round trip loses, duplicates, or mutates a row OR if
+    # corrupt-line quarantine misbehaves.
+    "doc_jsonl_roundtrip": """
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS n_corrupt
+        FROM documents GROUP BY source, lang
+        UNION ALL
+        SELECT NULL, NULL, CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+    """,
+    "doc_csv_roundtrip": """
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS n_corrupt
+        FROM documents GROUP BY source, lang
+        UNION ALL
+        SELECT 'zz-corrupt', 'xx', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
     """,
 }
 
