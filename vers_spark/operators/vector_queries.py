@@ -96,8 +96,13 @@ def vec_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings table as a FastText .vec text file, load it back with the
     parallel loader (header skip, parse, L2-normalize-on-load, dense
     file-order ids, holdout of one 'word'), exact-KNN the holdout against
-    the corpus — the 'queen' harness over driver testdata. Rows-only (the
-    intermediate text file is not visible to the oracle)."""
+    the corpus — the 'queen' harness over driver testdata. Oracle-backed:
+    every step is deterministic arithmetic (repr→parse round-trips f32
+    exactly; normalize is a fixed f64 fold rounded back to f32 — the same
+    IEEE rounding DuckDB's CAST AS FLOAT applies; file-order dense ids equal
+    vec_id because rows are written in vec_id order), so the DuckDB twin
+    states the whole pipeline declaratively over the first
+    ``_VEC_ROUNDTRIP_ROWS`` embeddings."""
     import os
     import tempfile
 
@@ -343,8 +348,35 @@ _KNN_BINARY_SQL = f"""
     FROM f WHERE rank <= {{k}}
 """
 
+# L2-normalize-then-round-to-f32, the .vec loader's ingest transform
+# (normalize guard included; CAST(double AS FLOAT) is the same IEEE
+# round-to-nearest Spark's cast to array<float> applies).
+_D_NORM_F32 = (
+    "CASE WHEN {mag} < 1e-6 "
+    "THEN list_transform({a}, x -> CAST(CAST(x AS DOUBLE) AS FLOAT)) "
+    "ELSE list_transform({a}, x -> CAST(CAST(x AS DOUBLE) / ({mag}) AS FLOAT)) END"
+)
+
+_VEC_ROUNDTRIP_SQL = f"""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {{nrows}}),
+    n AS (SELECT vec_id,
+                 {_D_NORM_F32.format(a='embedding', mag=_d_mag('embedding'))} AS emb
+          FROM c),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM n WHERE vec_id = 0),
+    cc AS (SELECT vec_id AS neighbour_id, emb AS cv FROM n WHERE vec_id <> 0),
+    d AS (SELECT query_id, neighbour_id, {_D_SQE.format(a='qv', b='cv')} AS distance
+          FROM q CROSS JOIN cc),
+    r AS (SELECT query_id, neighbour_id, distance,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY distance ASC, neighbour_id ASC) AS rank
+          FROM d)
+    SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "knn_binary_rerank": _KNN_BINARY_SQL.format(short_n=10 * BINARY_SHORTLIST_MULT, k=10),
+    "vec_corpus_roundtrip": _VEC_ROUNDTRIP_SQL.format(nrows=_VEC_ROUNDTRIP_ROWS),
     "emb_quantize_stats": f"""
         WITH per_vec AS (
             SELECT label,
