@@ -159,9 +159,12 @@ _KNN_SQL = """
 def knn_int8_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric quantized KNN (scale path): corpus stored int8 (4x smaller
     resident set / scan), queries stay full-precision, distances computed on
-    the dequantized corpus. Same query/corpus split as knn_exact_euclidean;
-    rows-only here (quantization error reorders distance ties), recall vs the
-    exact oracle is gated in tests."""
+    the dequantized corpus. Same query/corpus split as knn_exact_euclidean.
+    Oracle-backed: quantize (HALF-AWAY-FROM-ZERO round) and dequantize are
+    engine-identical — the same fragments emb_quantize_stats hash-matches —
+    and the distance is the declared-order f64 fold over the dequantized
+    values, so the full quantized search is SQL-stateable; recall vs the
+    exact result is additionally gated in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     scale = V.quantize_scale(F.col("embedding"))
     corpus = (
@@ -437,6 +440,27 @@ ORACLE_SQL: dict[str, str] = {
         qfilter="vec_id % 97 = 0",
         cfilter="vec_id % 97 <> 0",
         k=10,
+        dist=_D_SQE.format(a="qv", b="cv"),
+    ),
+    # int8 asymmetric KNN: same _KNN_SQL shape with the corpus replaced by
+    # its quantize→dequantize image (the fragments emb_quantize_stats
+    # hash-matches), distances on the declared-order f64 fold.
+    "knn_int8_euclidean": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id % 97 = 0),
+        c AS (SELECT vec_id AS neighbour_id,
+                     list_transform(embedding,
+                         x -> round(CAST(x AS DOUBLE) / ({qs})) * ({qs})) AS cv
+              FROM embeddings WHERE vec_id % 97 <> 0),
+        d AS (SELECT query_id, neighbour_id, {dist} AS distance FROM q CROSS JOIN c),
+        r AS (SELECT query_id, neighbour_id, distance,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY distance ASC, neighbour_id ASC) AS rank
+              FROM d)
+        SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 10
+    """.format(
+        qs=_D_QSCALE.format(a="embedding"),
         dist=_D_SQE.format(a="qv", b="cv"),
     ),
     "dedup_vectors_stats": """
