@@ -29,6 +29,7 @@ HEADLINE = [
     "knn_exact_euclidean",
     "knn_blocked_euclidean",
     "knn_pq_euclidean",
+    "knn_binary_rerank",
     "ivf_search_p4",
     "ivf_build_ref",
     "lsh_search_forest",

@@ -1,0 +1,202 @@
+"""Scaling probe: measure wall-clock growth of representative operators from
+sf0.1 to a generated 10x corpus (sf1-equivalent: 6M lineitem, 50k documents,
+20k embeddings, 1M events) and print per-operator scaling factors.
+
+The 10x corpus is written once to /tmp/vs_scale/sf1x10. Replication is
+semantics-preserving, not a naive duplicate:
+
+- lineitem/orders/customer replicate with consistent key offsets, so joins
+  keep referential integrity and results grow linearly;
+- documents get a per-replica token woven between every original token, so
+  within-replica near-dup structure replicates (pairs x10, linear) while
+  cross-replica pairs vanish — a naive copy would create 10-cliques and
+  quadratic pair blow-up, misrepresenting scaling;
+- embeddings add a per-replica constant offset vector (norm ~0.5), same
+  idea in vector space;
+- events offset event_id/user_id (hour buckets just get denser).
+
+KNN/ANN probes use a FIXED 20-query set at both scales so the measured
+growth is corpus-side only (the registered queries scale the query set with
+the corpus, which for exact KNN is intentionally quadratic).
+
+Usage: python tools/scale_probe.py [--regen]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vers_spark.session import get_spark
+from vers_spark.sources.tables import load_table
+
+BASE = "/root/testdata/sf0.1"
+BIG = "/tmp/vs_scale/sf1x10"
+REPLICAS = 10
+
+
+def _gen(spark) -> None:
+    os.makedirs(BIG, exist_ok=True)
+    r_ids = spark.range(REPLICAS).withColumnRenamed("id", "_r")
+
+    def replicate(df, out, build):
+        build(df.crossJoin(r_ids)).write.mode("overwrite").parquet(f"{BIG}/{out}.parquet")
+
+    # dims copy through unchanged
+    for t in ["region", "nation", "supplier", "part"]:
+        load_table(spark, BASE, t).write.mode("overwrite").parquet(f"{BIG}/{t}.parquet")
+
+    cust = load_table(spark, BASE, "customer")
+    orders = load_table(spark, BASE, "orders")
+    li = load_table(spark, BASE, "lineitem")
+    c_off = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    o_off = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    replicate(
+        cust,
+        "customer",
+        lambda d: d.withColumn("c_custkey", F.col("c_custkey") + F.col("_r") * c_off).drop("_r"),
+    )
+    replicate(
+        orders,
+        "orders",
+        lambda d: d.withColumn("o_orderkey", F.col("o_orderkey") + F.col("_r") * o_off)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("_r") * c_off)
+        .drop("_r"),
+    )
+    replicate(
+        li,
+        "lineitem",
+        lambda d: d.withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * o_off).drop("_r"),
+    )
+
+    docs = load_table(spark, BASE, "documents")
+    d_off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    replicate(
+        docs,
+        "documents",
+        lambda d: d.withColumn("doc_id", F.col("doc_id") + F.col("_r") * d_off)
+        .withColumn(
+            "text",
+            F.regexp_replace("text", r"\s+", F.concat(F.lit(" zzr"), F.col("_r").cast("string"), F.lit(" "))),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .drop("_r"),
+    )
+
+    emb = load_table(spark, BASE, "embeddings")
+    v_off = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(7)
+    shifts = rng.normal(size=(REPLICAS, dim))
+    shifts = 0.5 * shifts / np.linalg.norm(shifts, axis=1, keepdims=True)
+    shift_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(r), [float(x) for x in shifts[r]]) for r in range(REPLICAS)],
+            "_r long, _shift array<float>",
+        )
+    )
+    (
+        emb.crossJoin(r_ids)
+        .join(shift_df, "_r")
+        .select(
+            (F.col("vec_id") + F.col("_r") * v_off).alias("vec_id"),
+            F.zip_with("embedding", "_shift", lambda x, y: (x + y).cast("float")).alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{BIG}/embeddings.parquet")
+    )
+
+    ev = load_table(spark, BASE, "events")
+    e_off = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    u_off = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    replicate(
+        ev,
+        "events",
+        lambda d: d.withColumn("event_id", F.col("event_id") + F.col("_r") * e_off)
+        .withColumn("user_id", F.col("user_id") + F.col("_r") * u_off)
+        .drop("_r"),
+    )
+
+
+def _probes():
+    """name -> fn(spark, sf_dir) materializing a representative operator."""
+    from vers_spark.indexes.ivfflat import IVFFlatIndex
+    from vers_spark.operators.knn import exact_knn_blocked
+    from vers_spark.operators.relational import q1_pricing_summary, q5_revenue_by_nation
+    from vers_spark.operators.text_analysis import doc_quality
+    from vers_spark.operators.text_dedup import minhash_neardup_pairs
+
+    def knn_fixed(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20)  # fixed 20 queries at both scales
+        c = emb.filter(F.col("vec_id") >= 20)
+        return exact_knn_blocked(q, c, k=10, metric="sq_euclidean")
+
+    def ivf_build_search(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = IVFFlatIndex.build(
+            emb, num_clusters=20, num_attempts=1, max_iterations=5, seed=11
+        )
+        q = emb.filter(F.col("vec_id") < 20)
+        return idx.search(q, k=10, n_probes=4)
+
+    def minhash_pairs(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return minhash_neardup_pairs(docs, threshold=0.8)
+
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q5_revenue_by_nation": q5_revenue_by_nation,
+        "knn_blocked_fixed20": knn_fixed,
+        "ivf_build_search_p4": ivf_build_search,
+        "minhash_neardup_pairs": minhash_pairs,
+        "doc_quality": doc_quality,
+    }
+
+
+def main() -> None:
+    if "--regen" in sys.argv and os.path.isdir(BIG):
+        shutil.rmtree(BIG)
+    spark = get_spark(app_name="scale_probe", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if not os.path.isdir(BIG) or not os.path.exists(f"{BIG}/events.parquet/_SUCCESS"):
+        t0 = time.time()
+        _gen(spark)
+        print(f"# generated {BIG} in {time.time() - t0:.1f}s", flush=True)
+
+    from bench import _clear_state
+
+    results = {}
+    for name, fn in _probes().items():
+        row = {}
+        for label, sf_dir in [("x1", BASE), ("x10", BIG)]:
+            best, rows = None, 0
+            for _ in range(2):  # best-of-2 cold runs
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                _clear_state(spark)
+            row[label] = (round(best, 2), rows)
+        factor = round(row["x10"][0] / row["x1"][0], 2)
+        results[name] = {"x1_s": row["x1"][0], "x10_s": row["x10"][0], "factor": factor,
+                         "x1_rows": row["x1"][1], "x10_rows": row["x10"][1]}
+        print(
+            f"{name:24s} x1 {row['x1'][0]:7.2f}s ({row['x1'][1]:>8} rows)   "
+            f"x10 {row['x10'][0]:7.2f}s ({row['x10'][1]:>8} rows)   factor {factor}",
+            flush=True,
+        )
+    import json
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
