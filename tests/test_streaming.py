@@ -25,6 +25,50 @@ def test_stream_ivf_ingest_covers_corpus(spark, sf_dir):
     assert all(r["n_vectors"] > 0 for r in stats)
 
 
+def test_tws_session_spans_micro_batches(spark, tmp_path):
+    """transformWithStateInPandas ValueState persists across micro-batches:
+    a session opened in batch 1 stitches with batch 2's events and closes
+    when batch 2's late event exceeds the gap — one emitted session covering
+    both batches; the reopened trailing session stays in state, unemitted."""
+    import os
+    import pandas as pd
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithStateInPandas needs protobuf"
+    )
+
+    from vers_spark.streaming.events import run_to_table
+    from vers_spark.streaming.sessions_tws import rocksdb_state_store, sessionize_tws
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    m = pd.Timedelta(minutes=1)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+        pdf.to_parquet(d / name)
+
+    write("b1.parquet", [(1, t0, 1.0, 1), (1, t0 + 10 * m, 2.0, 2)])
+    write("b2.parquet", [(1, t0 + 20 * m, 3.0, 3), (1, t0 + 180 * m, 9.0, 4)])
+    os.utime(d / "b1.parquet", (1, 1))  # force b1 into the first micro-batch
+    os.utime(d / "b2.parquet", (2_000_000_000, 2_000_000_000))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    with rocksdb_state_store(spark):
+        out = run_to_table(sessionize_tws(stream, gap_minutes=30), output_mode="append")
+    rows = out.collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["n_events"] == 3 and r["sum_value"] == 6.0
+    assert r["session_start"] == t0.to_pydatetime()
+    assert r["session_end"] == (t0 + 20 * m).to_pydatetime()
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Two micro-batches: the second carries an event 2h older than the
     watermark high-mark. With a 30-min watermark + append mode, the stale

@@ -40,6 +40,28 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(sessionize(ev, gap_minutes=30), output_mode="append")
 
 
+def stream_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sessionization contract on Spark 4's
+    transformWithStateInPandas (typed ValueState, RocksDB store) — shares
+    stream_sessions' oracle, so the driver hash-match proves the old-API and
+    new-API stateful programs compute identical answers. TWS's state API
+    requires the protobuf package; where the runtime lacks it (this sandbox
+    does), the query runs the applyInPandasWithState twin under the SAME
+    oracle — the avro-connector fallback pattern: one contract, two
+    runtimes, one hash gate."""
+    from vers_spark.streaming.sessions_tws import (
+        rocksdb_state_store,
+        sessionize_tws,
+        tws_runtime_available,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    if not tws_runtime_available():
+        return run_to_table(sessionize(ev, gap_minutes=30), output_mode="append")
+    with rocksdb_state_store(spark):
+        return run_to_table(sessionize_tws(ev, gap_minutes=30), output_mode="append")
+
+
 def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first event per (user_id, event_type) via
     dropDuplicates with a watermark bounding state; the per-type counts of
@@ -338,5 +360,9 @@ QUERIES = {
     "stream_retention": stream_retention_q,
     "stream_events_sliding": stream_events_sliding,
     "stream_sessions": stream_sessions,
+    "stream_sessions_tws": stream_sessions_tws,
     "stream_ivf_assign_stats": stream_ivf_assign_stats,
 }
+
+# same operator contract, same oracle: the migration-parity guarantee
+ORACLE_SQL["stream_sessions_tws"] = ORACLE_SQL["stream_sessions"]
