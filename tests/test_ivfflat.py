@@ -130,3 +130,27 @@ def test_ivfpq_recall_monotone_in_probes(spark, sf_dir):
     assert recalls[-1] >= 0.8, recalls
     assert recalls[1] >= 0.5, recalls
     codes.unpersist()
+
+
+def test_ann_recall_report_floors(spark, sf_dir):
+    """The consolidated recall report covers every approximate family and
+    each clears its quality floor (floors are family-appropriate: graph/
+    rerank families near-exact, coarse 1-bit / 4-of-16-probe families
+    lower)."""
+    from vers_spark.operators.index_queries import ann_recall_report
+
+    rows = {r["family"]: r for r in ann_recall_report(spark, sf_dir).collect()}
+    floors = {
+        "ivfflat_p4": 0.5,
+        "lsh_forest8": 0.7,
+        "hnsw_shard8": 0.95,
+        "pq_adc_rerank": 0.9,
+        "ivfpq_p4": 0.6,
+        "int8_asym": 0.95,
+        "binary_rerank": 0.5,
+    }
+    assert set(rows) == set(floors)
+    for fam, floor in floors.items():
+        r = rows[fam]
+        assert r["recall_at_10"] >= floor, (fam, r["recall_at_10"])
+        assert r["n_hits"] <= r["n_queries"] * 10

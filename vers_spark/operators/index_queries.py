@@ -272,6 +272,73 @@ def ivfpq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated ANN quality audit: recall@10 of EVERY approximate search
+    family against its exact-scan ground truth, one row per family — the
+    quality gate that ships with the engine (the reference never measures
+    recall at all; its harness prints raw results, main.rs:70-102).
+
+    Two protocols, matching each family's registered configuration: graph /
+    partition indexes (IVF n_probes=4, LSH 8-tree forest, HNSW 8-shard)
+    search vec_id<20 against the full corpus they indexed; quantization
+    rerank families (PQ-ADC, IVF×PQ, int8, binary) use the %97 query/corpus
+    split of their registered queries. Rows-only by design (approximate);
+    per-family floors are gated in tests, and every build is memoized, so
+    after the other index queries the report only runs searches."""
+    from vers_spark.operators.knn import exact_knn
+    from vers_spark.operators.vector_queries import (
+        knn_binary_rerank,
+        knn_exact_euclidean,
+        knn_int8_euclidean,
+        knn_pq_euclidean,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q20 = emb.filter(F.col("vec_id") < 20)
+    gt20 = exact_knn(q20, emb, k=10).select("query_id", "neighbour_id")
+    gt97 = knn_exact_euclidean(spark, sf_dir).select("query_id", "neighbour_id")
+
+    families: list[tuple[str, DataFrame, DataFrame]] = [
+        ("ivfflat_p4", _ivf(spark, sf_dir, 16).search(q20, k=10, n_probes=4), gt20),
+        ("lsh_forest8", _lsh(spark, sf_dir, trees=8, max_node=100).search(q20, k=10), gt20),
+        ("hnsw_shard8", _hnsw(spark, sf_dir).search(q20, k=10, n_probe_shards=8), gt20),
+        ("pq_adc_rerank", knn_pq_euclidean(spark, sf_dir), gt97),
+        ("ivfpq_p4", ivfpq_search_q(spark, sf_dir), gt97),
+        ("int8_asym", knn_int8_euclidean(spark, sf_dir), gt97),
+        ("binary_rerank", knn_binary_rerank(spark, sf_dir), gt97),
+    ]
+    approx = None
+    truth = None
+    for name, res, gt in families:
+        a = res.select(
+            F.lit(name).alias("family"), "query_id", "neighbour_id"
+        )
+        t = gt.select(F.lit(name).alias("family"), "query_id", "neighbour_id")
+        approx = a if approx is None else approx.unionByName(a)
+        truth = t if truth is None else truth.unionByName(t)
+    hits = (
+        approx.join(truth, ["family", "query_id", "neighbour_id"], "left_semi")
+        .groupBy("family")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = truth.groupBy("family").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"),
+    )
+    return (
+        totals.join(hits, "family", "left")
+        .select(
+            "family",
+            "n_queries",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_truth"), 4
+            ).alias("recall_at_10"),
+        )
+        .orderBy("family")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "ivf_search_all": _KNN_ALL_SQL,
     "ivf_search_filtered": _KNN_FILTERED_SQL,
@@ -296,4 +363,7 @@ QUERIES = {
     "index_lifecycle_roundtrip": index_lifecycle_roundtrip,
     "hnsw_search_frontier": hnsw_search_frontier,
     "hnsw_layer_stats": hnsw_layer_stats,
+    # last in the suite: every build above is memoized, so the consolidated
+    # report only pays for searches when it runs after its family queries
+    "ann_recall_report": ann_recall_report,
 }
