@@ -236,7 +236,46 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend: closed-form OLS slope of event value over time
+    — the grouped regression primitive (drift/engagement-trend detection)
+    as ONE aggregation, no ML library.
+
+    Cross-engine exactness discipline: every SUM is integer — x is seconds
+    relative to the user's first event (BIGINT), y is value in DECIMAL(18,4)
+    ten-thousandths (BIGINT) — so summation order cannot perturb anything;
+    the only float math is the final slope division over exact BIGINT
+    operands (< 2^53, cast exactly), where both engines execute the same
+    IEEE ops on identical inputs. slope = (nΣxy − ΣxΣy)/((nΣx² − (Σx)²)·1e4)
+    in value-units per second; NULL for degenerate (single-instant) users."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.select(
+        "user_id",
+        F.expr("(unix_micros(ts) - min(unix_micros(ts)) OVER (PARTITION BY user_id)) div 1000000").alias("x"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("y"),
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c).cast("double") for c in ["n_events", "sx", "sxx", "sy", "sxy"])
+    den = n * sxx - sx * sx
+    slope = F.when(den == 0.0, F.lit(None).cast("double")).otherwise(
+        (n * sxy - sx * sy) / (den * F.lit(10000.0))
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        slope.alias("slope_per_sec"),
+        (sy / (n * F.lit(10000.0))).alias("mean_value"),
+    ).orderBy("user_id")
+
+
 QUERIES = {
+    "evt_user_trend": evt_user_trend,
     "evt_purchase_asof_click": evt_purchase_asof_click,
     "evt_error_context": evt_error_context,
     "evt_sessionize_batch": evt_sessionize_batch,
@@ -244,6 +283,29 @@ QUERIES = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "evt_user_trend": """
+        WITH d AS (
+            SELECT user_id,
+                   (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)) // 1000000 AS x,
+                   CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+            FROM events WHERE value IS NOT NULL
+        ), a AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx,
+                   CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy
+            FROM d GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CASE WHEN CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN NULL
+                    ELSE (CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / ((CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 10000.0)
+               END AS slope_per_sec,
+               CAST(sy AS DOUBLE) / (CAST(n_events AS DOUBLE) * 10000.0) AS mean_value
+        FROM a ORDER BY user_id
+    """,
 
     "evt_funnel_conversion": """
         WITH e AS (
