@@ -87,6 +87,49 @@ def test_upsert_merge_rewrites_only_impacted_buckets(spark, sf_dir):
     assert got == want
 
 
+def test_merge_delete_empties_bucket_directory(spark, sf_dir):
+    """Deleting EVERY key of a bucket must remove its directory — dynamic
+    partition overwrite alone cannot do this (no output rows for the bucket
+    → directory untouched → stale files resurrect on read), so merge_into
+    removes emptied buckets explicitly; deletes win over updates on
+    overlapping keys."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vers_spark.sources.tables import load_table
+    from vers_spark.sources.upsert import (
+        PART_COL,
+        _bucket,
+        merge_into,
+        read_cow_table,
+        write_cow_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vs_cowdel_") + "/t"
+    write_cow_table(docs, path, key="doc_id", n_buckets=4)
+
+    parts = docs.select("doc_id", _bucket("doc_id", 4).alias(PART_COL))
+    victim = parts.groupBy(PART_COL).count().orderBy(PART_COL).first()[PART_COL]
+    victim_keys = parts.filter(F.col(PART_COL) == victim).select("doc_id")
+    overlap_key = victim_keys.orderBy("doc_id").first()["doc_id"]
+    # an update on a deleted key: the delete must win
+    updates = docs.filter(F.col("doc_id") == overlap_key).withColumn(
+        "n_chars", F.col("n_chars") + 999
+    )
+    merge_into(spark, path, updates, key="doc_id", n_buckets=4, deletes=victim_keys)
+
+    assert not os.path.exists(f"{path}/{PART_COL}={victim}")
+    got = {r["doc_id"] for r in read_cow_table(spark, path).select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in parts.filter(F.col(PART_COL) != victim).select("doc_id").collect()
+    }
+    assert got == want
+
+
 @pytest.mark.parametrize("name", sorted(TDQ.ORACLE_SQL))
 def test_dedup_oracle(spark, sf_dir, name):
     assert_oracle_match(spark, sf_dir, name, TDQ.QUERIES[name], TDQ.ORACLE_SQL[name])

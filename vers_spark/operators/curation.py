@@ -386,7 +386,65 @@ def doc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_cow_table(spark, path).select("doc_id", "lang", "source", "n_chars")
 
 
+def doc_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO (update + insert + DELETE) on the COW table:
+    doc_id%10 rows rescore, doc_id%17 re-ingest as new docs, doc_id%13 rows
+    delete (deletes win over updates on overlapping keys — the one
+    precedence rule, stated in sources/upsert.py and restated by the
+    oracle). The hash match fails if any action leaks into untouched
+    buckets or stale files survive a fully-emptied bucket."""
+    import tempfile
+
+    from vers_spark.sources.upsert import merge_into, read_cow_table, write_cow_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vs_cowf_") + "/docs"
+    write_cow_table(docs, path, key="doc_id", n_buckets=UPSERT_BUCKETS)
+    updates = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            (F.col("n_chars") + 1000).alias("n_chars"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 50000).alias("doc_id"),
+                "text",
+                F.lit("xx").alias("lang"),
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    deletes = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    merge_into(
+        spark, path, updates, key="doc_id", n_buckets=UPSERT_BUCKETS, deletes=deletes
+    )
+    return read_cow_table(spark, path).select("doc_id", "lang", "source", "n_chars")
+
+
 ORACLE_SQL = {
+    "doc_merge_full": """
+        WITH upd AS (
+            SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 50000 AS doc_id, 'xx' AS lang, source, n_chars
+            FROM documents WHERE doc_id % 17 = 0
+        ), del AS (
+            SELECT doc_id FROM documents WHERE doc_id % 13 = 0
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id)
+          AND NOT EXISTS (SELECT 1 FROM del x WHERE x.doc_id = d.doc_id)
+        UNION ALL
+        SELECT u.doc_id, u.lang, u.source, u.n_chars FROM upd u
+        WHERE NOT EXISTS (SELECT 1 FROM del x WHERE x.doc_id = u.doc_id)
+    """,
     "doc_upsert_merge": """
         WITH upd AS (
             SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
@@ -516,6 +574,7 @@ QUERIES = {
     "doc_mixture_sample": doc_mixture_sample,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_upsert_merge": doc_upsert_merge,
+    "doc_merge_full": doc_merge_full,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_sequences_sharded": doc_pack_sequences_sharded,
     "doc_split_assign": doc_split_assign,

@@ -52,25 +52,59 @@ def read_cow_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def merge_into(
-    spark: SparkSession, path: str, updates: DataFrame, key: str, n_buckets: int
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    n_buckets: int,
+    deletes: DataFrame | None = None,
 ) -> list[int]:
-    """Upsert ``updates`` (update-wins on ``key``; unmatched keys insert)
-    into the COW table at ``path``. Rewrites only impacted buckets; returns
-    the impacted bucket ids (sorted) for auditability."""
+    """Full MERGE INTO on the COW table at ``path``: ``updates`` upsert
+    (update-wins on ``key``; unmatched keys insert), ``deletes`` (a DataFrame
+    with a ``key`` column) remove rows. A key present in both is DELETED —
+    deletes win, stated once here so the semantics are engine-checkable.
+    Rewrites only impacted buckets; returns their ids (sorted).
+
+    Edge case dynamic partition overwrite cannot express: a bucket whose
+    every row is deleted produces NO output rows, so the overwrite never
+    touches its directory and stale files would survive. Those buckets are
+    removed explicitly after the write."""
+    import shutil
+
     upd = updates.withColumn(PART_COL, _bucket(key, n_buckets))
-    impacted = sorted(
-        r[PART_COL] for r in upd.select(PART_COL).distinct().collect()
-    )
+    del_keys = None
+    if deletes is not None:
+        del_keys = deletes.select(key).withColumn(PART_COL, _bucket(key, n_buckets))
+    parts_df = upd.select(PART_COL)
+    if del_keys is not None:
+        parts_df = parts_df.unionByName(del_keys.select(PART_COL))
+    impacted = sorted(r[PART_COL] for r in parts_df.distinct().collect())
+
     base = spark.read.parquet(path).filter(F.col(PART_COL).isin(impacted))
-    keep = base.join(upd.select(key), on=key, how="left_anti")
-    merged = keep.unionByName(upd)
+    drop = upd.select(key)
+    if del_keys is not None:
+        drop = drop.unionByName(del_keys.select(key))
+    keep = base.join(drop.distinct(), on=key, how="left_anti")
+    surviving_upd = (
+        upd if del_keys is None else upd.join(del_keys.select(key), on=key, how="left_anti")
+    )
+    merged = keep.unionByName(surviving_upd)
+    # evaluated BEFORE the overwrite: merged's plan reads the base files the
+    # write is about to replace, so any post-write evaluation would hit
+    # deleted files. localCheckpoint would also work; one tiny distinct over
+    # data already being computed is cheaper.
+    written = {r[PART_COL] for r in merged.select(PART_COL).distinct().collect()}
+
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        # merged covers exactly the impacted buckets, so dynamic overwrite
-        # replaces those directories and leaves every other bucket's files
+        # merged covers the impacted buckets, so dynamic overwrite replaces
+        # exactly those directories and leaves every other bucket's files
         # untouched (asserted file-level in tests).
         merged.write.mode("overwrite").partitionBy(PART_COL).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for p in impacted:
+        if p not in written:
+            shutil.rmtree(f"{path}/{PART_COL}={p}", ignore_errors=True)
     return impacted
