@@ -234,3 +234,61 @@ def test_avro_roundtrip_preserves_rows_and_nulls(spark, tmp_path):
         for r in back.collect()
     )
     assert got == sorted(rows)
+
+
+def test_versioned_snapshots_share_files_and_vacuum(spark, sf_dir):
+    """Versioned COW: v1's manifest re-references v0's files for untouched
+    buckets (no copy); after vacuum(keep_last=1) the current version still
+    reads exactly, shared files survive the GC (reference-counted, not
+    age-based), and only files exclusive to dropped versions are deleted."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vers_spark.sources.tables import load_table
+    from vers_spark.sources.versioned import (
+        _read_manifest,
+        create_versioned,
+        list_versions,
+        merge_versioned,
+        read_version,
+        vacuum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vs_ver_") + "/t"
+    create_versioned(docs, path, key="doc_id", n_buckets=8)
+    updates = docs.filter(F.col("doc_id") % 40 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 5
+    )
+    v1 = merge_versioned(spark, path, updates)
+    assert v1 == 1 and list_versions(path) == [0, 1]
+
+    m0, m1 = _read_manifest(path, 0), _read_manifest(path, 1)
+    shared = [b for b in m1["buckets"] if m1["buckets"][b] == m0["buckets"].get(b)]
+    changed = [b for b in m1["buckets"] if m1["buckets"][b] != m0["buckets"].get(b)]
+    assert shared, "untouched buckets must be referenced, not rewritten"
+    assert changed, "impacted buckets must get new files"
+    for b in shared:  # shared entries point INTO the v0 data tree
+        assert all("/data/v0/" in f for f in m1["buckets"][b])
+
+    # snapshot isolation: v0 read AFTER the merge equals the base table
+    v0_sum = read_version(spark, path, 0).agg(F.sum("n_chars")).collect()[0][0]
+    base_sum = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert v0_sum == base_sum
+
+    removed = vacuum(path, keep_last=1)
+    assert removed > 0, "v0-exclusive files of impacted buckets must be GC'd"
+    assert list_versions(path) == [1]
+    for b in shared:  # files shared with v1 survived
+        assert all(os.path.exists(f) for f in m1["buckets"][b])
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in read_version(spark, path).select("doc_id", "n_chars").collect()
+    }
+    want = {
+        r["doc_id"]: r["n_chars"] + (5 if r["doc_id"] % 40 == 0 else 0)
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    assert got == want

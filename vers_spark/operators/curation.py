@@ -426,7 +426,83 @@ def doc_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_cow_table(spark, path).select("doc_id", "lang", "source", "n_chars")
 
 
+def doc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation as a hash-gated query (sources/versioned.py):
+    documents materialize as version 0, the doc_merge_full batch (update +
+    insert + delete) commits version 1, then BOTH versions are read AFTER
+    the merge. The v0 row must still aggregate exactly to the base table —
+    time travel — and the v1 row to the declarative merge result; one
+    manifest-referenced file set per snapshot, unchanged buckets shared,
+    never copied (reference-sharing and vacuum GC are test-gated)."""
+    import tempfile
+
+    from vers_spark.sources.versioned import (
+        create_versioned,
+        merge_versioned,
+        read_version,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vs_tt_") + "/docs"
+    create_versioned(docs, path, key="doc_id", n_buckets=UPSERT_BUCKETS)
+    updates = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id", "text", "lang", "source", (F.col("n_chars") + 1000).alias("n_chars")
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 50000).alias("doc_id"),
+                "text",
+                F.lit("xx").alias("lang"),
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    deletes = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    merge_versioned(spark, path, updates, deletes=deletes)
+
+    out = None
+    for v in (0, 1):
+        snap = read_version(spark, path, v).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        ).select(F.lit(v).alias("version"), "n_docs", "sum_chars", "n_langs")
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version")
+
+
 ORACLE_SQL = {
+    "doc_time_travel": """
+        WITH upd AS (
+            SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 50000 AS doc_id, 'xx' AS lang, source, n_chars
+            FROM documents WHERE doc_id % 17 = 0
+        ), del AS (
+            SELECT doc_id FROM documents WHERE doc_id % 13 = 0
+        ), v1 AS (
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id)
+              AND NOT EXISTS (SELECT 1 FROM del x WHERE x.doc_id = d.doc_id)
+            UNION ALL
+            SELECT u.doc_id, u.lang, u.n_chars FROM upd u
+            WHERE NOT EXISTS (SELECT 1 FROM del x WHERE x.doc_id = u.doc_id)
+        )
+        SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
+        UNION ALL
+        SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+               CAST(count(DISTINCT lang) AS BIGINT)
+        FROM v1
+        ORDER BY version
+    """,
     "doc_merge_full": """
         WITH upd AS (
             SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
@@ -575,6 +651,7 @@ QUERIES = {
     "doc_weighted_sample": doc_weighted_sample,
     "doc_upsert_merge": doc_upsert_merge,
     "doc_merge_full": doc_merge_full,
+    "doc_time_travel": doc_time_travel,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_sequences_sharded": doc_pack_sequences_sharded,
     "doc_split_assign": doc_split_assign,
