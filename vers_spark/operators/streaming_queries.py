@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vers_spark.streaming.events import (
+    _stream_conf,
     scratch_dir,
     read_events_stream,
     run_to_table,
@@ -60,6 +61,86 @@ def stream_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_table(sessionize(ev, gap_minutes=30), output_mode="append")
     with rocksdb_state_store(spark):
         return run_to_table(sessionize_tws(ev, gap_minutes=30), output_mode="append")
+
+
+def stream_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink: each micro-batch upserts into the versioned COW
+    table (sources/versioned.py) via foreachBatch — the streaming-ingest ⇄
+    table-maintenance composition (a CDC apply loop). The update stream is
+    staged as exactly TWO files (doc_id split at the median) and drained
+    with maxFilesPerTrigger=1, so the run commits deterministically: v0 =
+    base table, v1/v2 = one snapshot per micro-batch. The oracle states the
+    END state declaratively (base with doc_id%3 rescored) plus the version
+    count — the hash fails if a batch is lost, applied twice, or snapshot
+    accounting drifts."""
+    import os
+
+    from vers_spark.sources.tables import load_table
+    from vers_spark.sources.versioned import (
+        create_versioned,
+        list_versions,
+        merge_versioned,
+        read_version,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_dir("vs_smv_") + "/table"
+    create_versioned(docs, path, key="doc_id", n_buckets=16)
+
+    updates = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text", "lang", "source", (F.col("n_chars") + 1000).alias("n_chars")
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mid = (int(lo) + int(hi)) // 2
+    stage = scratch_dir("vs_smv_updates_")
+    updates.filter(F.col("doc_id") <= mid).coalesce(1).write.mode("overwrite").parquet(
+        f"{stage}/f1"
+    )
+    updates.filter(F.col("doc_id") > mid).coalesce(1).write.mode("overwrite").parquet(
+        f"{stage}/f2"
+    )
+    flat = scratch_dir("vs_smv_flat_")
+    n_stage = 0
+    for sub in ["f1", "f2"]:
+        for f in sorted(os.listdir(f"{stage}/{sub}")):
+            if f.endswith(".parquet"):
+                os.symlink(f"{stage}/{sub}/{f}", f"{flat}/{sub}.parquet")
+                n_stage += 1
+    assert n_stage == 2
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_versioned(spark, path, batch_df)
+
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", scratch_dir("vs_smv_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    n_versions = len(list_versions(path))
+    return (
+        read_version(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("long"))
+        .orderBy("source")
+    )
 
 
 def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,8 +442,24 @@ QUERIES = {
     "stream_events_sliding": stream_events_sliding,
     "stream_sessions": stream_sessions,
     "stream_sessions_tws": stream_sessions_tws,
+    "stream_merge_versioned": stream_merge_versioned,
     "stream_ivf_assign_stats": stream_ivf_assign_stats,
 }
 
 # same operator contract, same oracle: the migration-parity guarantee
 ORACLE_SQL["stream_sessions_tws"] = ORACLE_SQL["stream_sessions"]
+
+# end state of the CDC apply loop: base with doc_id%3 rescored; 3 snapshots
+# (v0 base + one per micro-batch, the two-file staging is deterministic)
+ORACLE_SQL["stream_merge_versioned"] = """
+    WITH merged AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM merged GROUP BY source ORDER BY source
+"""

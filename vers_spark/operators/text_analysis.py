@@ -544,6 +544,37 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 400
+CHUNK_STRIDE = 300  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 100 chars
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: fixed-size character windows with
+    overlap (size 400, stride 300). Chunk k of a doc starts at 1 + k·stride
+    for every k with k·stride < n_chars, so chunk count = ceil(len/stride)
+    — integer arithmetic, engine-exact. Rows carry the chunk's md5 (not its
+    text): downstream embedding/dedup stages key on the fingerprint, and the
+    shuffle stays ~50 B/chunk instead of carrying bodies — the 100 TB shape.
+    One scan, no shuffle before the output."""
+    docs = load_table(spark, sf_dir, "documents")
+    # greatest(,1) guard: an empty doc still yields one (empty) chunk in both
+    # engines (integer div avoids DuckDB's floor-division -1 on len 0)
+    last_k = F.expr(f"(greatest(length(text), 1) - 1) div {CHUNK_STRIDE}")
+    chunk = F.substring(
+        F.col("text"), F.col("k").cast("int") * CHUNK_STRIDE + 1, CHUNK_SIZE
+    )
+    return (
+        docs.select("doc_id", "text", F.explode(F.sequence(F.lit(0).cast("long"), last_k)).alias("k"))
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_id"),
+            (F.col("k").cast("long") * CHUNK_STRIDE + 1).alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
 def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink end-to-end (sources.jsonl): dump the documents
     table to JSONL, append two malformed lines, read back schema-enforced —
@@ -915,6 +946,15 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, group_size, fp_norm, n_chars_norm FROM r WHERE rn = 1
     """,
+    "doc_chunk_windows": f"""
+        SELECT d.doc_id,
+               CAST(t.k AS BIGINT) AS chunk_id,
+               CAST(t.k * {CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_start,
+               CAST(length(substr(d.text, CAST(t.k * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+               md5(substr(d.text, CAST(t.k * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE})) AS chunk_md5
+        FROM documents d,
+             UNNEST(generate_series(0, (greatest(length(d.text), 1) - 1) // {CHUNK_STRIDE})) AS t(k)
+    """,
     # Roundtrip oracles: every valid row survives the trip byte-identical, so
     # the per-group counts equal the direct-table aggregate, and the injected
     # malformed lines land in exactly one known quarantine group (JSONL:
@@ -953,6 +993,7 @@ QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_vocab_coverage": doc_vocab_coverage,
+    "doc_chunk_windows": doc_chunk_windows,
     "doc_pii_scrub": doc_pii_scrub,
     "dedup_docs_normalized": dedup_docs_normalized,
 }
