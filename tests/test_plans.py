@@ -336,3 +336,47 @@ def test_avro_fallback_read_is_distributed(spark, sf_dir, tmp_path):
     if not has_spark_avro(spark):
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert back.count() == 50
+
+
+def test_weighted_sample_is_top_k_not_global_sort(spark, sf_dir):
+    """doc_weighted_sample's docstring claims TakeOrderedAndProject (per-
+    partition heap + driver merge of k rows) — a global Sort+Limit plan
+    would single-partition the corpus at 100 TB."""
+    from vers_spark.operators.curation import doc_weighted_sample
+
+    df = doc_weighted_sample(spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert audit.num_exchanges(df) == 0  # no shuffle: heaps merge on driver
+
+
+def test_cow_merge_read_partition_prunes(spark, sf_dir, tmp_path):
+    """merge_into's base read must scan ONLY impacted bucket directories
+    (PartitionFilters on _part) — the rewrite cost contract."""
+    from vers_spark.sources.tables import load_table
+    from vers_spark.sources.upsert import PART_COL, _bucket, write_cow_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "cow")
+    write_cow_table(docs, path, key="doc_id", n_buckets=8)
+    upd = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        PART_COL, _bucket("doc_id", 8)
+    )
+    impacted = sorted(r[PART_COL] for r in upd.select(PART_COL).distinct().collect())
+    base = spark.read.parquet(path).filter(F.col(PART_COL).isin(impacted))
+    plan = audit.executed_plan(base)
+    assert "PartitionFilters" in plan and PART_COL in plan
+    # the scan's partition filter carries the impacted ids, not a full scan
+    assert f"{PART_COL}#" in plan or str(impacted[0]) in plan
+
+
+def test_binary_rerank_broadcasts_queries_and_prunes(spark, sf_dir):
+    """knn_binary_rerank: the tiny query side broadcasts for the Hamming
+    scan (the corpus never shuffles for the join) and the corpus scan reads
+    only the needed columns."""
+    from vers_spark.operators.vector_queries import knn_binary_rerank
+
+    df = knn_binary_rerank(spark, sf_dir)
+    assert audit.has_broadcast_join(df)
+    cols = audit.scan_columns(df)
+    assert all("label" not in c for c in cols)  # unused column pruned
