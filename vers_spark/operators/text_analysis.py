@@ -544,6 +544,47 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (check name, SQL violation predicate) — the ingest-time expectation suite;
+# ONE literal list drives both the Spark program and the DuckDB oracle, so
+# the two can't drift.
+EXPECTATIONS: list[tuple[str, str]] = [
+    ("doc_id_not_null", "doc_id IS NULL"),
+    ("n_chars_matches_text", "n_chars IS NULL OR length(text) <> n_chars"),
+    ("text_not_empty", "text IS NULL OR length(text) = 0"),
+    ("lang_is_iso2", "lang IS NULL OR length(lang) <> 2"),
+    ("source_format", "source IS NULL OR source NOT LIKE 'src%'"),
+]
+
+
+def doc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (the Great-Expectations shape, Spark-first): every
+    expectation is a violation-count aggregate over ONE scan — adding a
+    check adds a column to the same partial aggregate, not a pass over the
+    data. The wide one-row aggregate unpivots to (check, n_violations,
+    n_rows) rows; doc_id uniqueness rides the same aggregate as
+    count − countDistinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("_dup"),
+        *[
+            F.sum(F.expr(pred).cast("long")).alias(f"_c{i}")
+            for i, (_, pred) in enumerate(EXPECTATIONS)
+        ],
+    )
+    checks = [
+        F.struct(F.lit(name).alias("check"), F.col(f"_c{i}").alias("n_violations"))
+        for i, (name, _) in enumerate(EXPECTATIONS)
+    ] + [
+        F.struct(F.lit("doc_id_unique").alias("check"), F.col("_dup").alias("n_violations"))
+    ]
+    return (
+        agg.select(F.explode(F.array(*checks)).alias("c"), F.col("_n").alias("n_rows"))
+        .select("c.check", "c.n_violations", "n_rows")
+        .orderBy("check")
+    )
+
+
 CHUNK_SIZE = 400
 CHUNK_STRIDE = 300  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 100 chars
 
@@ -946,6 +987,27 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, group_size, fp_norm, n_chars_norm FROM r WHERE rn = 1
     """,
+    "doc_expectations": """
+        WITH a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup,
+                   {checks}
+            FROM documents
+        )
+        SELECT * FROM (
+            SELECT 'doc_id_unique' AS "check", dup AS n_violations, n AS n_rows FROM a
+            {unions}
+        ) ORDER BY "check"
+    """.format(
+        checks=", ".join(
+            f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+            for i, (_, pred) in enumerate(EXPECTATIONS)
+        ),
+        unions=" ".join(
+            f"UNION ALL SELECT '{name}', c{i}, n FROM a"
+            for i, (name, _) in enumerate(EXPECTATIONS)
+        ),
+    ),
     "doc_chunk_windows": f"""
         SELECT d.doc_id,
                CAST(t.k AS BIGINT) AS chunk_id,
@@ -994,6 +1056,7 @@ QUERIES = {
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_vocab_coverage": doc_vocab_coverage,
     "doc_chunk_windows": doc_chunk_windows,
+    "doc_expectations": doc_expectations,
     "doc_pii_scrub": doc_pii_scrub,
     "dedup_docs_normalized": dedup_docs_normalized,
 }
