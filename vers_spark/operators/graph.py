@@ -75,3 +75,51 @@ def dedup_survivors(components: DataFrame) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("comp_size"),
         (F.col("node") == F.col("component")).cast("int").alias("is_survivor"),
     )
+
+
+# ---- deterministic fixed-point PageRank ------------------------------------
+# Scores live in 1e-12 fixed-point BIGINTs and every operation is integer
+# (floor division for the out-degree split and the 0.85 damping product), so
+# the iteration is bit-identical across engines, partitionings, and reruns —
+# the property float PageRank lacks (summation-order drift) — and a DuckDB
+# oracle can state the K unrolled iterations exactly. The floor-division
+# variant loses ≤ outdeg·1e-12 of mass per node per round (provably bounded,
+# irrelevant at rank granularity); classic float PageRank is the same code
+# with doubles if reproducibility is ever traded back for mass conservation.
+
+PR_UNIT = 1_000_000_000_000  # 1.0 in fixed-point
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # 0.85 damping
+PR_ITERS = 5
+PR_TOPK = 20
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list (src, dst) where every
+    node has ≥1 out-edge (feed symmetric edges for undirected graphs).
+    Per round: ONE join of ranks to edges + ONE aggregate — the same
+    shuffle discipline as connected_components. Returns (node, score)."""
+    edges = edges.cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    n = nodes.count()
+    base = (15 * PR_UNIT // 100) // n
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", F.lit(PR_UNIT // n).cast("long").alias("score"))
+    for i in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr("score div outdeg").alias("c"))
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("insum"))
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({PR_DAMP_NUM} * coalesce(insum, CAST(0 AS BIGINT))) div {PR_DAMP_DEN}")
+            )
+            .cast("long")
+            .alias("score"),
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint()  # bound plan growth like CC
+    return ranks
