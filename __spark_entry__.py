@@ -10,9 +10,24 @@ search, iterative builds) appear in ``queries()`` only → rows-only check.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Spark's Python WORKERS inherit the driver's PYTHONPATH env (not its
+# sys.path): a pandas-UDF closure that references vers_spark by module
+# raises ModuleNotFoundError in the worker whenever the harness launches
+# from a cwd other than the repo root. Export the repo root before any
+# worker daemon starts (import time is early enough — workers spawn lazily
+# on the first Python UDF).
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 # Runtime-settable session tuning applied on the driver's session the first
 # time any registered query runs: the driver may hand us a vanilla session

@@ -148,6 +148,10 @@ def test_ann_recall_report_floors(spark, sf_dir):
         "ivfpq_p4": 0.6,
         "int8_asym": 0.95,
         "binary_rerank": 0.5,
+        # synthetic dims are not MRL-information-ordered: prefix-16 shortlist
+        # recall sits near the prefix fraction; the oracle match is the
+        # correctness gate for this family, recall is diagnostic
+        "matryoshka_rerank": 0.2,
     }
     assert set(rows) == set(floors)
     for fam, floor in floors.items():

@@ -290,6 +290,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_binary_rerank,
         knn_exact_euclidean,
         knn_int8_euclidean,
+        knn_matryoshka_rerank,
         knn_pq_euclidean,
     )
 
@@ -306,6 +307,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivfpq_p4", ivfpq_search_q(spark, sf_dir), gt97),
         ("int8_asym", knn_int8_euclidean(spark, sf_dir), gt97),
         ("binary_rerank", knn_binary_rerank(spark, sf_dir), gt97),
+        ("matryoshka_rerank", knn_matryoshka_rerank(spark, sf_dir), gt97),
     ]
     approx = None
     truth = None

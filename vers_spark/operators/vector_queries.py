@@ -259,6 +259,67 @@ def knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATRYOSHKA_DIMS = 16  # leading dims used for the coarse shortlist
+
+
+def knn_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension KNN: shortlist on the FIRST 16
+    of 64 dims (4x less scan arithmetic/IO — MRL-trained embeddings order
+    information by prefix, so leading dims carry most of the signal), then
+    exact full-dim re-rank of a 4x shortlist. On this synthetic testdata the
+    dims are NOT information-ordered, so recall is only ~prefix-fraction
+    (~0.3, floor-gated in the ann_recall_report test) — the measurement
+    honestly shows why the technique needs MRL-trained inputs; the ORACLE
+    match is the correctness claim here, not the recall. Like knn_binary_rerank this
+    is deterministic end-to-end (slice + the declared-order f64 folds), so
+    the whole approximate pipeline carries a full DuckDB oracle. Same
+    query/corpus split as knn_exact_euclidean."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.slice("embedding", 1, MATRYOSHKA_DIMS).alias("qh"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0).select(
+        F.col("vec_id").alias("neighbour_id"),
+        F.col("embedding").alias("cv"),
+        F.slice("embedding", 1, MATRYOSHKA_DIMS).alias("ch"),
+    )
+    k, short_n = 10, 10 * BINARY_SHORTLIST_MULT
+    coarse = (
+        corpus.select("neighbour_id", "ch")
+        .crossJoin(F.broadcast(queries.select("query_id", "qh")))
+        .select(
+            "query_id",
+            "neighbour_id",
+            V.sq_euclidean(F.col("qh"), F.col("ch")).alias("d_head"),
+        )
+    )
+    w_short = W.partitionBy("query_id").orderBy(F.asc("d_head"), F.asc("neighbour_id"))
+    shortlist = (
+        coarse.withColumn("_r", F.row_number().over(w_short))
+        .filter(F.col("_r") <= short_n)
+        .drop("_r", "d_head")
+    )
+    rr = (
+        shortlist.join(corpus.select("neighbour_id", "cv"), "neighbour_id")
+        .join(F.broadcast(queries.select("query_id", "qv")), "query_id")
+        .select(
+            "query_id",
+            "neighbour_id",
+            V.sq_euclidean(F.col("qv"), F.col("cv")).alias("distance"),
+        )
+    )
+    w_final = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "distance", "rank")
+    )
+
+
 def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization audit: per label, mean per-vector
     reconstruction MSE and worst absolute element error. Per-vector folds are
@@ -377,8 +438,37 @@ _VEC_ROUNDTRIP_SQL = f"""
     FROM r WHERE rank <= 10
 """
 
+_KNN_MATRYOSHKA_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      list_slice(embedding, 1, {MATRYOSHKA_DIMS}) AS qh
+               FROM embeddings WHERE vec_id % 97 = 0),
+    c AS (SELECT vec_id AS neighbour_id, embedding AS cv,
+                 list_slice(embedding, 1, {MATRYOSHKA_DIMS}) AS ch
+          FROM embeddings WHERE vec_id % 97 <> 0),
+    h AS (SELECT query_id, neighbour_id, {_D_SQE.format(a='qh', b='ch')} AS d_head
+          FROM q CROSS JOIN c),
+    s AS (SELECT query_id, neighbour_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d_head ASC, neighbour_id ASC) AS hr
+          FROM h),
+    r AS (SELECT s.query_id, s.neighbour_id,
+                 {_D_SQE.format(a='q.qv', b='c.cv')} AS distance
+          FROM s JOIN c ON c.neighbour_id = s.neighbour_id
+                 JOIN q ON q.query_id = s.query_id
+          WHERE s.hr <= {{short_n}}),
+    f AS (SELECT query_id, neighbour_id, distance,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY distance ASC, neighbour_id ASC) AS rank
+          FROM r)
+    SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank
+    FROM f WHERE rank <= {{k}}
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "knn_binary_rerank": _KNN_BINARY_SQL.format(short_n=10 * BINARY_SHORTLIST_MULT, k=10),
+    "knn_matryoshka_rerank": _KNN_MATRYOSHKA_SQL.format(
+        short_n=10 * BINARY_SHORTLIST_MULT, k=10
+    ),
     "vec_corpus_roundtrip": _VEC_ROUNDTRIP_SQL.format(nrows=_VEC_ROUNDTRIP_ROWS),
     "emb_quantize_stats": f"""
         WITH per_vec AS (
@@ -492,6 +582,7 @@ QUERIES = {
     "knn_int8_euclidean": knn_int8_euclidean,
     "knn_pq_euclidean": knn_pq_euclidean,
     "knn_binary_rerank": knn_binary_rerank,
+    "knn_matryoshka_rerank": knn_matryoshka_rerank,
     "emb_quantize_stats": emb_quantize_stats,
     "dedup_vectors_stats": dedup_vectors_stats,
     "dedup_docs_first_wins": dedup_docs_first_wins,

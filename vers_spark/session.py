@@ -14,6 +14,16 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Spark's Python workers inherit PYTHONPATH from the driver's ENV, not its
+# sys.path — without this, any pandas-UDF closure referencing vers_spark by
+# module dies with ModuleNotFoundError when the process launched from a cwd
+# outside the repo root. Done at import time, before any worker daemon spawns.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _PKG_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _PKG_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+
 # JIT flags for the single-JVM local harness. Whole-stage codegen emits very
 # large methods (expression-heavy stages: 16 minhash aggs, 32 simhash votes);
 # HotSpot refuses to JIT methods over 8000 bytecodes (DontCompileHugeMethods)
