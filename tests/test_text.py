@@ -292,3 +292,24 @@ def test_versioned_snapshots_share_files_and_vacuum(spark, sf_dir):
         for r in docs.select("doc_id", "n_chars").collect()
     }
     assert got == want
+
+
+def test_prefix_filter_equals_full_join_with_fewer_candidates(spark, sf_dir):
+    """Prefix filtering is COMPLETE: the pruned join returns exactly the
+    full inverted-index join's pairs, while indexing ~(1-t) of each set's
+    tokens (the rarest ones), so candidate volume drops."""
+    from vers_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    aug = TDQ._augmented(spark, sf_dir, 7, TDQ.NEAR_TAIL)
+    full = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(aug, 0.8).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs_prefix(aug, 0.8).collect()
+    }
+    assert pref == full and full

@@ -87,6 +87,15 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.ngram_jaccard_pairs(_augmented(spark, sf_dir, 7, NEAR_TAIL), threshold=0.8)
 
 
+def ngram_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (scale path): provably the same result
+    as ngram_jaccard_pairs, so it shares that oracle — the driver hash
+    certifies the ppjoin pruning loses nothing."""
+    return TD.ngram_jaccard_pairs_prefix(
+        _augmented(spark, sf_dir, 7, NEAR_TAIL), threshold=0.8
+    )
+
+
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TD.simhash(docs)
@@ -314,8 +323,13 @@ QUERIES = {
     "minhash_signatures": minhash_signatures_q,
     "minhash_neardup": minhash_neardup_q,
     "ngram_jaccard_pairs": ngram_jaccard_q,
+    "ngram_jaccard_prefix": ngram_jaccard_prefix_q,
     "simhash_docs": simhash_q,
     "simhash_neardup": simhash_neardup_q,
     "neardup_components": neardup_components_q,
     "neardup_best_quality": neardup_best_quality_q,
 }
+
+# the prefix-filtered join provably computes the SAME pairs (completeness of
+# the prefix principle + exact verification) — one oracle certifies both
+ORACLE_SQL["ngram_jaccard_prefix"] = ORACLE_SQL["ngram_jaccard_pairs"]
