@@ -259,6 +259,41 @@ def knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class prototypes: dim-wise centroid over all of a label's
+    embeddings. Cross-ROW float aggregation is where summation order bites
+    (partitioning-dependent, engine-dependent), so elements quantize to
+    1e-8 FIXED POINT — ``round(x·1e8)`` over the bit-identical double
+    product, the same round-the-shared-double pattern knn_int8_euclidean
+    hash-proves — and the sums are BIGINT: order-independent, exact, and
+    engine-identical. (DECIMAL sums were tried first and drift by one last-
+    digit unit: the double→decimal CAST itself rounds differently across
+    engines; rounding the double product does not.) f32 inputs carry ~7
+    significant digits, so 8 fractional digits is part of the operator
+    contract, not a loss. Output (centroid_sum, n_vecs); the mean is a
+    client-side division. One posexplode + one (label, dim) aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    s = e.groupBy("label", "dim").agg(
+        F.sum(
+            F.round(F.col("x").cast("double") * F.lit(1e8)).cast("long")
+        ).alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.max("n").alias("_n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "sx"))),
+                lambda st: st["sx"],
+            ).alias("centroid_sum"),
+        )
+        .select("label", F.col("_n").cast("long").alias("n_vecs"), "centroid_sum")
+        .orderBy("label")
+    )
+
+
 MATRYOSHKA_DIMS = 16  # leading dims used for the coarse shortlist
 
 
@@ -469,6 +504,20 @@ ORACLE_SQL: dict[str, str] = {
     "knn_matryoshka_rerank": _KNN_MATRYOSHKA_SQL.format(
         short_n=10 * BINARY_SHORTLIST_MULT, k=10
     ),
+    "emb_label_centroids": """
+        WITH e AS (
+            SELECT label, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        ), s AS (
+            SELECT label, dim,
+                   CAST(sum(CAST(round(x * 100000000.0) AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY label, dim
+        )
+        SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+               list(sx ORDER BY dim) AS centroid_sum
+        FROM s GROUP BY label ORDER BY label
+    """,
     "vec_corpus_roundtrip": _VEC_ROUNDTRIP_SQL.format(nrows=_VEC_ROUNDTRIP_ROWS),
     "emb_quantize_stats": f"""
         WITH per_vec AS (
@@ -584,6 +633,7 @@ QUERIES = {
     "knn_binary_rerank": knn_binary_rerank,
     "knn_matryoshka_rerank": knn_matryoshka_rerank,
     "emb_quantize_stats": emb_quantize_stats,
+    "emb_label_centroids": emb_label_centroids,
     "dedup_vectors_stats": dedup_vectors_stats,
     "dedup_docs_first_wins": dedup_docs_first_wins,
 }
