@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sweep stopped after (driver-side temp-file I/O) — registers dead last.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(vector_queries.QUERIES)
+    pyds = out.pop("vec_corpus_pyds")
     roundtrip = out.pop("vec_corpus_roundtrip")
     out.update(index_queries.QUERIES)
     out.update(text_analysis.QUERIES)
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(temporal.QUERIES)
     out.update(relational.QUERIES)
     out["vec_corpus_roundtrip"] = roundtrip
+    out["vec_corpus_pyds"] = pyds
     return {name: _tuned(fn) for name, fn in out.items()}
 
 

@@ -103,13 +103,28 @@ def vec_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id because rows are written in vec_id order), so the DuckDB twin
     states the whole pipeline declaratively over the first
     ``_VEC_ROUNDTRIP_ROWS`` embeddings."""
+    from vers_spark.operators.knn import exact_knn
+    from vers_spark.sources.vec_file import load_vec_file
+
+    path = _stage_vec_file(spark, sf_dir)
+    corpus, holdout = load_vec_file(spark, path, normalize=True, holdout_word="w0")
+    q = holdout.select(F.col("id").alias("vec_id"), F.col("emb").alias("embedding"))
+    c = corpus.select(F.col("id").alias("vec_id"), F.col("emb").alias("embedding"))
+    return exact_knn(q, c, k=10)
+
+
+_VEC_STAGE: dict[str, str] = {}
+
+
+def _stage_vec_file(spark: SparkSession, sf_dir: str) -> str:
+    """Write the first _VEC_ROUNDTRIP_ROWS embeddings as a .vec text file
+    (driver-side, bounded by the ONE constant; memoized per sf_dir so the
+    two roundtrip queries share the staged file)."""
     import os
     import tempfile
 
-    from vers_spark.operators.knn import exact_knn
-    from vers_spark.sources.tables import load_table
-    from vers_spark.sources.vec_file import load_vec_file
-
+    if sf_dir in _VEC_STAGE and os.path.exists(_VEC_STAGE[sf_dir]):
+        return _VEC_STAGE[sf_dir]
     emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(
         _VEC_ROUNDTRIP_ROWS
     )
@@ -121,7 +136,25 @@ def vec_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(f"{len(rows)} {dim}\n")
         for r in rows:
             f.write("w%d %s\n" % (r["vec_id"], " ".join(repr(float(x)) for x in r["embedding"])))
-    corpus, holdout = load_vec_file(spark, path, normalize=True, holdout_word="w0")
+    _VEC_STAGE[sf_dir] = path
+    return path
+
+
+def vec_corpus_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_corpus_roundtrip's twin over the Spark 4 PYTHON DATA SOURCE
+    (sources/vec_datasource.py): the same .vec file loads through the
+    pyspark.sql.datasource connector (driver-seeked newline-aligned byte
+    ranges, worker-streamed parse) instead of spark.read.text, then the
+    identical normalize → dense-id → holdout → exact-KNN pipeline runs.
+    Shares vec_corpus_roundtrip's oracle — the hash certifies the two
+    connector implementations agree bit-for-bit."""
+    from vers_spark.operators.knn import exact_knn
+    from vers_spark.sources.vec_datasource import load_vec_datasource
+
+    path = _stage_vec_file(spark, sf_dir)
+    corpus, holdout = load_vec_datasource(
+        spark, path, normalize=True, holdout_word="w0", num_partitions=3
+    )
     q = holdout.select(F.col("id").alias("vec_id"), F.col("emb").alias("embedding"))
     c = corpus.select(F.col("id").alias("vec_id"), F.col("emb").alias("embedding"))
     return exact_knn(q, c, k=10)
@@ -519,6 +552,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM s GROUP BY label ORDER BY label
     """,
     "vec_corpus_roundtrip": _VEC_ROUNDTRIP_SQL.format(nrows=_VEC_ROUNDTRIP_ROWS),
+    # same pipeline through the Python data source — same oracle
+    "vec_corpus_pyds": _VEC_ROUNDTRIP_SQL.format(nrows=_VEC_ROUNDTRIP_ROWS),
     "emb_quantize_stats": f"""
         WITH per_vec AS (
             SELECT label,
@@ -624,6 +659,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "vec_corpus_roundtrip": vec_corpus_roundtrip,
+    "vec_corpus_pyds": vec_corpus_pyds,
     "vk_vector_ops": vk_vector_ops,
     "knn_exact_cosine": knn_exact_cosine,
     "knn_exact_euclidean": knn_exact_euclidean,
