@@ -616,6 +616,43 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_chunk_windows' twin as a Spark 4 PYTHON UDTF consumed through a
+    SQL LATERAL join — the user-defined TABLE function surface
+    (pyspark.sql.functions.udtf), demonstrated the honest way: it shares
+    the declarative chunker's oracle, so the hash certifies the UDTF
+    computes the identical expansion. (The declarative form remains the
+    hot-path choice — sequence+explode stays in codegen; the UDTF is the
+    escape hatch for expansions Catalyst can't express.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id long, chunk_start long, chunk_len long, chunk_md5 string")
+    class Chunker:
+        def eval(self, text):
+            import hashlib
+
+            t = text or ""
+            last_k = (max(len(t), 1) - 1) // CHUNK_STRIDE
+            for k in range(last_k + 1):
+                start = k * CHUNK_STRIDE
+                chunk = t[start : start + CHUNK_SIZE]
+                yield (
+                    k,
+                    start + 1,
+                    len(chunk),
+                    hashlib.md5(chunk.encode("utf-8")).hexdigest(),
+                )
+
+    spark.udtf.register("vs_chunker", Chunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__vs_chunk_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_start, c.chunk_len, c.chunk_md5
+        FROM __vs_chunk_docs d, LATERAL vs_chunker(d.text) c
+        """
+    )
+
+
 def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink end-to-end (sources.jsonl): dump the documents
     table to JSONL, append two malformed lines, read back schema-enforced —
@@ -1008,6 +1045,7 @@ ORACLE_SQL: dict[str, str] = {
             for i, (name, _) in enumerate(EXPECTATIONS)
         ),
     ),
+    # UDTF twin shares the declarative chunker's oracle (set below)
     "doc_chunk_windows": f"""
         SELECT d.doc_id,
                CAST(t.k AS BIGINT) AS chunk_id,
@@ -1056,7 +1094,10 @@ QUERIES = {
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_vocab_coverage": doc_vocab_coverage,
     "doc_chunk_windows": doc_chunk_windows,
+    "doc_chunk_udtf": doc_chunk_udtf,
     "doc_expectations": doc_expectations,
     "doc_pii_scrub": doc_pii_scrub,
     "dedup_docs_normalized": dedup_docs_normalized,
 }
+
+ORACLE_SQL["doc_chunk_udtf"] = ORACLE_SQL["doc_chunk_windows"]
