@@ -158,3 +158,26 @@ def test_ann_recall_report_floors(spark, sf_dir):
         r = rows[fam]
         assert r["recall_at_10"] >= floor, (fam, r["recall_at_10"])
         assert r["n_hits"] <= r["n_queries"] * 10
+
+
+def test_fixed_lloyd_oracles(spark, sf_dir):
+    """The fixed-point Lloyd build + probing search hash-match their
+    unrolled DuckDB twins (the HARD gate on the iterative §B build)."""
+    from tests.oracle import assert_oracle_match
+    from vers_spark.operators import index_queries as IQ
+
+    for name in ("ivf_build_fixed", "ivf_search_fixed_p4"):
+        assert_oracle_match(spark, sf_dir, name, IQ.QUERIES[name], IQ.ORACLE_SQL[name])
+
+
+def test_fixed_lloyd_partitioning_invariance(spark, sf_dir):
+    """Fixed-point sums make the build independent of data partitioning —
+    the property plain float means lack."""
+    from vers_spark.indexes.ivfflat import lloyd_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1, _ = lloyd_fixed(emb.repartition(1), k=4, iters=2)
+    c32, _ = lloyd_fixed(emb.repartition(32), k=4, iters=2)
+    r1 = {r["cluster_id"]: (r["centroid"], r["n_assigned"], r["cost_fp"]) for r in c1.collect()}
+    r32 = {r["cluster_id"]: (r["centroid"], r["n_assigned"], r["cost_fp"]) for r in c32.collect()}
+    assert r1 == r32

@@ -10,8 +10,11 @@ re-expression is a SHARDED graph (the standard distributed-ANN shape):
   (uniform load, every shard searched);
 - each shard builds an independent local HNSW graph in ONE ``applyInPandas``
   pass — a pure-numpy reimplementation of the reference's insert semantics:
-  seeded insertion-layer draw ⌊−ln(U)·mL⌋ with mL = 1/ln(M) (`hnsw.rs:323,
-  335-346,458`), greedy descent to the insertion layer (`hnsw.rs:374-384`),
+  id-deterministic insertion-layer draw with the reference's geometric law
+  P(layer ≥ L) = M^-L (`hnsw.rs:323,335-346,458`; see LAYER_DRAW_M below —
+  the thread-RNG ⌊−ln(U)·mL⌋ draw re-keyed on a hash of the id so the layer
+  is reproducible and SQL-recomputable), greedy descent to the insertion
+  layer (`hnsw.rs:374-384`),
   per-layer ef_construction search (`hnsw.rs:242-307`), heuristic neighbour
   selection — accept closest-first iff closer to the target than to every
   already-accepted neighbour (`hnsw.rs:104-164`), undirected edges
@@ -53,6 +56,42 @@ from pyspark.sql import functions as F
 _GRAPH_SCHEMA = "shard_id int, kind int, layer int, src long, dst long, distance double"
 _RESULT_SCHEMA = "query_id long, neighbour_id long, distance double"
 
+# --- id-deterministic insertion-layer draw ----------------------------------
+# The reference draws the layer from an unseeded thread RNG at insert time
+# (hnsw.rs:335-346): same geometric law P(layer >= L) = M^-L, different graph
+# every run. We make the draw a FUNCTION OF THE ID: h = 60-bit md5 hash of
+# "{id}:{seed}" (uniform over [0, 2^60)), layer = #{L : h < ⌊2^60 / M^L⌋}.
+# Pure-integer comparisons against Python-computed thresholds ⇒ the layer of a
+# node is identical across insertion orders, shards, partitionings, and
+# engines — which is what lets hnsw_layer_stats carry a DuckDB oracle that
+# recomputes every node's layer in SQL (same md5, same integer thresholds).
+LAYER_DRAW_M = 1 << 60
+
+
+def layer_thresholds(m: int, num_layers: int) -> list[int]:
+    """⌊2^60 / M^L⌋ for L = 1..num_layers-1 (exact integer arithmetic);
+    mL = 1/ln(M) makes exp(-L/mL) = M^-L (hnsw.rs:323,458)."""
+    base = max(int(m), 2)
+    return [LAYER_DRAW_M // base**lvl for lvl in range(1, num_layers)]
+
+
+def hash60(s: str) -> int:
+    """First 15 hex chars of md5 as int — the Python twin of
+    functions.text.stable_hash60 / the DuckDB D_HASH60 fragment."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def draw_layer(vid: int, layer_seed: int, thresholds: list[int]) -> int:
+    h = hash60(f"{vid}:{layer_seed}")
+    layer = 0
+    for c in thresholds:
+        if h >= c:
+            break
+        layer += 1
+    return layer
+
 
 # ---------------------------------------------------------------- local kernel
 
@@ -72,12 +111,17 @@ class _LocalHNSW:
     vectorization the reference gets from hand-SIMD, base.rs:158-293).
     """
 
-    def __init__(self, num_layers: int, ef_construction: int, m: int, seed: int):
+    def __init__(
+        self, num_layers: int, ef_construction: int, m: int, seed: int, layer_seed: int | None = None
+    ):
         self.num_layers = num_layers
         self.efc = ef_construction
         self.m = m
         self.ml = 1.0 / math.log(m) if m > 1 else 1.0  # hnsw.rs:323,458
-        self.rng = np.random.default_rng(seed)
+        # layer draws key on the BASE seed (layer_seed), not the per-shard
+        # seed: a node's layer must not depend on which shard it lands in
+        self.layer_seed = seed if layer_seed is None else layer_seed
+        self._thresholds = layer_thresholds(m, num_layers)
         # adjacency[layer][node] = {neighbour: distance}
         self.adj: list[dict[int, dict[int, float]]] = [dict() for _ in range(num_layers)]
         self.node_layer: dict[int, int] = {}
@@ -101,11 +145,10 @@ class _LocalHNSW:
         self._idx[vid] = self._n
         self._n += 1
 
-    # -- reference hnsw.rs:335-346
-    def _draw_layer(self) -> int:
-        u = self.rng.random()
-        u = max(u, 1e-12)
-        return min(int(-math.log(u) * self.ml), self.num_layers - 1)
+    # -- reference hnsw.rs:335-346, made an id-deterministic draw (see module
+    # header): same geometric law, reproducible and SQL-recomputable
+    def _draw_layer(self, vid: int) -> int:
+        return draw_layer(vid, self.layer_seed, self._thresholds)
 
     def _bdist(self, q: np.ndarray, vids: list[int]) -> np.ndarray:
         rows = [self._idx[v] for v in vids]
@@ -190,7 +233,7 @@ class _LocalHNSW:
     # -- full insert, hnsw.rs:348-432
     def insert(self, vid: int, vec: np.ndarray) -> None:
         self.add_vec(vid, vec)
-        l_ins = self._draw_layer()
+        l_ins = self._draw_layer(vid)
         if self._n == 1:
             self.node_layer[vid] = l_ins
             for layer in range(l_ins + 1):
@@ -264,7 +307,11 @@ class _LocalHNSW:
 def _build_local(pdf: pd.DataFrame, params: dict) -> pd.DataFrame:
     shard = int(pdf["shard_id"].iloc[0])
     g = _LocalHNSW(
-        params["num_layers"], params["ef_construction"], params["m"], params["seed"] + shard
+        params["num_layers"],
+        params["ef_construction"],
+        params["m"],
+        params["seed"] + shard,
+        layer_seed=params["seed"],
     )
     order = np.argsort(pdf["id"].to_numpy())  # deterministic insert order
     ids = pdf["id"].to_numpy()[order]

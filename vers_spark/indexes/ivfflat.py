@@ -391,3 +391,118 @@ class IVFFlatIndex:
             spark.read.parquet(f"{path}/assignments"),
             params,
         )
+
+
+# ------------------------------------------------------- fixed-point Lloyd's
+# Engine-exact k-means (the §B build operators under the HARD oracle gate):
+# every arithmetic step is either integer or a declared-order f64 fold, so a
+# DuckDB unroll of the same T iterations reproduces centroids, assignments,
+# and cost BIT-identically (index_queries.ivf_build_fixed). Semantics per the
+# reference (ivfflat.rs:73-100) with two pinned determinizations:
+#   init    — the k rows with the smallest (md5-hash, id) key, numbered in
+#             that order (vs seeded random rows: same "pick k corpus rows"
+#             contract, reproducible across engines/partitionings);
+#   update  — per-cluster mean via 1e-8 fixed-point BIGINT coordinate sums
+#             (order-independent where float sums drift; the
+#             emb_label_centroids pattern), divided back to f64 once per
+#             iteration; empty cluster → zero vector (ivfflat.rs:47-71).
+# Assignment argmin ties break by ascending cluster_id. The fixed-point mean
+# sums stay < 2^53 while n_cluster · 1e8 · max|x| < 9e15 — i.e. up to ~10M
+# unit-scale members per cluster per 1e8 scale; at 100 TB shard the mean
+# (tree-aggregate the BIGINT sums) rather than lowering the scale.
+
+
+def lloyd_fixed(
+    data: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (centroids, final_assignments):
+    centroids(cluster_id int, centroid array<double>, n_assigned long,
+    cost_fp long) after ``iters`` updates; final_assignments(id, cluster_id,
+    dist) against the final centroids. Fully declarative — the whole loop is
+    one Catalyst plan per output."""
+    from vers_spark.functions.text import stable_hash60
+
+    spark = data.sparkSession
+    vecs = data.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
+    dims = len(vecs.select("emb").first()[0])
+
+    h = stable_hash60(F.concat(F.col("id").cast("string"), F.lit(f":ivf:{seed}")))
+    ranked = (
+        vecs.withColumn("_h", h)
+        .orderBy("_h", "id")
+        .limit(k)
+        .withColumn(
+            "cluster_id",
+            F.row_number().over(W.orderBy("_h", "id")).cast("int") - F.lit(1),
+        )
+    )
+    centroids = ranked.select(
+        "cluster_id", F.transform("emb", lambda x: x.cast("double")).alias("centroid")
+    )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        d = V.sq_euclidean(F.col("emb"), F.col("centroid"))
+        w = W.partitionBy("id").orderBy(F.asc("_dist"), F.asc("cluster_id"))
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("_dist", d)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "emb", "cluster_id", F.col("_dist").alias("dist"))
+        )
+
+    zero = F.array(*[F.lit(0.0) for _ in range(dims)])
+    all_clusters = spark.range(k).select(F.col("id").cast("int").alias("cluster_id"))
+    for _ in range(iters):
+        a = _assign(centroids)
+        sums = (
+            a.select("cluster_id", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cluster_id", "dim")
+            .agg(
+                F.sum(F.round(F.col("x").cast("double") * F.lit(1e8)).cast("long")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.max("n").alias("n"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "sx"))),
+                    lambda st: st["sx"],
+                ).alias("csum"),
+            )
+            .select(
+                "cluster_id",
+                F.transform(
+                    "csum",
+                    lambda s: s.cast("double") / (F.col("n") * F.lit(100000000)).cast("double"),
+                ).alias("centroid"),
+            )
+        )
+        centroids = all_clusters.join(sums, "cluster_id", "left").select(
+            "cluster_id", F.coalesce("centroid", zero).alias("centroid")
+        )
+
+    final = _assign(centroids)
+    stats = (
+        final.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum(F.round(F.col("dist") * F.lit(1e8)).cast("long")).alias("cost_fp"),
+        )
+    )
+    out = (
+        all_clusters.join(stats, "cluster_id", "left")
+        .join(centroids, "cluster_id")
+        .select(
+            "cluster_id",
+            "centroid",
+            F.coalesce("n_assigned", F.lit(0)).cast("long").alias("n_assigned"),
+            F.coalesce("cost_fp", F.lit(0)).cast("long").alias("cost_fp"),
+        )
+    )
+    return out, final

@@ -75,6 +75,97 @@ def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf(spark, sf_dir).cluster_stats()
 
 
+_FIXED_K, _FIXED_ITERS, _FIXED_SEED = 8, 3, 42
+_FIXED_CACHE: dict[str, tuple] = {}
+
+
+def _lloyd_fixed(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _FIXED_CACHE:
+        from vers_spark.indexes.ivfflat import lloyd_fixed
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        _FIXED_CACHE[sf_dir] = lloyd_fixed(
+            emb, k=_FIXED_K, iters=_FIXED_ITERS, seed=_FIXED_SEED
+        )
+    return _FIXED_CACHE[sf_dir]
+
+
+def ivf_build_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means under the HARD oracle gate (ivfflat.lloyd_fixed):
+    deterministic hash init, argmin assignment on the f64 fold kernel,
+    1e-8 fixed-point BIGINT mean updates, 3 iterations — the DuckDB twin
+    unrolls the identical loop and the driver hash certifies centroids,
+    posting-list sizes, AND the k-means cost (ivfflat.rs:73-100,47-71
+    semantics; cost = §B.B5, assignment = §B.B2, update = §B.B3)."""
+    centroids, _ = _lloyd_fixed(spark, sf_dir)
+    return centroids.orderBy("cluster_id")
+
+
+def emb_similarity_join_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-co-located all-pairs top-5 over the fixed-point build: neighbours
+    restricted to each vector's (deterministic) cluster — the REALISTIC
+    co-located similarity-join shape (linear in cluster size, not corpus²)
+    under a full DuckDB oracle, because the cluster assignment itself is
+    engine-exact (unlike the mllib-built emb_similarity_join twin, which is
+    rows-only)."""
+    from pyspark.sql import Window as W
+
+    from vers_spark.functions import vector as V
+
+    _, assignments = _lloyd_fixed(spark, sf_dir)
+    a = assignments.select("cluster_id", F.col("id").alias("query_id"), F.col("emb").alias("qv"))
+    b = assignments.select("cluster_id", F.col("id").alias("neighbour_id"), F.col("emb").alias("cv"))
+    w = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbour_id"))
+        .withColumn("distance", V.sq_euclidean(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbour_id", "distance")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbour_id", "distance", "rank")
+    )
+
+
+def ivf_search_fixed_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search over the fixed-point build: rank the 8 exact
+    centroids per query, probe the 4 nearest posting lists, exact top-10
+    within them (ivfflat.rs:153-198 without the underflow fill — lists here
+    always hold ≥ k). Every step is engine-exact, so the REALISTIC probing
+    configuration (not just the all-probes degenerate) carries a full
+    DuckDB oracle."""
+    centroids, assignments = _lloyd_fixed(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from vers_spark.functions import vector as V
+
+    cd = V.sq_euclidean(F.col("qv"), F.col("centroid"))
+    from pyspark.sql import Window as W
+
+    cw = W.partitionBy("query_id").orderBy(F.asc("_cdist"), F.asc("cluster_id"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids.select("cluster_id", "centroid")))
+        .withColumn("_cdist", cd)
+        .withColumn("_crn", F.row_number().over(cw))
+        .filter(F.col("_crn") <= 4)
+        .select("query_id", "qv", "cluster_id")
+    )
+    cand = probes.join(
+        assignments.select("cluster_id", F.col("id").alias("neighbour_id"), F.col("emb").alias("cv")),
+        "cluster_id",
+    )
+    d = V.sq_euclidean(F.col("qv"), F.col("cv"))
+    w = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
+    return (
+        cand.withColumn("distance", d)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbour_id", "distance", "rank")
+    )
+
+
 def _lsh(spark: SparkSession, sf_dir: str, trees: int, max_node: int) -> LSHForestIndex:
     key = (sf_dir, trees, max_node)
     if key not in _LSH_CACHE:
@@ -169,8 +260,11 @@ def index_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full index lifecycle (SURVEY §3.3: build → add a
     held-out vector → save → load → search) through the unified api.py
     facade, as a driver-visible query: the held-out vector must find
-    itself at distance 0. Rows-only (k-means build not SQL-expressible);
-    the per-kind e2e tests pin the same flow for LSH/HNSW."""
+    itself at distance 0. Searched with n_probes = num_clusters, so the
+    post-roundtrip search is EXACT regardless of where k-means placed the
+    centroids — which makes the whole lifecycle DuckDB-oracle-expressible
+    (exact KNN of the held vector over the full 200-vector slice). The
+    per-kind e2e tests pin the same flow for LSH/HNSW."""
     import tempfile
 
     from vers_spark import api
@@ -187,13 +281,17 @@ def index_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     api.save_index(idx, path)
     back = api.load_index(spark, path)
     return api.search_approximate(
-        back, held.select("vec_id", "embedding"), top_k=3
+        back, held.select("vec_id", "embedding"), top_k=3, n_probes=8
     ).orderBy("rank")
 
 
 def hnsw_layer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nodes per layer (hnsw.rs:480-485) — rows-only (layer draw is seeded
-    RNG, not SQL-expressible)."""
+    """Nodes per layer (hnsw.rs:480-485). The insertion-layer draw is an
+    id-deterministic hash draw (hnsw.py LAYER_DRAW_M: 60-bit md5 of
+    "{id}:{seed}" against integer thresholds ⌊2^60/M^L⌋ — same geometric law
+    as the reference's RNG), so the DuckDB oracle recomputes every node's
+    layer in SQL and the whole distributed build's layer structure is
+    hash-certified."""
     return _hnsw(spark, sf_dir).layer_stats()
 
 
@@ -341,11 +439,164 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LIFECYCLE_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id = (SELECT max(vec_id) FROM embeddings WHERE vec_id < 200)),
+    c AS (SELECT vec_id AS neighbour_id, embedding AS cv FROM embeddings WHERE vec_id < 200),
+    d AS (SELECT query_id, neighbour_id,
+                 list_reduce(list_transform(list_zip(qv, cv),
+                     s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+                     (x,y) -> x + y) AS distance
+          FROM q CROSS JOIN c),
+    r AS (SELECT query_id, neighbour_id, distance,
+                 row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbour_id ASC) AS rank
+          FROM d)
+    SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+"""
+
+# Fixed-point Lloyd oracle: unroll the T iterations as MATERIALIZED CTEs
+# (DuckDB inlines plain CTEs; each round references the previous several
+# times, so inlining would blow up exponentially — same lesson as bpe.py).
+_D_SQE_FOLD = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),"
+    " (x,y) -> x + y)"
+)
+
+
+def _lloyd_fixed_ctes(k: int, iters: int, seed: int) -> tuple[str, str]:
+    """Returns (WITH-clause, final-centroid/assignment CTE names)."""
+    from vers_spark.operators.text_analysis import D_HASH60
+
+    h = D_HASH60.format(x=f"CAST(id AS VARCHAR) || ':ivf:{seed}'")
+    dist = _D_SQE_FOLD.format(a="v.emb", b="c.centroid")
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id AS id, embedding AS emb FROM embeddings)",
+        "z AS MATERIALIZED (SELECT list_transform(generate_series(1, len(emb)), y -> 0.0) AS zc"
+        " FROM v ORDER BY id LIMIT 1)",
+        f"""c0 AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY _h, id) - 1 AS INT) AS cluster_id,
+                   list_transform(emb, x -> CAST(x AS DOUBLE)) AS centroid
+            FROM (SELECT id, emb, {h} AS _h FROM v ORDER BY _h, id LIMIT {k}))""",
+    ]
+    for t in range(1, iters + 2):  # iters updates + one final assignment
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+            SELECT id, emb, cluster_id, dist FROM (
+                SELECT id, emb, cluster_id, dist,
+                       row_number() OVER (PARTITION BY id ORDER BY dist ASC, cluster_id ASC) AS rn
+                FROM (SELECT v.id, v.emb, c.cluster_id, {dist} AS dist
+                      FROM v CROSS JOIN c{t - 1} c))
+            WHERE rn = 1)"""
+        )
+        if t == iters + 1:
+            break
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+            SELECT cluster_id, CAST(max(n) AS BIGINT) AS n, list(sx ORDER BY dim) AS csum FROM (
+                SELECT cluster_id, dim,
+                       CAST(sum(CAST(round(x * 100000000.0) AS BIGINT)) AS BIGINT) AS sx,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT cluster_id, t.i - 1 AS dim, CAST(emb[t.i] AS DOUBLE) AS x
+                      FROM a{t}, UNNEST(generate_series(1, len(emb))) AS t(i))
+                GROUP BY cluster_id, dim)
+            GROUP BY cluster_id)"""
+        )
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+            SELECT r.cluster_id,
+                   COALESCE(list_transform(s.csum,
+                       sx -> CAST(sx AS DOUBLE) / CAST(s.n * 100000000 AS DOUBLE)), z.zc) AS centroid
+            FROM (SELECT CAST(range AS INT) AS cluster_id FROM range({k})) r
+            LEFT JOIN s{t} s USING (cluster_id) CROSS JOIN z)"""
+        )
+    return "WITH " + ",\n".join(ctes), f"c{iters}"
+
+
+def _ivf_build_fixed_sql(k: int = _FIXED_K, iters: int = _FIXED_ITERS, seed: int = _FIXED_SEED) -> str:
+    with_clause, cfin = _lloyd_fixed_ctes(k, iters, seed)
+    return f"""{with_clause}
+        SELECT c.cluster_id, c.centroid,
+               CAST(COALESCE(st.n_assigned, 0) AS BIGINT) AS n_assigned,
+               CAST(COALESCE(st.cost_fp, 0) AS BIGINT) AS cost_fp
+        FROM {cfin} c LEFT JOIN (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_assigned,
+                   CAST(sum(CAST(round(dist * 100000000.0) AS BIGINT)) AS BIGINT) AS cost_fp
+            FROM a{iters + 1} GROUP BY cluster_id) st USING (cluster_id)
+        ORDER BY c.cluster_id
+    """
+
+
+def _emb_simjoin_fixed_sql(k: int = _FIXED_K, iters: int = _FIXED_ITERS, seed: int = _FIXED_SEED) -> str:
+    with_clause, _ = _lloyd_fixed_ctes(k, iters, seed)
+    dist = _D_SQE_FOLD.format(a="a.emb", b="b.emb")
+    return f"""{with_clause}
+        SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM (
+            SELECT query_id, neighbour_id, distance,
+                   row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbour_id ASC) AS rank
+            FROM (SELECT a.id AS query_id, b.id AS neighbour_id, {dist} AS distance
+                  FROM a{iters + 1} a JOIN a{iters + 1} b USING (cluster_id)
+                  WHERE a.id <> b.id))
+        WHERE rank <= 5
+    """
+
+
+def _ivf_search_fixed_sql(k: int = _FIXED_K, iters: int = _FIXED_ITERS, seed: int = _FIXED_SEED) -> str:
+    with_clause, cfin = _lloyd_fixed_ctes(k, iters, seed)
+    cdist = _D_SQE_FOLD.format(a="q.qv", b="c.centroid")
+    ndist = _D_SQE_FOLD.format(a="cand.qv", b="cand.cv")
+    return f"""{with_clause},
+        q AS MATERIALIZED (SELECT id AS query_id, emb AS qv FROM v WHERE id % 101 = 0),
+        pr AS MATERIALIZED (
+            SELECT query_id, qv, cluster_id FROM (
+                SELECT query_id, qv, cluster_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cdist ASC, cluster_id ASC) AS crn
+                FROM (SELECT q.query_id, q.qv, c.cluster_id, {cdist} AS cdist
+                      FROM q CROSS JOIN {cfin} c))
+            WHERE crn <= 4),
+        cand AS MATERIALIZED (
+            SELECT pr.query_id, pr.qv, a.id AS neighbour_id, a.emb AS cv
+            FROM pr JOIN a{iters + 1} a USING (cluster_id))
+        SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM (
+            SELECT query_id, neighbour_id, distance,
+                   row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbour_id ASC) AS rank
+            FROM (SELECT cand.query_id, cand.neighbour_id, {ndist} AS distance FROM cand))
+        WHERE rank <= 10
+    """
+
+
+# hnsw_layer_stats oracle: recompute every node's insertion layer in SQL.
+# Thresholds are the SAME Python-computed integers the build uses
+# (hnsw.layer_thresholds); they are strictly decreasing, so h < c_L implies
+# h < c_{L-1} and the layer is just the count of satisfied comparisons.
+def _hnsw_layer_sql() -> str:
+    from vers_spark.indexes.hnsw import layer_thresholds
+    from vers_spark.operators.text_analysis import D_HASH60
+
+    thr = layer_thresholds(24, 12)  # registered config: M=24, 12 layers
+    h = D_HASH60.format(x="CAST(vec_id AS VARCHAR) || ':42'")  # seed=42
+    layer = " + ".join(f"CAST(h < {c} AS INT)" for c in thr)
+    return f"""
+        WITH t AS (SELECT vec_id, {h} AS h FROM embeddings),
+        l AS (SELECT vec_id, ({layer}) AS node_layer FROM t),
+        e AS (SELECT unnest(generate_series(0, node_layer)) AS layer FROM l)
+        SELECT CAST(layer AS INT) AS layer, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM e GROUP BY layer ORDER BY layer
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
+    "ivf_build_fixed": _ivf_build_fixed_sql(),
+    "ivf_search_fixed_p4": _ivf_search_fixed_sql(),
+    "emb_similarity_join_fixed": _emb_simjoin_fixed_sql(),
+    "hnsw_layer_stats": _hnsw_layer_sql(),
     "ivf_search_all": _KNN_ALL_SQL,
     "ivf_search_filtered": _KNN_FILTERED_SQL,
     "lsh_search_filtered": _KNN_FILTERED_SQL,
     "lsh_search_degenerate": _LSH_DEGENERATE_SQL,
+    # lifecycle searches with n_probes = num_clusters, i.e. exact: the whole
+    # build→add→save→load→search flow reduces to exact KNN over the slice
+    "index_lifecycle_roundtrip": _LIFECYCLE_SQL,
 }
 
 QUERIES = {
@@ -354,6 +605,9 @@ QUERIES = {
     "ivf_search_filtered": ivf_search_filtered,
     "lsh_search_degenerate": lsh_search_degenerate,
     "lsh_search_filtered": lsh_search_filtered,
+    "ivf_build_fixed": ivf_build_fixed,
+    "ivf_search_fixed_p4": ivf_search_fixed_p4,
+    "emb_similarity_join_fixed": emb_similarity_join_fixed,
     "ivf_search_p4": ivf_search_p4,
     "ivf_cluster_stats": ivf_cluster_stats,
     "ivf_build_ref": ivf_build_ref,

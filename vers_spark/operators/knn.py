@@ -69,12 +69,22 @@ def exact_knn_blocked(
     query_vec: str = "embedding",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    rescore: bool = True,
 ) -> DataFrame:
     """Block-nested-loop exact KNN (the scale path; see module docstring).
 
     The query block is collected and broadcast — callers keep it small
     (≤ ~10⁵ × dim floats); the corpus side is never materialized on the
     driver.
+
+    ``rescore=True`` (default) recomputes the emitted ``distance`` for the
+    O(Q×k) survivors with the declarative left-fold f64 kernel and re-ranks
+    on it, so the OUTPUT is bit-identical to :func:`exact_knn` — BLAS's
+    pairwise summation only picks the candidates (id-set equality is what
+    the top-k needs; the fold defines the reported values). Cost: one
+    broadcast join of the k·Q candidate rows back against corpus + queries
+    — negligible next to the scan. This is what lets the blocked path share
+    the exact path's DuckDB oracle.
     """
     import numpy as np
 
@@ -120,4 +130,20 @@ def exact_knn_blocked(
         F.col(corpus_id).cast("long").alias("neighbour_id"), F.col(corpus_vec).alias("c_vec")
     )
     candidates = c.mapInPandas(partial_topk, "query_id long, neighbour_id long, _dist double")
-    return _ranked(candidates, "_dist", k)
+    ranked = _ranked(candidates, "_dist", k)
+    if not rescore:
+        return ranked
+    # Exact rescoring join: candidates (Q×k rows, tiny) are broadcast against
+    # the corpus — the corpus is probed, not shuffled — then against the
+    # already-collected query block. The fold distance replaces the BLAS one.
+    q_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, q_mat)],
+        "query_id long, q_vec array<double>",
+    )
+    dist = V.DISTANCE_FNS[metric](F.col("q_vec"), F.col("c_vec"))
+    rejoined = (
+        c.join(F.broadcast(ranked.select("query_id", "neighbour_id")), "neighbour_id")
+        .join(F.broadcast(q_df), "query_id")
+        .withColumn("_dist", dist)
+    )
+    return _ranked(rejoined, "_dist", k)

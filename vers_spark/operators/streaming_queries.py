@@ -306,6 +306,22 @@ def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same streaming ingest against the fixed-point build's frozen
+    centroids: end state ≡ the batch build's posting lists, hash-matched
+    against the unrolled Lloyd oracle — incremental `add` under the HARD
+    gate."""
+    from vers_spark.streaming.events import stream_ivf_ingest_fixed
+
+    sink = scratch_dir("vs_ivf_fixed_ingest_")
+    ingested = stream_ivf_ingest_fixed(spark, sf_dir, f"{sink}/data")
+    return (
+        ingested.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     # DuckDB truncates timestamps to the hour exactly like Spark's tumbling
     # window start; sum(value) is double in both engines.
@@ -444,7 +460,27 @@ QUERIES = {
     "stream_sessions_tws": stream_sessions_tws,
     "stream_merge_versioned": stream_merge_versioned,
     "stream_ivf_assign_stats": stream_ivf_assign_stats,
+    "stream_ivf_assign_fixed": stream_ivf_assign_fixed,
 }
+
+# streaming ingest end state ≡ the fixed-point batch build's posting lists:
+# reuse the unrolled-Lloyd CTEs, project to per-cluster counts
+def _stream_ivf_fixed_sql() -> str:
+    from vers_spark.operators.index_queries import (
+        _FIXED_ITERS,
+        _FIXED_K,
+        _FIXED_SEED,
+        _lloyd_fixed_ctes,
+    )
+
+    with_clause, _ = _lloyd_fixed_ctes(_FIXED_K, _FIXED_ITERS, _FIXED_SEED)
+    return f"""{with_clause}
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM a{_FIXED_ITERS + 1} GROUP BY cluster_id ORDER BY cluster_id
+    """
+
+
+ORACLE_SQL["stream_ivf_assign_fixed"] = _stream_ivf_fixed_sql()
 
 # same operator contract, same oracle: the migration-parity guarantee
 ORACLE_SQL["stream_sessions_tws"] = ORACLE_SQL["stream_sessions"]

@@ -337,3 +337,52 @@ def stream_quality_gate(
         )
         q.awaitTermination()
     return spark.read.parquet(f"{store_dir}/accept"), spark.read.parquet(f"{store_dir}/reject")
+
+
+def stream_ivf_ingest_fixed(spark: SparkSession, sf_dir: str, sink_dir: str) -> DataFrame:
+    """``stream_ivf_ingest`` against the FIXED-POINT build's frozen centroids
+    (ivfflat.lloyd_fixed), scoring each micro-batch with the declarative f64
+    fold kernel instead of numpy — every arithmetic step matches the DuckDB
+    unroll bit-for-bit, so the streaming ingest's END STATE hash-matches the
+    batch build's posting-list sizes (the streaming `add` under the HARD
+    oracle gate; ivfflat.rs:200-213 semantics)."""
+    from pyspark.sql import Window as W
+
+    from vers_spark.functions import vector as V
+    from vers_spark.operators.index_queries import _lloyd_fixed
+
+    centroids, _ = _lloyd_fixed(spark, sf_dir)
+    # freeze: materialize the 8 centroid rows once — micro-batches must not
+    # re-run the 3-iteration training plan
+    frozen = spark.createDataFrame(
+        [(int(r["cluster_id"]), [float(x) for x in r["centroid"]]) for r in centroids.collect()],
+        "cluster_id int, centroid array<double>",
+    )
+
+    stream = (
+        spark.readStream.schema(_EMB_FILE_SCHEMA)
+        .parquet(_stage_dir(sf_dir, "embeddings"))
+        .select(F.col("vec_id").alias("id"), "embedding")
+    )
+
+    def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
+        d = V.sq_euclidean(F.col("embedding"), F.col("centroid"))
+        w = W.partitionBy("id").orderBy(F.asc("_dist"), F.asc("cluster_id"))
+        assigned = (
+            bdf.crossJoin(F.broadcast(frozen))
+            .withColumn("_dist", d)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "cluster_id")
+        )
+        assigned.write.mode("append").partitionBy("cluster_id").parquet(sink_dir)
+
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{sink_dir}_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink_dir)
