@@ -166,7 +166,12 @@ def test_fixed_lloyd_oracles(spark, sf_dir):
     from tests.oracle import assert_oracle_match
     from vers_spark.operators import index_queries as IQ
 
-    for name in ("ivf_build_fixed", "ivf_search_fixed_p4"):
+    for name in (
+        "ivf_build_fixed",
+        "ivf_search_fixed_p4",
+        "emb_similarity_join_fixed",
+        "knn_pq_fixed",
+    ):
         assert_oracle_match(spark, sf_dir, name, IQ.QUERIES[name], IQ.ORACLE_SQL[name])
 
 

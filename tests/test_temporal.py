@@ -77,3 +77,43 @@ def test_asof_strictly_prior_and_tiebreak(spark):
     out = temporal.asof_join(purchases, clicks, on=["user_id"], right_cols=["event_id"])
     got = {r["event_id"]: r["_match"]["event_id"] if r["_match"] else None for r in out.collect()}
     assert got == {3: 1, 6: 5, 7: None}
+
+
+def test_rollup_incremental_refresh_and_exact_serve(spark, sf_dir):
+    """Continuous aggregate (sources/rollup.py): the second refresh touches
+    only hours after the first watermark (incremental, no full rescan), a
+    boundary hour is never clobbered (hour-granular dynamic overwrite), and
+    the served view equals a direct raw aggregation exactly."""
+    from pyspark.sql import functions as F
+
+    from vers_spark.sources.rollup import hourly_rollup, refresh_rollup, serve_hourly
+    from vers_spark.sources.tables import load_table
+    from vers_spark.streaming.events import scratch_dir
+
+    events = load_table(spark, sf_dir, "events")
+    path = scratch_dir("vs_rollup_t_") + "/hourly"
+    cut = events.agg(
+        F.timestamp_micros(
+            ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2).cast("long")
+        ).alias("mid")
+    ).collect()[0]["mid"]
+    m1 = refresh_rollup(spark, events.filter(F.col("ts") <= F.lit(cut)), path)
+    m2 = refresh_rollup(spark, events, path)
+    total_closed = (
+        hourly_rollup(events).select("hour").distinct().count() - 1
+    )  # all hours except the open one
+    assert m1["hours_refreshed"] > 0 and m2["hours_refreshed"] > 0
+    # incremental: the two refreshes partition the closed hours (no overlap,
+    # no gap) — a full-rescan implementation would give m2 == total_closed
+    assert m1["hours_refreshed"] + m2["hours_refreshed"] == total_closed
+    assert m2["hours_refreshed"] < total_closed
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_dec"])
+        for r in serve_hourly(spark, events, path).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_dec"])
+        for r in hourly_rollup(events).collect()
+    }
+    assert got == want

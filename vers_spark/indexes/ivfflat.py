@@ -483,7 +483,7 @@ def lloyd_fixed(
                 ).alias("centroid"),
             )
         )
-        centroids = all_clusters.join(sums, "cluster_id", "left").select(
+        centroids = all_clusters.join(F.broadcast(sums), "cluster_id", "left").select(
             "cluster_id", F.coalesce("centroid", zero).alias("centroid")
         )
 
@@ -496,8 +496,8 @@ def lloyd_fixed(
         )
     )
     out = (
-        all_clusters.join(stats, "cluster_id", "left")
-        .join(centroids, "cluster_id")
+        all_clusters.join(F.broadcast(stats), "cluster_id", "left")
+        .join(F.broadcast(centroids), "cluster_id")
         .select(
             "cluster_id",
             "centroid",

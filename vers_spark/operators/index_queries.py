@@ -127,6 +127,95 @@ def emb_similarity_join_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQF_M, _PQF_K, _PQF_ITERS, _PQF_SEED = 4, 8, 2, 1000
+_PQF_SHORTLIST = 20
+_PQF_CACHE: dict[str, list] = {}
+
+
+def _pq_fixed(spark: SparkSession, sf_dir: str) -> list:
+    """Per-subspace (centroids, assignments) from the declarative fixed-point
+    Lloyd over embedding slices — the PQ codebook training made engine-exact."""
+    if sf_dir not in _PQF_CACHE:
+        from vers_spark.indexes.ivfflat import lloyd_fixed
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        dims = len(emb.select("embedding").first()[0])
+        dsub = dims // _PQF_M
+        runs = []
+        for j in range(_PQF_M):
+            sub = emb.select(
+                "vec_id", F.slice("embedding", j * dsub + 1, dsub).alias("embedding")
+            )
+            runs.append(lloyd_fixed(sub, k=_PQF_K, iters=_PQF_ITERS, seed=_PQF_SEED + j))
+        _PQF_CACHE[sf_dir] = runs
+    return _PQF_CACHE[sf_dir]
+
+
+def knn_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization under the HARD oracle gate: per-subspace
+    codebooks trained by the fixed-point Lloyd (engine-exact, unlike the
+    sampled-numpy PQCodec), ADC computed in 1e-8 fixed-point BIGINT sums
+    (order-independent where float ADC sums drift), shortlist of 20
+    re-ranked exactly on the raw vectors. The full
+    quantize→ADC→rerank serving path hash-matches a DuckDB unroll of all
+    four subspace k-means runs plus the same integer ADC."""
+    from pyspark.sql import Window as W
+
+    from vers_spark.functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    dsub = dims // _PQF_M
+    runs = _pq_fixed(spark, sf_dir)
+
+    q = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    codes = None
+    dtab = None
+    for j, (centroids, assignments) in enumerate(runs):
+        cj = assignments.select(
+            F.lit(j).alias("j"), "id", F.col("cluster_id").alias("code")
+        )
+        qsub = F.slice("qv", j * dsub + 1, dsub)
+        dj = (
+            q.crossJoin(F.broadcast(centroids.select("cluster_id", "centroid")))
+            .select(
+                "query_id",
+                F.lit(j).alias("j"),
+                F.col("cluster_id").alias("code"),
+                F.round(V.sq_euclidean(qsub, F.col("centroid")) * F.lit(1e8))
+                .cast("long")
+                .alias("d_fp"),
+            )
+        )
+        codes = cj if codes is None else codes.unionByName(cj)
+        dtab = dj if dtab is None else dtab.unionByName(dj)
+
+    adc = (
+        codes.join(F.broadcast(dtab), ["j", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("d_fp").cast("long").alias("adc_fp"))
+    )
+    sw = W.partitionBy("query_id").orderBy(F.asc("adc_fp"), F.asc("id"))
+    short = (
+        adc.withColumn("_rn", F.row_number().over(sw))
+        .filter(F.col("_rn") <= _PQF_SHORTLIST)
+        .select("query_id", F.col("id").alias("neighbour_id"))
+    )
+    rerank = (
+        short.join(emb.select(F.col("vec_id").alias("neighbour_id"), F.col("embedding").alias("cv")), "neighbour_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("distance", V.sq_euclidean(F.col("qv"), F.col("cv")))
+    )
+    rw = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbour_id", "distance", "rank")
+    )
+
+
 def ivf_search_fixed_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search over the fixed-point build: rank the 8 exact
     centroids per query, probe the 4 nearest posting lists, exact top-10
@@ -464,53 +553,65 @@ _D_SQE_FOLD = (
 )
 
 
-def _lloyd_fixed_ctes(k: int, iters: int, seed: int) -> tuple[str, str]:
-    """Returns (WITH-clause, final-centroid/assignment CTE names)."""
+def _lloyd_fixed_cte_list(
+    k: int, iters: int, seed: int, prefix: str = "", emb_sql: str = "embedding"
+) -> list[str]:
+    """CTE list for one unrolled Lloyd run over ``emb_sql`` (a list-valued
+    expression over the embeddings table, e.g. a subspace slice). All CTE
+    names carry ``prefix`` so several runs (PQ subspaces) compose in one
+    WITH-clause. The hash-init key embeds ``seed``, matching
+    ivfflat.lloyd_fixed's ``"{id}:ivf:{seed}"`` contract."""
     from vers_spark.operators.text_analysis import D_HASH60
 
+    p = prefix
     h = D_HASH60.format(x=f"CAST(id AS VARCHAR) || ':ivf:{seed}'")
     dist = _D_SQE_FOLD.format(a="v.emb", b="c.centroid")
     ctes = [
-        "v AS MATERIALIZED (SELECT vec_id AS id, embedding AS emb FROM embeddings)",
-        "z AS MATERIALIZED (SELECT list_transform(generate_series(1, len(emb)), y -> 0.0) AS zc"
-        " FROM v ORDER BY id LIMIT 1)",
-        f"""c0 AS MATERIALIZED (
+        f"{p}v AS MATERIALIZED (SELECT vec_id AS id, {emb_sql} AS emb FROM embeddings)",
+        f"{p}z AS MATERIALIZED (SELECT list_transform(generate_series(1, len(emb)), y -> 0.0) AS zc"
+        f" FROM {p}v ORDER BY id LIMIT 1)",
+        f"""{p}c0 AS MATERIALIZED (
             SELECT CAST(row_number() OVER (ORDER BY _h, id) - 1 AS INT) AS cluster_id,
                    list_transform(emb, x -> CAST(x AS DOUBLE)) AS centroid
-            FROM (SELECT id, emb, {h} AS _h FROM v ORDER BY _h, id LIMIT {k}))""",
+            FROM (SELECT id, emb, {h} AS _h FROM {p}v ORDER BY _h, id LIMIT {k}))""",
     ]
     for t in range(1, iters + 2):  # iters updates + one final assignment
         ctes.append(
-            f"""a{t} AS MATERIALIZED (
+            f"""{p}a{t} AS MATERIALIZED (
             SELECT id, emb, cluster_id, dist FROM (
                 SELECT id, emb, cluster_id, dist,
                        row_number() OVER (PARTITION BY id ORDER BY dist ASC, cluster_id ASC) AS rn
                 FROM (SELECT v.id, v.emb, c.cluster_id, {dist} AS dist
-                      FROM v CROSS JOIN c{t - 1} c))
+                      FROM {p}v v CROSS JOIN {p}c{t - 1} c))
             WHERE rn = 1)"""
         )
         if t == iters + 1:
             break
         ctes.append(
-            f"""s{t} AS MATERIALIZED (
+            f"""{p}s{t} AS MATERIALIZED (
             SELECT cluster_id, CAST(max(n) AS BIGINT) AS n, list(sx ORDER BY dim) AS csum FROM (
                 SELECT cluster_id, dim,
                        CAST(sum(CAST(round(x * 100000000.0) AS BIGINT)) AS BIGINT) AS sx,
                        CAST(count(*) AS BIGINT) AS n
                 FROM (SELECT cluster_id, t.i - 1 AS dim, CAST(emb[t.i] AS DOUBLE) AS x
-                      FROM a{t}, UNNEST(generate_series(1, len(emb))) AS t(i))
+                      FROM {p}a{t}, UNNEST(generate_series(1, len(emb))) AS t(i))
                 GROUP BY cluster_id, dim)
             GROUP BY cluster_id)"""
         )
         ctes.append(
-            f"""c{t} AS MATERIALIZED (
+            f"""{p}c{t} AS MATERIALIZED (
             SELECT r.cluster_id,
                    COALESCE(list_transform(s.csum,
                        sx -> CAST(sx AS DOUBLE) / CAST(s.n * 100000000 AS DOUBLE)), z.zc) AS centroid
             FROM (SELECT CAST(range AS INT) AS cluster_id FROM range({k})) r
-            LEFT JOIN s{t} s USING (cluster_id) CROSS JOIN z)"""
+            LEFT JOIN {p}s{t} s USING (cluster_id) CROSS JOIN {p}z z)"""
         )
-    return "WITH " + ",\n".join(ctes), f"c{iters}"
+    return ctes
+
+
+def _lloyd_fixed_ctes(k: int, iters: int, seed: int) -> tuple[str, str]:
+    """Returns (WITH-clause, final-centroid CTE name) for the whole-vector run."""
+    return "WITH " + ",\n".join(_lloyd_fixed_cte_list(k, iters, seed)), f"c{iters}"
 
 
 def _ivf_build_fixed_sql(k: int = _FIXED_K, iters: int = _FIXED_ITERS, seed: int = _FIXED_SEED) -> str:
@@ -525,6 +626,63 @@ def _ivf_build_fixed_sql(k: int = _FIXED_K, iters: int = _FIXED_ITERS, seed: int
             FROM a{iters + 1} GROUP BY cluster_id) st USING (cluster_id)
         ORDER BY c.cluster_id
     """
+
+
+def _knn_pq_fixed_sql() -> str:
+    """All four subspace Lloyd unrolls + integer ADC + exact rerank."""
+    ctes: list[str] = []
+    fin = _PQF_ITERS + 1
+    code_sel, dtab_sel = [], []
+    for j in range(_PQF_M):
+        p = f"sub{j}_"
+        # subspace slice: embeddings dim // m, 1-based inclusive DuckDB slice
+        lo = f"(len(embedding) // {_PQF_M}) * {j} + 1"
+        hi = f"(len(embedding) // {_PQF_M}) * {j + 1}"
+        ctes.extend(
+            _lloyd_fixed_cte_list(
+                _PQF_K, _PQF_ITERS, _PQF_SEED + j, prefix=p, emb_sql=f"embedding[{lo}:{hi}]"
+            )
+        )
+        code_sel.append(f"SELECT {j} AS j, id, cluster_id AS code FROM {p}a{fin}")
+        qslice = f"qv[{lo.replace('embedding', 'qv')}:{hi.replace('embedding', 'qv')}]"
+        fold = _D_SQE_FOLD.format(a=qslice, b="c.centroid")
+        dtab_sel.append(
+            f"""SELECT query_id, {j} AS j, c.cluster_id AS code,
+                   CAST(round(({fold}) * 100000000.0) AS BIGINT) AS d_fp
+            FROM qs CROSS JOIN {p}c{_PQF_ITERS} c"""
+        )
+    ctes.append(
+        "qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv"
+        " FROM embeddings WHERE vec_id % 101 = 0)"
+    )
+    ctes.append("codes AS MATERIALIZED (" + "\nUNION ALL\n".join(code_sel) + ")")
+    ctes.append("dtab AS MATERIALIZED (" + "\nUNION ALL\n".join(dtab_sel) + ")")
+    ctes.append(
+        """adc AS MATERIALIZED (
+        SELECT query_id, id, CAST(sum(d_fp) AS BIGINT) AS adc_fp
+        FROM codes JOIN dtab USING (j, code) GROUP BY query_id, id)"""
+    )
+    ctes.append(
+        f"""short AS MATERIALIZED (
+        SELECT query_id, id AS neighbour_id FROM (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adc_fp ASC, id ASC) AS rn
+            FROM adc) WHERE rn <= {_PQF_SHORTLIST})"""
+    )
+    rerank_fold = _D_SQE_FOLD.format(a="qs.qv", b="e.embedding")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM (
+            SELECT query_id, neighbour_id, distance,
+                   row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbour_id ASC) AS rank
+            FROM (SELECT s.query_id, s.neighbour_id, {rerank_fold} AS distance
+                  FROM short s JOIN embeddings e ON s.neighbour_id = e.vec_id
+                  JOIN qs ON s.query_id = qs.query_id))
+        WHERE rank <= 10
+    """
+    )
 
 
 def _emb_simjoin_fixed_sql(k: int = _FIXED_K, iters: int = _FIXED_ITERS, seed: int = _FIXED_SEED) -> str:
@@ -589,6 +747,7 @@ ORACLE_SQL: dict[str, str] = {
     "ivf_build_fixed": _ivf_build_fixed_sql(),
     "ivf_search_fixed_p4": _ivf_search_fixed_sql(),
     "emb_similarity_join_fixed": _emb_simjoin_fixed_sql(),
+    "knn_pq_fixed": _knn_pq_fixed_sql(),
     "hnsw_layer_stats": _hnsw_layer_sql(),
     "ivf_search_all": _KNN_ALL_SQL,
     "ivf_search_filtered": _KNN_FILTERED_SQL,
@@ -608,6 +767,7 @@ QUERIES = {
     "ivf_build_fixed": ivf_build_fixed,
     "ivf_search_fixed_p4": ivf_search_fixed_p4,
     "emb_similarity_join_fixed": emb_similarity_join_fixed,
+    "knn_pq_fixed": knn_pq_fixed,
     "ivf_search_p4": ivf_search_p4,
     "ivf_cluster_stats": ivf_cluster_stats,
     "ivf_build_ref": ivf_build_ref,

@@ -274,15 +274,45 @@ def evt_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def evt_hourly_rollup_serve(spark, sf_dir: str):
+    """Continuous-aggregate serving (sources/rollup.py — the hypertable-
+    rollup pattern): materialize the hourly rollup INCREMENTALLY (two
+    refreshes: first over a simulated yesterday, then the full table — the
+    second touches only the new tail hours), then serve closed hours from
+    the rollup parquet UNION an open-tail raw aggregation. Stored partials
+    are BIGINT/DECIMAL(18,4), so serving from the rollup is bit-identical
+    to aggregating raw rows — which is exactly what the oracle states."""
+    from vers_spark.sources.rollup import refresh_rollup, serve_hourly
+    from vers_spark.streaming.events import scratch_dir
+
+    events = load_table(spark, sf_dir, "events")
+    path = scratch_dir("vs_rollup_") + "/hourly"
+    cut = events.agg(
+        F.timestamp_micros(
+            ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2).cast("long")
+        ).alias("mid")
+    ).collect()[0]["mid"]
+    refresh_rollup(spark, events.filter(F.col("ts") <= F.lit(cut)), path)
+    refresh_rollup(spark, events, path)
+    return serve_hourly(spark, events, path)
+
+
 QUERIES = {
     "evt_user_trend": evt_user_trend,
     "evt_purchase_asof_click": evt_purchase_asof_click,
     "evt_error_context": evt_error_context,
     "evt_sessionize_batch": evt_sessionize_batch,
     "evt_funnel_conversion": evt_funnel_conversion,
+    "evt_hourly_rollup_serve": evt_hourly_rollup_serve,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "evt_hourly_rollup_serve": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value_dec
+        FROM events GROUP BY 1, 2
+    """,
     "evt_user_trend": """
         WITH d AS (
             SELECT user_id,
