@@ -41,6 +41,10 @@ HEADLINE = [
     "doc_quality",
     "doc_bigram_topk",
     "emb_neardup_pairs",
+    # round-2 flagship additions (hard-oracle iterative ops)
+    "ivf_build_fixed",
+    "knn_pq_fixed",
+    "bpe_train_merges",
 ]
 
 
@@ -70,6 +74,11 @@ def _clear_state(spark) -> None:
     index_queries._LSH_CACHE.clear()
     index_queries._HNSW_CACHE.clear()
     index_queries._PQ_CACHE.clear()
+    index_queries._FIXED_CACHE.clear()
+    index_queries._PQF_CACHE.clear()
+    from vers_spark.operators import bpe
+
+    bpe._TRAIN_CACHE.clear()
     _qcache._CACHE.clear()  # cross-query cached DataFrames (pairs/components)
     spark.catalog.clearCache()
     try:
@@ -121,9 +130,11 @@ def main() -> None:
         # best-of-2, state cleared between attempts: each attempt is a full
         # cold run (index builds included); the min removes scheduler/GC
         # noise without changing what is measured. When the contention probe
-        # reads >1.5 around any attempt (host stealing cycles), extra
-        # attempts run — up to 4 — so no headline line is judged on a
-        # stolen window if an uncontended one can be had.
+        # reads >1.3 around any attempt (host stealing cycles — the probe is
+        # single-threaded, so a 1.3-1.5 reading routinely means 2-3x on a
+        # 32-thread query; measured 2026-08-14: minhash 6.5s at 1.3 vs 22s
+        # at 1.45), extra attempts run — up to 4 — so no headline line is
+        # judged on a stolen window if an uncontended one can be had.
         best = None
         probes = [_spin_ms()]
         attempts = 0
@@ -135,13 +146,13 @@ def main() -> None:
             _clear_state(spark)
             probes.append(_spin_ms())
             attempts += 1
-            contended = spin_base and max(probes) / spin_base > 1.5
+            contended = spin_base and max(probes) / spin_base > 1.3
             if attempts >= 2 and not contended:
                 break
             if attempts >= 2 and contended:
                 probes = probes[-1:]  # judge the retry on its own window
         timings[name] = best
-        # contention factor for the BEST attempt's era: >1.5 means even the
+        # contention factor for the BEST attempt's era: >1.3 means even the
         # kept attempt ran in a stolen window — discount its wall time
         spin[name] = round(max(probes) / spin_base, 2) if spin_base else 1.0
         print(f"# {name}: {timings[name]}s ({rows[name]} rows, spin x{spin[name]})", file=sys.stderr)

@@ -114,3 +114,18 @@ def test_semantic_dedup_spill_path_agrees_with_gram(spark, sf_dir, monkeypatch):
         for r in D.semantic_dedup(emb, num_clusters=4, tau=0.95).collect()
     }
     assert gram == spill
+
+
+def test_kcenter_oracle(spark, sf_dir):
+    """The k driver rounds of Gonzalez farthest-point hash-match the
+    unrolled DuckDB twin (every round is a fold + deterministic argmax)."""
+    from tests.oracle import assert_oracle_match
+    from vers_spark.operators import diversity as DV
+
+    assert_oracle_match(
+        spark,
+        sf_dir,
+        "emb_kcenter_sample",
+        DV.QUERIES["emb_kcenter_sample"],
+        DV.ORACLE_SQL["emb_kcenter_sample"],
+    )

@@ -419,12 +419,25 @@ def lloyd_fixed(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (centroids, final_assignments):
     centroids(cluster_id int, centroid array<double>, n_assigned long,
     cost_fp long) after ``iters`` updates; final_assignments(id, cluster_id,
-    dist) against the final centroids. Fully declarative — the whole loop is
-    one Catalyst plan per output."""
+    dist) against the final centroids.
+
+    ``materialize`` trades plan shape for job count, value-exact either way
+    (f64 round-trips through Python floats bit-for-bit):
+    - False (default): fully lazy — ONE fused DAG per action, the fastest
+      single-consumer path (the iterations pipeline as back-to-back stages
+      with no driver round-trips). Callers that reuse the outputs across
+      several actions should .cache() them, or every action re-executes the
+      training chain.
+    - True: collect each iteration's k centroid rows (tiny) and feed the
+      next iteration a LITERAL DataFrame — every job's plan is one
+      iteration deep, so MULTI-BRANCH consumers (e.g. PQ's codes + distance
+      tables) don't execute the chain once per branch. The DataFrame
+      analogue of checkpointing the model between iterations."""
     from vers_spark.functions.text import stable_hash60
 
     spark = data.sparkSession
@@ -446,15 +459,35 @@ def lloyd_fixed(
     )
 
     def _assign(cents: DataFrame) -> DataFrame:
+        # argmin by (dist, cluster_id) as a struct-MIN aggregate: lexical
+        # struct ordering IS the tie-break rule, and the agg gets a map-side
+        # partial combine — one shuffle of n partial minima instead of a
+        # per-id window SORT over k·n scored rows (measured ~2x on the
+        # 3-iteration build). emb rides inside the struct (cluster_id is
+        # unique per scored row, so it never reaches array comparison).
         d = V.sq_euclidean(F.col("emb"), F.col("centroid"))
-        w = W.partitionBy("id").orderBy(F.asc("_dist"), F.asc("cluster_id"))
         return (
             vecs.crossJoin(F.broadcast(cents))
-            .withColumn("_dist", d)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", "emb", "cluster_id", F.col("_dist").alias("dist"))
+            .select("id", F.struct(d.alias("dist"), "cluster_id", "emb").alias("_s"))
+            .groupBy("id")
+            .agg(F.min("_s").alias("_b"))
+            .select(
+                "id",
+                F.col("_b.emb").alias("emb"),
+                F.col("_b.cluster_id").alias("cluster_id"),
+                F.col("_b.dist").alias("dist"),
+            )
         )
+
+    def _freeze(cents: DataFrame) -> DataFrame:
+        rows = cents.collect()
+        return spark.createDataFrame(
+            [(int(r["cluster_id"]), [float(x) for x in r["centroid"]]) for r in rows],
+            "cluster_id int, centroid array<double>",
+        )
+
+    if materialize:
+        centroids = _freeze(centroids)
 
     zero = F.array(*[F.lit(0.0) for _ in range(dims)])
     all_clusters = spark.range(k).select(F.col("id").cast("int").alias("cluster_id"))
@@ -486,6 +519,8 @@ def lloyd_fixed(
         centroids = all_clusters.join(F.broadcast(sums), "cluster_id", "left").select(
             "cluster_id", F.coalesce("centroid", zero).alias("centroid")
         )
+        if materialize:
+            centroids = _freeze(centroids)
 
     final = _assign(centroids)
     stats = (

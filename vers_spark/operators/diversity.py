@@ -180,4 +180,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_kcenter_sample": emb_kcenter_sample,
 }
 
-ORACLE_SQL: dict[str, str] = {}
+
+def _kcenter_sql(k: int = 16) -> str:
+    """Unrolled Gonzalez farthest-point oracle: every step of kcenter_sample
+    is a declared-order f64 fold + an (min_d DESC, id ASC) argmax — both
+    engine-exact — so the k driver rounds unroll as 2k MATERIALIZED CTEs
+    (m_r = running-min update vs the previous center, s_r = the argmax row).
+    A HARD hash gate on a greedy iterative algorithm."""
+    fold = (
+        "list_reduce(list_transform(list_zip(m.emb, (SELECT emb FROM s{prev})),"
+        " s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),"
+        " (x,y) -> x + y)"
+    )
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id AS id, embedding AS emb FROM embeddings)",
+        "s0 AS MATERIALIZED (SELECT id, emb, CAST('infinity' AS DOUBLE) AS maximin"
+        " FROM v ORDER BY id LIMIT 1)",
+        "m0 AS MATERIALIZED (SELECT id, emb, CAST('infinity' AS DOUBLE) AS min_d FROM v)",
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT id, emb,"
+            f" least(min_d, {fold.format(prev=r - 1)}) AS min_d FROM m{r - 1} m)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT id, emb, min_d AS maximin FROM m{r}"
+            " ORDER BY min_d DESC, id ASC LIMIT 1)"
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rank, id AS vec_id, maximin AS maximin_sq_dist FROM s{r}"
+        for r in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+ORACLE_SQL: dict[str, str] = {"emb_kcenter_sample": _kcenter_sql()}
