@@ -306,6 +306,69 @@ def stream_ivf_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate MAINTAINED BY THE STREAM: events arrive in
+    micro-batches (file-per-trigger over ts-range-partitioned staging, so
+    batch order follows time), each batch lands in a raw zone and triggers
+    an INCREMENTAL rollup refresh (sources/rollup.refresh_rollup — only
+    hours newly closed since the stored watermark re-aggregate; hours the
+    earlier batches already rolled are never touched). After the stream
+    drains, serving = stored closed hours UNION raw open tail ≡ a direct
+    aggregation of all events — the same oracle as the batch-built twin
+    (evt_hourly_rollup_serve). The standard lambda-architecture collapse:
+    one incremental pipeline, exact results."""
+    from vers_spark.sources.rollup import refresh_rollup, serve_hourly
+    from vers_spark.sources.tables import load_table
+    from vers_spark.streaming.events import _stream_conf, scratch_dir
+
+    import os
+
+    events = load_table(spark, sf_dir, "events")
+    base = scratch_dir("vs_stream_rollup_")
+    src_dir, raw_dir, roll_dir = f"{base}/src", f"{base}/raw", f"{base}/rollup"
+    # stage 4 time-range batches SEQUENTIALLY (ascending mtime + lexicographic
+    # names) so the file stream delivers them in event-time order — the
+    # watermark-incremental refresh assumes an append-only, time-ordered log
+    # (the normal shape of an event-ingest topic); out-of-order arrival is
+    # the late-data problem, handled by reconciliation jobs, not this path
+    qs = [
+        int(q)
+        for q in events.select(F.unix_micros("ts").alias("us")).approxQuantile(
+            "us", [0.25, 0.5, 0.75], 0.0
+        )
+    ]
+    os.makedirs(src_dir, exist_ok=True)
+    lo = None
+    for b, hi in enumerate([*qs, None]):
+        part = events
+        if lo is not None:
+            part = part.filter(F.unix_micros("ts") > F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.unix_micros("ts") <= F.lit(hi))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{base}/stage{b}")
+        src = next(
+            f for f in sorted(os.listdir(f"{base}/stage{b}")) if f.endswith(".parquet")
+        )
+        os.link(f"{base}/stage{b}/{src}", f"{src_dir}/b{b}.parquet")
+        lo = hi
+    schema = spark.read.parquet(src_dir).schema
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").parquet(raw_dir)
+        refresh_rollup(spark, spark.read.parquet(raw_dir), roll_dir)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+    return serve_hourly(spark, spark.read.parquet(raw_dir), roll_dir)
+
+
 def stream_ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same streaming ingest against the fixed-point build's frozen
     centroids: end state ≡ the batch build's posting lists, hash-matched
@@ -461,6 +524,7 @@ QUERIES = {
     "stream_merge_versioned": stream_merge_versioned,
     "stream_ivf_assign_stats": stream_ivf_assign_stats,
     "stream_ivf_assign_fixed": stream_ivf_assign_fixed,
+    "stream_rollup_serve": stream_rollup_serve,
 }
 
 # streaming ingest end state ≡ the fixed-point batch build's posting lists:
@@ -481,6 +545,15 @@ def _stream_ivf_fixed_sql() -> str:
 
 
 ORACLE_SQL["stream_ivf_assign_fixed"] = _stream_ivf_fixed_sql()
+
+# stream-maintained continuous aggregate ≡ direct aggregation (the batch
+# rollup twin's oracle, stated directly over events)
+ORACLE_SQL["stream_rollup_serve"] = """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value_dec
+    FROM events GROUP BY 1, 2
+"""
 
 # same operator contract, same oracle: the migration-parity guarantee
 ORACLE_SQL["stream_sessions_tws"] = ORACLE_SQL["stream_sessions"]

@@ -297,8 +297,48 @@ def evt_hourly_rollup_serve(spark, sf_dir: str):
     return serve_hourly(spark, events, path)
 
 
+def evt_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid densification + last-observation-carried-forward — the
+    time-series feature-engineering op (gap filling) Spark has no builtin
+    for. Per user: an hourly grid spanning [first, last] event hour
+    (``sequence`` + explode — the grid is generated, never joined against a
+    calendar table), left-joined with the user's hourly aggregate, missing
+    hours flagged and their value carried forward with
+    ``last(ignorenulls)`` over one user-ordered window. One shuffle on
+    user_id; grid fan-out is bounded by each user's own span. Counts are
+    BIGINT and the carried value DECIMAL(18,4), so the DuckDB twin
+    (generate_series + IGNORE NULLS last_value) hash-matches exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,4)").alias("sum_dec"),
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .withColumn("is_gap", F.col("n_events").isNull())
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)).cast("long"))
+        .withColumn("locf_sum", F.last("sum_dec", ignorenulls=True).over(w))
+        .select("user_id", "hour", "n_events", "is_gap", "locf_sum")
+    )
+
+
 QUERIES = {
     "evt_user_trend": evt_user_trend,
+    "evt_gapfill_locf": evt_gapfill_locf,
     "evt_purchase_asof_click": evt_purchase_asof_click,
     "evt_error_context": evt_error_context,
     "evt_sessionize_batch": evt_sessionize_batch,
@@ -307,6 +347,25 @@ QUERIES = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "evt_gapfill_locf": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_dec
+            FROM events GROUP BY 1, 2
+        ), span AS (
+            SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour FROM span
+        )
+        SELECT g.user_id, g.hour,
+               CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+               h.n_events IS NULL AS is_gap,
+               last_value(h.sum_dec IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+        FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
     "evt_hourly_rollup_serve": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                CAST(count(*) AS BIGINT) AS n_events,

@@ -6,14 +6,20 @@ tail.
 
 Why it matters at 100 TB: an hourly dashboard query over a year of events
 must not rescan a year of raw rows. With the rollup materialized and
-partitioned by hour, the served plan reads ~8760 tiny aggregate rows plus
+partitioned by day, the served plan reads ~8760 tiny aggregate rows plus
 raw events of the last open hour — partition pruning does the rest. The
 refresh is INCREMENTAL: a watermark manifest records the last closed hour
 already rolled up; a refresh re-aggregates only hours after it (one
-filtered scan of the new tail, dynamic partition overwrite of only the
-touched HOUR partitions — hour-granular, so a refresh can never clobber
-earlier hours sharing a coarser partition, and untouched history is never
-rewritten, same discipline as sources/upsert.py).
+filtered scan of the new tail, APPENDED into day partitions — a
+refresh's hours are provably disjoint from everything stored (delta ∈
+(watermark, open), strictly above the highest stored hour; the
+no-overlap/no-gap property is test-gated), so plain append is exact, a
+boundary day simply accumulates one small file per refresh that touches
+it, and untouched history is never rewritten. Day granularity keeps the
+store at ~365 partitions/year instead of 8760 hour dirs of tiny files. Exactly-once under task retries
+comes from the parquet job commit protocol per refresh; a multi-writer
+deployment would wrap each refresh in a manifest commit like
+sources/versioned.py).
 
 Determinism note: the rollup stores per-hour BIGINT counts and SUM(value)
 as DECIMAL(18,4) — integer/decimal partials re-aggregate exactly, so
@@ -40,7 +46,7 @@ def _hour(col):
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
-    """(hour, hour_key, event_type, n_events, sum_value_dec) — the stored shape."""
+    """(hour, day, event_type, n_events, sum_value_dec) — the stored shape."""
     return (
         events.groupBy(
             _hour("ts").alias("hour"), F.col("event_type")
@@ -49,7 +55,7 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(F.col("value").cast(_VAL_DEC)).cast(_VAL_DEC).alias("sum_value_dec"),
         )
-        .withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
+        .withColumn("day", F.to_date("hour"))
     )
 
 
@@ -74,8 +80,7 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str) -> dict:
     delta = hourly_rollup(closed)
     n_hours = delta.select("hour").distinct().count()
     if n_hours:
-        with _dynamic_overwrite(spark):
-            delta.write.mode("overwrite").partitionBy("hour_key").parquet(path)
+        delta.write.mode("append").partitionBy("day").parquet(path)
     new_wm = closed.agg(F.max(_hour(F.col("ts")))).collect()[0][0]
     manifest = {
         "watermark": str(new_wm) if new_wm is not None else watermark,
@@ -87,21 +92,6 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str) -> dict:
     return manifest
 
 
-class _dynamic_overwrite:
-    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic (overwrite
-    only the partitions present in the written frame)."""
-
-    def __init__(self, spark: SparkSession):
-        self.spark = spark
-
-    def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
-
-
 def serve_hourly(spark: SparkSession, events: DataFrame, path: str) -> DataFrame:
     """The continuous-aggregate view: rollup rows for closed hours UNION a
     raw aggregation of ONLY the open tail (rows at or after the hour of
@@ -109,7 +99,13 @@ def serve_hourly(spark: SparkSession, events: DataFrame, path: str) -> DataFrame
     the stored partials are integers/decimals."""
     bounds = events.agg(F.max("ts").alias("mx")).collect()[0]
     open_hour = _hour(F.lit(bounds["mx"]))
-    stored = spark.read.parquet(path).filter(F.col("hour") < open_hour)
+    stored = (
+        spark.read.parquet(path)
+        # day-level predicate first so partition PRUNING applies, then the
+        # exact hour bound for the boundary day
+        .filter(F.col("day") <= F.to_date(open_hour))
+        .filter(F.col("hour") < open_hour)
+    )
     tail = hourly_rollup(events.filter(_hour(F.col("ts")) >= open_hour))
     return stored.select("hour", "event_type", "n_events", "sum_value_dec").unionByName(
         tail.select("hour", "event_type", "n_events", "sum_value_dec")
