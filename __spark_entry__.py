@@ -105,9 +105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     roundtrip = out.pop("vec_corpus_roundtrip")
     out.update(index_queries.QUERIES)
     out.update(text_analysis.QUERIES)
-    from vers_spark.operators import bpe
+    from vers_spark.operators import bpe, rag
 
     out.update(bpe.QUERIES)
+    out.update(rag.QUERIES)
     out.update(text_dedup_queries.QUERIES)
     out.update(pipeline_queries.QUERIES)
     out.update(pca.QUERIES)
@@ -136,10 +137,11 @@ def oracle_sql() -> dict[str, str]:
         vector_queries,
     )
 
-    from vers_spark.operators import bpe
+    from vers_spark.operators import bpe, rag
 
     out: dict[str, str] = {}
     out.update(bpe.ORACLE_SQL)
+    out.update(rag.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
     out.update(diversity.ORACLE_SQL)
     out.update(temporal.ORACLE_SQL)

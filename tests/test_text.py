@@ -313,3 +313,16 @@ def test_prefix_filter_equals_full_join_with_fewer_candidates(spark, sf_dir):
         for r in ngram_jaccard_pairs_prefix(aug, 0.8).collect()
     }
     assert pref == full and full
+
+
+def test_rag_retrieve_oracle(spark, sf_dir):
+    """End-to-end RAG retrieval (chunk → hash-projection embed → dot score →
+    top-k) hash-matches its DuckDB twin — integer embeddings make the whole
+    retrieval ranking engine-exact."""
+    from tests.oracle import assert_oracle_match
+    from vers_spark.operators import rag
+
+    assert_oracle_match(
+        spark, sf_dir, "rag_retrieve_chunks",
+        rag.QUERIES["rag_retrieve_chunks"], rag.ORACLE_SQL["rag_retrieve_chunks"],
+    )

@@ -152,6 +152,24 @@ def _probes():
         docs = load_table(spark, sf_dir, "documents")
         return minhash_neardup_pairs(docs, threshold=0.8)
 
+    def lloyd_fixed_build(spark, sf_dir):
+        from vers_spark.indexes.ivfflat import lloyd_fixed
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents, _ = lloyd_fixed(emb, k=8, iters=3, seed=42)
+        return cents
+
+    def bpe_merges(spark, sf_dir):
+        from vers_spark.operators.bpe import _TRAIN_CACHE, bpe_train_merges
+
+        _TRAIN_CACHE.clear()
+        return bpe_train_merges(spark, sf_dir)
+
+    def rag_retrieve(spark, sf_dir):
+        from vers_spark.operators.rag import rag_retrieve_chunks
+
+        return rag_retrieve_chunks(spark, sf_dir)
+
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -159,6 +177,12 @@ def _probes():
         "ivf_build_search_p4": ivf_build_search,
         "minhash_neardup_pairs": minhash_pairs,
         "doc_quality": doc_quality,
+        # round-2 flagships: the fixed-point build is k driver rounds over
+        # the corpus (linear); BPE rounds aggregate the VOCAB (sublinear —
+        # Heaps' law), so its factor should sit well under 10
+        "lloyd_fixed_build": lloyd_fixed_build,
+        "bpe_train_merges": bpe_merges,
+        "rag_retrieve_chunks": rag_retrieve,
     }
 
 

@@ -1,0 +1,166 @@
+"""End-to-end RAG retrieval under the hard oracle gate: chunk → embed →
+score → top-k, every stage engine-exact.
+
+The embedder is feature hashing / random projection by hash (public
+technique — "hashing trick", Weinberger et al. 2009): each token is
+md5-hashed ONCE to a 60-bit base, and dimension d's feature is an AFFINE
+universal hash of that base — ``((a_d·(h mod P) + b_d) mod P) mod 2001 −
+1000`` — summed over the chunk's tokens. An INTEGER random projection, so
+embeddings, dot-product scores, and the retrieval ranking are bit-identical
+across engines (a float embedder would make the driver hash meaningless; a
+real model slots into the same pipeline shape via mapInPandas at the embed
+stage). One md5 per token — the 16 dims are integer arithmetic on the same
+base, the exact trick functions/text.minhash_value uses (a per-dim md5 was
+measured 20x superlinear at the 10x scale probe and rewritten to this).
+
+The query is corpus-derived (the 3 most frequent tokens, count-desc/token-asc
+— deterministic) and embedded by the SAME hash projection, computed
+independently in each engine.
+
+Scale shape: chunking is a generated explode (no shuffle), the 16 embedding
+dims are 16 wide SUM aggregates over one (doc, chunk) shuffle (the
+minhash-signatures discipline — no 16x dimension explode), the 1-row query
+vector broadcasts, and the final top-k is TakeOrdered — the corpus is
+scanned once and only (chunk, 16 longs) rows move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vers_spark.functions import text as TX
+from vers_spark.functions.text import stable_hash60
+from vers_spark.operators.text_analysis import CHUNK_SIZE, CHUNK_STRIDE, D_HASH60, D_TOKENS
+from vers_spark.sources.tables import load_table
+
+EMB_DIMS = 16
+HASH_MOD = 2001  # feature values in [-1000, 1000]
+TOP_K = 20
+_COEFFS = TX.MINHASH_COEFFS[:EMB_DIMS]  # (a_d, b_d) affine pairs, P = HASH_PRIME
+
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, chunk) — same window arithmetic as
+    text_analysis.doc_chunk_windows, keeping the chunk text for embedding."""
+    docs = load_table(spark, sf_dir, "documents")
+    last_k = F.expr(f"(greatest(length(text), 1) - 1) div {CHUNK_STRIDE}")
+    chunk = F.substring(F.col("text"), F.col("k").cast("int") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    return docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0).cast("long"), last_k)).alias("k"), "text"
+    ).select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        chunk.alias("chunk"),
+    )
+
+
+def _features(base):
+    """The EMB_DIMS signed integer features of one token's base hash."""
+    return [
+        (TX.minhash_value(base, a, b) % F.lit(HASH_MOD)) - F.lit(HASH_MOD // 2)
+        for a, b in _COEFFS
+    ]
+
+
+def _embed(tokens: DataFrame, keys: list[str]) -> DataFrame:
+    """Σ-aggregate the per-token features into EMB_DIMS wide columns."""
+    base = stable_hash60(F.col("token"))
+    feats = _features(base)
+    return tokens.groupBy(*keys).agg(
+        *[F.sum(feats[d]).cast("long").alias(f"e{d}") for d in range(EMB_DIMS)]
+    )
+
+
+def rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.trim(F.lower("chunk")), r"\s+")
+    ct = (
+        _chunks(spark, sf_dir)
+        .select("doc_id", "chunk_id", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    ce = _embed(ct, ["doc_id", "chunk_id"])
+    qt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(3)
+        .withColumn("_g", F.lit(1))
+    )
+    qe = _embed(qt, ["_g"]).select(
+        *[F.col(f"e{d}").alias(f"q{d}") for d in range(EMB_DIMS)]
+    )
+    score = sum(F.col(f"e{d}") * F.col(f"q{d}") for d in range(EMB_DIMS))
+    scored = ce.crossJoin(F.broadcast(qe)).select(
+        "doc_id", "chunk_id", score.cast("long").alias("score")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("doc_id", "chunk_id", "score", "rank")
+    )
+
+
+_D_CHUNKS = f"""(
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           substr(text, CAST(k AS INT) * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}) AS chunk
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0, (greatest(length(text), 1) - 1) // {CHUNK_STRIDE})) AS k
+          FROM documents)
+)"""
+
+
+def _d_features(base: str) -> list[str]:
+    return [
+        f"((({a} * (({base}) % {TX.HASH_PRIME}) + {b}) % {TX.HASH_PRIME}) % {HASH_MOD}) - {HASH_MOD // 2}"
+        for a, b in _COEFFS
+    ]
+
+
+def _rag_sql() -> str:
+    toks = D_TOKENS.format(t="chunk")
+    dtoks = D_TOKENS.format(t="text")
+    feats = _d_features("h")
+    ce_sums = ", ".join(
+        f"CAST(sum({feats[d]}) AS BIGINT) AS e{d}" for d in range(EMB_DIMS)
+    )
+    qe_sums = ", ".join(
+        f"CAST(sum({feats[d]}) AS BIGINT) AS q{d}" for d in range(EMB_DIMS)
+    )
+    dot = " + ".join(f"ce.e{d} * qe.q{d}" for d in range(EMB_DIMS))
+    return f"""
+        WITH ct AS MATERIALIZED (
+            SELECT doc_id, chunk_id, {D_HASH60.format(x="token")} AS h
+            FROM (SELECT doc_id, chunk_id, unnest({toks}) AS token FROM {_D_CHUNKS})
+            WHERE token <> ''
+        ), ce AS MATERIALIZED (
+            SELECT doc_id, chunk_id, {ce_sums} FROM ct GROUP BY doc_id, chunk_id
+        ), qt AS MATERIALIZED (
+            SELECT {D_HASH60.format(x="token")} AS h FROM (
+                SELECT token, count(*) AS c
+                FROM (SELECT unnest({dtoks}) AS token FROM documents)
+                WHERE token <> '' GROUP BY token
+            ) ORDER BY c DESC, token ASC LIMIT 3
+        ), qe AS MATERIALIZED (
+            SELECT {qe_sums} FROM qt
+        ), scored AS MATERIALIZED (
+            SELECT doc_id, chunk_id, CAST({dot} AS BIGINT) AS score
+            FROM ce CROSS JOIN qe
+        )
+        SELECT doc_id, chunk_id, score, CAST(rank AS INT) AS rank FROM (
+            SELECT doc_id, chunk_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC, chunk_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= {TOP_K}
+    """
+
+
+QUERIES = {"rag_retrieve_chunks": rag_retrieve_chunks}
+ORACLE_SQL = {"rag_retrieve_chunks": _rag_sql()}
