@@ -326,3 +326,53 @@ def test_rag_retrieve_oracle(spark, sf_dir):
         spark, sf_dir, "rag_retrieve_chunks",
         rag.QUERIES["rag_retrieve_chunks"], rag.ORACLE_SQL["rag_retrieve_chunks"],
     )
+
+
+def test_rag_maxsim_oracle(spark, sf_dir):
+    from tests.oracle import assert_oracle_match
+    from vers_spark.operators import rag
+
+    assert_oracle_match(
+        spark, sf_dir, "rag_maxsim_rerank",
+        rag.QUERIES["rag_maxsim_rerank"], rag.ORACLE_SQL["rag_maxsim_rerank"],
+    )
+
+
+def test_version_diff_oracle_and_bucket_pruning(spark, sf_dir):
+    """diff_versions: (a) the changelog hash-matches the declarative delta
+    (driver oracle twin), (b) file-identity pruning leaves untouched buckets
+    out of the diff's input entirely."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tests.oracle import assert_oracle_match
+    from vers_spark.operators import curation
+    from vers_spark.sources.tables import load_table
+    from vers_spark.sources.versioned import (
+        _read_manifest,
+        create_versioned,
+        diff_versions,
+        merge_versioned,
+    )
+
+    assert_oracle_match(
+        spark, sf_dir, "doc_version_diff",
+        curation.QUERIES["doc_version_diff"], curation.ORACLE_SQL["doc_version_diff"],
+    )
+
+    # pruning: touch ONE key -> at most a couple of buckets differ between
+    # manifests, so the diff reads only those
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vs_diff_prune_") + "/docs"
+    create_versioned(docs, path, key="doc_id", n_buckets=16)
+    one = docs.filter(F.col("doc_id") == 0).select(
+        "doc_id", "text", "lang", "source", (F.col("n_chars") + 1).alias("n_chars")
+    )
+    merge_versioned(spark, path, one)
+    m0, m1 = _read_manifest(path, 0), _read_manifest(path, 1)
+    changed = [p for p in set(m0["buckets"]) | set(m1["buckets"])
+               if m0["buckets"].get(p) != m1["buckets"].get(p)]
+    assert len(changed) == 1  # only doc 0's bucket was rewritten
+    d = diff_versions(spark, path, 0, 1).collect()
+    assert {(r["doc_id"], r["action"]) for r in d} == {(0, "update")}

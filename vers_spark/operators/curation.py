@@ -474,7 +474,54 @@ def doc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version")
 
 
+def doc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CHANGELOG (sources/versioned.diff_versions): commit the
+    doc_time_travel merge recipe as v1, then read the v0→v1 diff as (key,
+    action) rows. File-identity pruning makes the diff read only buckets
+    whose manifest file lists differ — cost ∝ churn, not table size. The
+    oracle restates the merge delta declaratively: deletes win, updates are
+    the rescored non-deleted keys, inserts the offset copies."""
+    import tempfile
+
+    from vers_spark.sources.versioned import (
+        create_versioned,
+        diff_versions,
+        merge_versioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vs_diff_") + "/docs"
+    create_versioned(docs, path, key="doc_id", n_buckets=UPSERT_BUCKETS)
+    updates = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id", "text", "lang", "source", (F.col("n_chars") + 1000).alias("n_chars")
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 50000).alias("doc_id"),
+                "text",
+                F.lit("xx").alias("lang"),
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    deletes = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    merge_versioned(spark, path, updates, deletes=deletes)
+    return diff_versions(spark, path, 0, 1)
+
+
 ORACLE_SQL = {
+    "doc_version_diff": """
+        SELECT doc_id, 'delete' AS action FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id, 'update' AS action FROM documents
+        WHERE doc_id % 10 = 0 AND doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 50000 AS doc_id, 'insert' AS action FROM documents
+        WHERE doc_id % 17 = 0
+    """,
     "doc_time_travel": """
         WITH upd AS (
             SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
@@ -652,6 +699,7 @@ QUERIES = {
     "doc_upsert_merge": doc_upsert_merge,
     "doc_merge_full": doc_merge_full,
     "doc_time_travel": doc_time_travel,
+    "doc_version_diff": doc_version_diff,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_sequences_sharded": doc_pack_sequences_sharded,
     "doc_split_assign": doc_split_assign,

@@ -162,5 +162,102 @@ def _rag_sql() -> str:
     """
 
 
-QUERIES = {"rag_retrieve_chunks": rag_retrieve_chunks}
-ORACLE_SQL = {"rag_retrieve_chunks": _rag_sql()}
+def rag_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim — Khattab & Zaharia 2020,
+    public) rerank of the top-20 first-stage chunks: score(chunk) =
+    Σ_{query token} max_{chunk token} ⟨emb(qtok), emb(ctok)⟩ over per-TOKEN
+    hash embeddings. The two-stage shape is the production retrieval
+    pattern: the cheap pooled dot product prunes the corpus to a shortlist,
+    MaxSim only touches shortlist × query-token pairs. Integer end-to-end —
+    the rerank's full ranking hash-matches the DuckDB twin."""
+    shortlist = rag_retrieve_chunks(spark, sf_dir).select("doc_id", "chunk_id")
+    toks = F.split(F.trim(F.lower("chunk")), r"\s+")
+    ct = (
+        _chunks(spark, sf_dir)
+        .join(F.broadcast(shortlist), ["doc_id", "chunk_id"])
+        .select("doc_id", "chunk_id", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cbase = stable_hash60(F.col("token"))
+    cfeats = _features(cbase)
+    cte = ct.select(
+        "doc_id", "chunk_id", *[cfeats[d].alias(f"e{d}") for d in range(EMB_DIMS)]
+    )
+    qt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(3)
+    )
+    qbase = stable_hash60(F.col("token"))
+    qfeats = _features(qbase)
+    qte = qt.select(
+        F.col("token").alias("qtok"), *[qfeats[d].alias(f"q{d}") for d in range(EMB_DIMS)]
+    )
+    dot = sum(F.col(f"e{d}") * F.col(f"q{d}") for d in range(EMB_DIMS))
+    per_pair = cte.crossJoin(F.broadcast(qte)).select(
+        "doc_id", "chunk_id", "qtok", dot.cast("long").alias("tokdot")
+    )
+    maxsim = (
+        per_pair.groupBy("doc_id", "chunk_id", "qtok")
+        .agg(F.max("tokdot").alias("mx"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.sum("mx").cast("long").alias("maxsim"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("maxsim"), F.asc("doc_id"), F.asc("chunk_id"))
+    return (
+        maxsim.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "chunk_id", "maxsim", "rank")
+    )
+
+
+def _rag_maxsim_sql() -> str:
+    toks = D_TOKENS.format(t="chunk")
+    dtoks = D_TOKENS.format(t="text")
+    feats = _d_features("h")
+    ce_cols = ", ".join(f"{feats[d]} AS e{d}" for d in range(EMB_DIMS))
+    qe_cols = ", ".join(f"{feats[d]} AS q{d}" for d in range(EMB_DIMS))
+    dot = " + ".join(f"cte.e{d} * qte.q{d}" for d in range(EMB_DIMS))
+    first_stage = _rag_sql()
+    return f"""
+        WITH shortlist AS MATERIALIZED (
+            SELECT doc_id, chunk_id FROM ({first_stage})
+        ), cte AS MATERIALIZED (
+            SELECT doc_id, chunk_id, {ce_cols} FROM (
+                SELECT doc_id, chunk_id, {D_HASH60.format(x="token")} AS h
+                FROM (SELECT c.doc_id, c.chunk_id, unnest({toks}) AS token
+                      FROM {_D_CHUNKS} c JOIN shortlist USING (doc_id, chunk_id))
+                WHERE token <> '')
+        ), qte AS MATERIALIZED (
+            SELECT qtok, {qe_cols} FROM (
+                SELECT qtok, {D_HASH60.format(x="qtok")} AS h FROM (
+                    SELECT token AS qtok, count(*) AS c
+                    FROM (SELECT unnest({dtoks}) AS token FROM documents)
+                    WHERE token <> '' GROUP BY token
+                    ORDER BY c DESC, qtok ASC LIMIT 3))
+        ), ms AS MATERIALIZED (
+            SELECT doc_id, chunk_id, CAST(sum(mx) AS BIGINT) AS maxsim FROM (
+                SELECT doc_id, chunk_id, qtok, max({dot}) AS mx
+                FROM cte CROSS JOIN qte
+                GROUP BY doc_id, chunk_id, qtok)
+            GROUP BY doc_id, chunk_id
+        )
+        SELECT doc_id, chunk_id, maxsim, CAST(row_number() OVER (
+            ORDER BY maxsim DESC, doc_id ASC, chunk_id ASC) AS INT) AS rank
+        FROM ms
+    """
+
+
+QUERIES = {
+    "rag_retrieve_chunks": rag_retrieve_chunks,
+    "rag_maxsim_rerank": rag_maxsim_rerank,
+}
+ORACLE_SQL = {
+    "rag_retrieve_chunks": _rag_sql(),
+    "rag_maxsim_rerank": _rag_maxsim_sql(),
+}
