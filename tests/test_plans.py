@@ -380,3 +380,33 @@ def test_binary_rerank_broadcasts_queries_and_prunes(spark, sf_dir):
     assert audit.has_broadcast_join(df)
     cols = audit.scan_columns(df)
     assert all("label" not in c for c in cols)  # unused column pruned
+
+
+def test_fixed_lloyd_assign_is_partial_aggregate(spark, sf_dir):
+    """The fixed build's argmin is a struct-MIN aggregate (map-side combine,
+    no per-id window SORT over the k*n scored rows) and centroids broadcast
+    into the cross join — the shapes the 100 TB build depends on."""
+    from vers_spark.indexes.ivfflat import lloyd_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = lloyd_fixed(emb, k=4, iters=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan  # map-side combine of the argmin struct
+    # the only Window is the k-row init numbering; the corpus-sized argmin
+    # must NOT be a window (one occurrence allowed, not two)
+    assert plan.count("Window") <= 1
+    assert audit.has_broadcast_join(assigned)
+
+
+def test_rag_embed_single_shuffle(spark, sf_dir):
+    """The 16 embedding dims are wide SUM aggregates over ONE (doc, chunk)
+    shuffle (the minhash-signatures discipline): a dims-explode formulation
+    would multiply the shuffle 16x — measured 20x superlinear at the 10x
+    probe before the rewrite."""
+    from vers_spark.operators.rag import rag_retrieve_chunks
+
+    df = rag_retrieve_chunks(spark, sf_dir)
+    assert audit.has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the chunk-embedding aggregate carries all 16 sums in one operator
+    assert plan.count("partial_sum") >= 16
