@@ -186,3 +186,13 @@ def test_fixed_lloyd_partitioning_invariance(spark, sf_dir):
     r1 = {r["cluster_id"]: (r["centroid"], r["n_assigned"], r["cost_fp"]) for r in c1.collect()}
     r32 = {r["cluster_id"]: (r["centroid"], r["n_assigned"], r["cost_fp"]) for r in c32.collect()}
     assert r1 == r32
+
+
+def test_triplet_mining_oracle(spark, sf_dir):
+    from tests.oracle import assert_oracle_match
+    from vers_spark.operators import index_queries as IQ
+
+    assert_oracle_match(
+        spark, sf_dir, "emb_triplet_mining",
+        IQ.QUERIES["emb_triplet_mining"], IQ.ORACLE_SQL["emb_triplet_mining"],
+    )

@@ -134,6 +134,84 @@ def emb_similarity_join_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-learning triplet mining (anchor, positive, hard negative) —
+    the contrastive-training data generator, co-located by the fixed-point
+    build's clusters so candidate pairs are linear in cluster size, never
+    corpus² (the standard in-batch/-bucket hard-negative mining shape):
+    positive = the anchor's nearest SAME-label neighbour in its cluster,
+    hard negative = the nearest DIFFERENT-label neighbour, margin =
+    d(neg) − d(pos). Cluster assignment and fold distances are engine-exact,
+    so the mined triplets hash-match the DuckDB twin row for row."""
+    from pyspark.sql import Window as W
+
+    from vers_spark.functions import vector as V
+
+    _, assignments = _lloyd_fixed(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = assignments.join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    ).select("cluster_id", "id", "emb", "label")
+    l = a.select(
+        "cluster_id",
+        F.col("id").alias("anchor_id"),
+        F.col("emb").alias("av"),
+        F.col("label").alias("alabel"),
+    )
+    r = a.select(
+        "cluster_id",
+        F.col("id").alias("cand_id"),
+        F.col("emb").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    pairs = (
+        l.join(r, "cluster_id")
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .withColumn("dist", V.sq_euclidean(F.col("av"), F.col("cv")))
+        .withColumn("same", F.col("alabel") == F.col("clabel"))
+        .select("anchor_id", "cand_id", "dist", "same")
+    )
+    w = W.partitionBy("anchor_id", "same").orderBy(F.asc("dist"), F.asc("cand_id"))
+    best = pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    pos = best.filter("same").select(
+        "anchor_id", F.col("cand_id").alias("pos_id"), F.col("dist").alias("d_pos")
+    )
+    neg = best.filter(~F.col("same")).select(
+        "anchor_id", F.col("cand_id").alias("neg_id"), F.col("dist").alias("d_neg")
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        (F.col("d_neg") - F.col("d_pos")).alias("margin"),
+    )
+
+
+def _emb_triplet_sql(k: int = _FIXED_K, iters: int = _FIXED_ITERS, seed: int = _FIXED_SEED) -> str:
+    with_clause, _ = _lloyd_fixed_ctes(k, iters, seed)
+    fin = f"a{iters + 1}"
+    dist = _D_SQE_FOLD.format(a="l.emb", b="r.emb")
+    return f"""{with_clause},
+        lab AS MATERIALIZED (
+            SELECT a.cluster_id, a.id, a.emb, e.label
+            FROM {fin} a JOIN embeddings e ON a.id = e.vec_id),
+        pairs AS MATERIALIZED (
+            SELECT l.id AS anchor_id, r.id AS cand_id, {dist} AS dist,
+                   l.label = r.label AS same
+            FROM lab l JOIN lab r USING (cluster_id)
+            WHERE l.id <> r.id),
+        best AS MATERIALIZED (
+            SELECT anchor_id, cand_id, dist, same FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY anchor_id, same ORDER BY dist ASC, cand_id ASC) AS rn
+                FROM pairs) WHERE rn = 1)
+        SELECT p.anchor_id, p.cand_id AS pos_id, n.cand_id AS neg_id,
+               n.dist - p.dist AS margin
+        FROM (SELECT * FROM best WHERE same) p
+        JOIN (SELECT * FROM best WHERE NOT same) n USING (anchor_id)
+    """
+
+
 _PQF_M, _PQF_K, _PQF_ITERS, _PQF_SEED = 4, 8, 2, 1000
 _PQF_SHORTLIST = 20
 _PQF_CACHE: dict[str, list] = {}
@@ -770,6 +848,7 @@ ORACLE_SQL: dict[str, str] = {
     "ivf_build_fixed": _ivf_build_fixed_sql(),
     "ivf_search_fixed_p4": _ivf_search_fixed_sql(),
     "emb_similarity_join_fixed": _emb_simjoin_fixed_sql(),
+    "emb_triplet_mining": _emb_triplet_sql(),
     "knn_pq_fixed": _knn_pq_fixed_sql(),
     "hnsw_layer_stats": _hnsw_layer_sql(),
     "ivf_search_all": _KNN_ALL_SQL,
@@ -790,6 +869,7 @@ QUERIES = {
     "ivf_build_fixed": ivf_build_fixed,
     "ivf_search_fixed_p4": ivf_search_fixed_p4,
     "emb_similarity_join_fixed": emb_similarity_join_fixed,
+    "emb_triplet_mining": emb_triplet_mining,
     "knn_pq_fixed": knn_pq_fixed,
     "ivf_search_p4": ivf_search_p4,
     "ivf_cluster_stats": ivf_cluster_stats,
