@@ -474,6 +474,64 @@ def doc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version")
 
 
+def doc_pretrain_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining BATCH COMPOSER — the second end-to-end composition
+    query next to doc_curation_pipeline's cleaning pipeline:
+
+        mixture sample (per-source char budgets, deterministic hash order)
+          → split assign (md5-bucket 90/5/5 train/val/test)
+          → per-split 512-token sequence packing (concat-and-chunk in the
+            same deterministic hash order)
+
+    emitting each selected doc's split and packed position. Every stage is
+    hash-deterministic integer arithmetic, so the WHOLE composition carries
+    one DuckDB oracle. One window per stage (source, then split); at 100 TB
+    each shards exactly like doc_pack_sequences_sharded."""
+    from vers_spark.functions.text import stable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = stable_hash60(F.col("doc_id").cast("string"))
+    d = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(TX.ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+        h.alias("_h"),
+        F.expr(
+            f"CAST(({_MIX_WEIGHT_SPARK} * {MIXTURE_BUDGET_CHARS}) div 1000 AS BIGINT)"
+        ).alias("_budget"),
+    )
+    w_src = (
+        W.partitionBy("source")
+        .orderBy(F.asc("_h"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    picked = d.withColumn("cum_chars", F.sum("n_chars").over(w_src).cast("long")).filter(
+        F.col("cum_chars") <= F.col("_budget")
+    )
+    bucket = F.col("_h") % 100
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    s = picked.withColumn("split", split)
+    w_split = (
+        W.partitionBy("split")
+        .orderBy(F.asc("_h"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    packed = s.withColumn("cum_tokens", F.sum("n_tok").over(w_split).cast("long"))
+    return packed.select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tok",
+        "cum_tokens",
+        F.expr("(cum_tokens - n_tok) div 512").cast("long").alias("start_seq"),
+        F.expr("(cum_tokens - n_tok) % 512").cast("long").alias("start_offset"),
+        F.expr("(cum_tokens - 1) div 512 - (cum_tokens - n_tok) div 512 + 1")
+        .cast("long")
+        .alias("n_seqs_spanned"),
+    )
+
+
 def doc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CHANGELOG (sources/versioned.diff_versions): commit the
     doc_time_travel merge recipe as v1, then read the v0→v1 diff as (key,
@@ -513,6 +571,41 @@ def doc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL = {
+    "doc_pretrain_batches": r"""
+        WITH d AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok,
+                   {h} AS h,
+                   CAST((CASE source {wcase} ELSE {wdef} END)
+                        * {budget} // 1000 AS BIGINT) AS budget
+            FROM documents
+        ), p AS (
+            SELECT * FROM (
+                SELECT *, CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+                FROM d)
+            WHERE cum_chars <= budget
+        ), s AS (
+            SELECT *, CASE WHEN h % 100 < 90 THEN 'train'
+                           WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split
+            FROM p
+        ), c AS (
+            SELECT doc_id, source, split, n_tok,
+                   CAST(sum(n_tok) OVER (PARTITION BY split ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM s
+        )
+        SELECT doc_id, source, split, n_tok, cum_tokens,
+               CAST((cum_tokens - n_tok) // 512 AS BIGINT) AS start_seq,
+               CAST((cum_tokens - n_tok) % 512 AS BIGINT) AS start_offset,
+               CAST((cum_tokens - 1) // 512 - (cum_tokens - n_tok) // 512 + 1 AS BIGINT) AS n_seqs_spanned
+        FROM c
+    """.format(
+        h=D_HASH60.format(x="CAST(doc_id AS VARCHAR)"),
+        wcase=" ".join(f"WHEN '{s}' THEN {k}" for s, k in sorted(MIXTURE_WEIGHTS_K.items())),
+        wdef=MIXTURE_DEFAULT_K,
+        budget=MIXTURE_BUDGET_CHARS,
+    ),
     "doc_version_diff": """
         SELECT doc_id, 'delete' AS action FROM documents WHERE doc_id % 13 = 0
         UNION ALL
@@ -700,6 +793,7 @@ QUERIES = {
     "doc_merge_full": doc_merge_full,
     "doc_time_travel": doc_time_travel,
     "doc_version_diff": doc_version_diff,
+    "doc_pretrain_batches": doc_pretrain_batches,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_sequences_sharded": doc_pack_sequences_sharded,
     "doc_split_assign": doc_split_assign,

