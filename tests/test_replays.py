@@ -166,8 +166,7 @@ def test_gapfill_locf_matches_python_replay(spark, sf_dir):
         last = None
         h = h0
         while h <= h1:
-            n, s = hours.get(h, (0, None)) if isinstance(hours.get(h), list) or hours.get(h) is None else hours[h]
-            if hours.get(h) is not None:
+            if h in hours:
                 n, s = hours[h]
                 last = s
                 want[(u, h)] = (n, False, last)
@@ -175,3 +174,37 @@ def test_gapfill_locf_matches_python_replay(spark, sf_dir):
                 want[(u, h)] = (0, True, last)
             h = h + timedelta(hours=1)
     assert out == want
+
+
+def test_bpe_trainer_matches_python_replay(spark):
+    """train_merges_on ≡ a from-scratch Python BPE trainer with the same
+    pinned semantics (pair counts over the word-frequency table, argmax with
+    (count DESC, pair ASC) tie-break, two-pass literal-replace application)
+    on a randomized synthetic corpus."""
+    from collections import Counter
+
+    from vers_spark.operators.bpe import EOW, train_merges_on
+
+    rng = np.random.default_rng(23)
+    words = ["".join(rng.choice(list("abcd"), size=rng.integers(2, 7))) for _ in range(40)]
+    docs = [" ".join(rng.choice(words, size=rng.integers(3, 12))) for _ in range(30)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got, _ = train_merges_on(df, k=6)
+
+    # python replay
+    freqs = Counter(w for d in docs for w in d.lower().split())
+    vocab = {w: f" {' '.join(w)} {EOW} " for w in freqs}
+    merges = []
+    for step in range(1, 7):
+        pc = Counter()
+        for w, seq in vocab.items():
+            syms = seq.split()
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += freqs[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, l, r, c))
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        vocab = {w: s.replace(pat, rep).replace(pat, rep) for w, s in vocab.items()}
+    assert got == merges

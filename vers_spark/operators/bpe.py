@@ -45,10 +45,10 @@ N_MERGES = 8
 EOW = "</w>"  # end-of-word marker symbol (multi-char, never space-split)
 
 
-def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(seq, freq): space-padded char sequence + end-of-word marker per
-    distinct whitespace token, weighted by corpus frequency."""
-    docs = load_table(spark, sf_dir, "documents")
+def _vocab_from_docs(docs: DataFrame) -> DataFrame:
+    """(seq, freq) from any (… text …) DataFrame: space-padded char sequence
+    + end-of-word marker per distinct whitespace token, weighted by corpus
+    frequency."""
     tok = F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
     return (
         docs.select(tok)
@@ -92,13 +92,13 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
 _TRAIN_CACHE: dict[tuple, tuple] = {}
 
 
-def train_merges(spark: SparkSession, sf_dir: str, k: int = N_MERGES) -> tuple[list, DataFrame]:
-    """Run k merge rounds; returns ([(step, l, r, count)], final vocab df).
-    Memoized per (sf_dir, k) — both registered queries share one training run."""
-    key = (sf_dir, k)
-    if key in _TRAIN_CACHE:
-        return _TRAIN_CACHE[key]
-    vocab = _vocab(spark, sf_dir).cache()
+def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vocab_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+def train_merges_on(docs: DataFrame, k: int = N_MERGES) -> tuple[list, DataFrame]:
+    """Run k merge rounds over an arbitrary corpus DataFrame (unmemoized)."""
+    vocab = _vocab_from_docs(docs).cache()
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
         best = (
@@ -112,8 +112,16 @@ def train_merges(spark: SparkSession, sf_dir: str, k: int = N_MERGES) -> tuple[l
         row = best[0]
         merges.append((step, row["l"], row["r"], int(row["c"])))
         vocab = _apply_merge(vocab, row["l"], row["r"])
-    _TRAIN_CACHE[key] = (merges, vocab)
     return merges, vocab
+
+
+def train_merges(spark: SparkSession, sf_dir: str, k: int = N_MERGES) -> tuple[list, DataFrame]:
+    """Run k merge rounds; returns ([(step, l, r, count)], final vocab df).
+    Memoized per (sf_dir, k) — both registered queries share one training run."""
+    key = (sf_dir, k)
+    if key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = train_merges_on(load_table(spark, sf_dir, "documents"), k)
+    return _TRAIN_CACHE[key]
 
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
