@@ -376,3 +376,19 @@ def test_version_diff_oracle_and_bucket_pruning(spark, sf_dir):
     assert len(changed) == 1  # only doc 0's bucket was rewritten
     d = diff_versions(spark, path, 0, 1).collect()
     assert {(r["doc_id"], r["action"]) for r in d} == {(0, "update")}
+
+
+def test_containment_pairs_oracle_and_superset_recovery(spark, sf_dir):
+    """Asymmetric containment dedup: hash-matches its DuckDB twin, and every
+    injected superset copy (doc + long boilerplate tail) is recovered at
+    containment exactly 1.0 — the pairs symmetric Jaccard at 0.8 misses."""
+    from tests.oracle import assert_oracle_match
+    from vers_spark.operators import text_dedup_queries as TDQ
+
+    assert_oracle_match(
+        spark, sf_dir, "doc_containment_pairs",
+        TDQ.QUERIES["doc_containment_pairs"], TDQ.ORACLE_SQL["doc_containment_pairs"],
+    )
+    rows = TDQ.QUERIES["doc_containment_pairs"](spark, sf_dir).collect()
+    injected = [r for r in rows if r["doc_big"] == r["doc_small"] + 30000]
+    assert injected and all(r["containment"] == 1.0 for r in injected)

@@ -344,3 +344,52 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float = 0.9, n_shingle: int = 3
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection — shingle-set CONTAINMENT
+    c(A→B) = |S(A) ∩ S(B)| / |S(A)| (Broder 1997's resemblance/containment
+    pair, public): catches "B = A + appended boilerplate" pairs whose
+    symmetric Jaccard falls below any sane threshold because the tail
+    inflates the union. Emits (doc_small, doc_big, containment) for ordered
+    pairs with |S(small)| ≤ |S(big)| (ties by id), c ≥ threshold.
+
+    Shape: inverted-index self-join on shingle (exact; the banded-MinHash
+    path is the candidate generator at 100 TB — superset detection also has
+    a one-sided MinHash bound |A∩B|/|A| via asymmetric signatures), then a
+    containment filter on integer intersection counts — the division
+    n_inter/|A| is one exact f64 op, engine-identical."""
+    sh = shingle_sets(docs, n_shingle).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    wsz = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
+            "doc_a",
+        ).join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
+    )
+    small_first = F.col("n_a") < F.col("n_b")
+    tie = (F.col("n_a") == F.col("n_b")) & (F.col("doc_a") < F.col("doc_b"))
+    doc_small = F.when(small_first | tie, F.col("doc_a")).otherwise(F.col("doc_b"))
+    doc_big = F.when(small_first | tie, F.col("doc_b")).otherwise(F.col("doc_a"))
+    n_small = F.least("n_a", "n_b")
+    return (
+        wsz.select(
+            doc_small.alias("doc_small"),
+            doc_big.alias("doc_big"),
+            (F.col("n_inter").cast("double") / n_small.cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

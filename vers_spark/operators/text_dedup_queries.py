@@ -163,7 +163,46 @@ _D_MINHASH_CAND = f"""sigs AS ({_sig_sql(_d_augmented(7, NEAR_TAIL))}),
             WHERE a.doc_id < b.doc_id
         )"""
 
+
+SUPERSET_TAIL = (
+    " appended boilerplate legal notice terms conditions apply contact support"
+    " subscribe newsletter unsubscribe privacy policy all rights reserved"
+)
+
+
+def doc_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (text_dedup.containment_pairs): the
+    corpus is augmented with SUPERSET copies (doc + a long boilerplate tail
+    at doc_id+30000) whose symmetric Jaccard drops well below the usual 0.8
+    but whose containment of the original is 1.0 — the near-superset
+    duplicates a symmetric join misses by construction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat("text", F.lit(SUPERSET_TAIL)).alias("text"),
+    )
+    return TD.containment_pairs(docs.unionByName(dups), threshold=0.9)
+
 ORACLE_SQL: dict[str, str] = {
+    "doc_containment_pairs": f"""
+        WITH sh AS MATERIALIZED (
+            SELECT * FROM {_d_shingles(_d_augmented(9, SUPERSET_TAIL).replace('+ 10000', '+ 30000'))}
+        ), sizes AS MATERIALIZED (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS MATERIALIZED (
+            SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+            FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
+            WHERE sa.doc_id < sb.doc_id GROUP BY doc_a, doc_b
+        ), w AS (
+            SELECT i.doc_a, i.doc_b, i.n_inter, a.n_sh AS n_a, b.n_sh AS n_b
+            FROM inter i JOIN sizes a ON i.doc_a = a.doc_id JOIN sizes b ON i.doc_b = b.doc_id
+        )
+        SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a < doc_b) THEN doc_a ELSE doc_b END AS doc_small,
+               CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a < doc_b) THEN doc_b ELSE doc_a END AS doc_big,
+               CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
+        FROM w
+        WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9
+    """,
     "minhash_signatures": _sig_sql("documents"),
     "minhash_neardup": "WITH "
     + _jaccard_tail_sql(_d_augmented(7, NEAR_TAIL), _D_MINHASH_CAND, 0.8),
@@ -323,6 +362,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures_q,
     "minhash_neardup": minhash_neardup_q,
     "ngram_jaccard_pairs": ngram_jaccard_q,
+    "doc_containment_pairs": doc_containment_pairs_q,
     "ngram_jaccard_prefix": ngram_jaccard_prefix_q,
     "simhash_docs": simhash_q,
     "simhash_neardup": simhash_neardup_q,
