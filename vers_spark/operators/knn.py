@@ -70,6 +70,7 @@ def exact_knn_blocked(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     rescore: bool = True,
+    margin: int = 2,
 ) -> DataFrame:
     """Block-nested-loop exact KNN (the scale path; see module docstring).
 
@@ -77,14 +78,19 @@ def exact_knn_blocked(
     (≤ ~10⁵ × dim floats); the corpus side is never materialized on the
     driver.
 
-    ``rescore=True`` (default) recomputes the emitted ``distance`` for the
-    O(Q×k) survivors with the declarative left-fold f64 kernel and re-ranks
-    on it, so the OUTPUT is bit-identical to :func:`exact_knn` — BLAS's
-    pairwise summation only picks the candidates (id-set equality is what
-    the top-k needs; the fold defines the reported values). Cost: one
-    broadcast join of the k·Q candidate rows back against corpus + queries
-    — negligible next to the scan. This is what lets the blocked path share
-    the exact path's DuckDB oracle.
+    ``rescore=True`` (default) widens each batch's BLAS partial top-k to
+    ``margin·k`` candidates, recomputes their distances with the declarative
+    left-fold f64 kernel, and takes the final top-k on the FOLD values — so
+    a last-ulp disagreement between BLAS pairwise summation and the fold at
+    the k/k+1 boundary cannot change the reported id-set (the fold decides
+    the boundary; BLAS would have to misrank a true top-k candidate past
+    rank margin·k within one batch to lose it, ~margin·k ulp-ties deep).
+    The OUTPUT therefore matches :func:`exact_knn` under the assumption
+    that no true top-k neighbour sits more than (margin−1)·k ulp-level
+    BLAS ties beyond the boundary — in practice always, and what lets the
+    blocked path share the exact path's DuckDB oracle. Cost: one broadcast
+    join of the margin·k·Q candidate rows back against corpus + queries —
+    negligible next to the scan.
     """
     import numpy as np
 
@@ -96,7 +102,8 @@ def exact_knn_blocked(
         return spark.createDataFrame([], "query_id long, neighbour_id long, distance double, rank int")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, metric, k))
+    eff_k = k * max(1, margin) if rescore else k
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, metric, eff_k))
 
     def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat, m, kk = bc.value
@@ -130,19 +137,21 @@ def exact_knn_blocked(
         F.col(corpus_id).cast("long").alias("neighbour_id"), F.col(corpus_vec).alias("c_vec")
     )
     candidates = c.mapInPandas(partial_topk, "query_id long, neighbour_id long, _dist double")
-    ranked = _ranked(candidates, "_dist", k)
     if not rescore:
-        return ranked
-    # Exact rescoring join: candidates (Q×k rows, tiny) are broadcast against
-    # the corpus — the corpus is probed, not shuffled — then against the
-    # already-collected query block. The fold distance replaces the BLAS one.
+        return _ranked(candidates, "_dist", k)
+    # Exact rescoring join: the WIDENED pool (Q×margin·k rows, still tiny) is
+    # broadcast against the corpus — the corpus is probed, not shuffled —
+    # then against the already-collected query block. The fold distance
+    # replaces the BLAS one BEFORE the final top-k, so the k/k+1 boundary is
+    # decided by the fold kernel, not BLAS.
+    pool = _ranked(candidates, "_dist", eff_k)
     q_df = spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, q_mat)],
         "query_id long, q_vec array<double>",
     )
     dist = V.DISTANCE_FNS[metric](F.col("q_vec"), F.col("c_vec"))
     rejoined = (
-        c.join(F.broadcast(ranked.select("query_id", "neighbour_id")), "neighbour_id")
+        c.join(F.broadcast(pool.select("query_id", "neighbour_id")), "neighbour_id")
         .join(F.broadcast(q_df), "query_id")
         .withColumn("_dist", dist)
     )

@@ -165,9 +165,25 @@ def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over synthesized media payloads —
-    rows-only (sha256-derived fake features; decode seam stubbed)."""
+    rows-only (sha256-derived fake features; decode seam stubbed). The
+    feature VECTOR is projected to per-row scalars (dim, min, max, 1e-6
+    fixed-point sum) because the driver canonicalizer cannot sort array
+    cells — the full array stays available from extract_features directly."""
     media = synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
-    return extract_features(media, decode="fake")
+    feats = extract_features(media, decode="fake")
+    f = F.col("feature")
+    fd = F.transform(f, lambda x: x.cast("double"))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size(f).alias("feature_dim"),
+        F.array_min(f).cast("double").alias("f_min"),
+        F.array_max(f).cast("double").alias("f_max"),
+        F.round(
+            F.aggregate(fd, F.lit(0.0), lambda acc, x: acc + x) * F.lit(1e6)
+        ).cast("long").alias("f_sum_fp"),
+    )
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -99,10 +99,16 @@ def rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_id"))
+    # Global top-K via orderBy().limit() — TakeOrderedAndProject computes a
+    # per-partition partial top-K and merges K·num_partitions rows on the
+    # driver side, unlike a global row_number window which would sort EVERY
+    # chunk score in one partition (the round-2 scale-killer: ~12x at the
+    # 10x probe). The rank window then runs over the K survivors only.
+    order = [F.desc("score"), F.asc("doc_id"), F.asc("chunk_id")]
+    top = scored.orderBy(*order).limit(TOP_K)
+    w = W.orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "chunk_id", "score", "rank")
     )
 

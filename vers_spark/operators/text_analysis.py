@@ -472,12 +472,13 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep query: what fraction of all token OCCURRENCES does a
     top-N frequency vocabulary cover, for N ∈ {10, 50, 200}? One count
-    aggregate (map-side combined), a global rank over the (small) distinct-
-    token table, running cumsum, then three threshold rows. The corpus-wide
-    window over distinct tokens is the scale pressure point — fine while
-    the vocab fits one partition (true even at 100 TB for word-level
-    vocabs: ~10⁷ distinct tokens); for open-ended byte-level vocabs,
-    pre-aggregate to the candidate top-K with a frequency floor first."""
+    aggregate (map-side combined), then — because only ranks ≤ 200 are ever
+    read — a TakeOrderedAndProject top-200 of the distinct-token table
+    (per-partition partial top-k, never a global sort: the round-2 plan
+    ranked EVERY distinct token in one unpartitioned window, 10⁸–10⁹ rows
+    at 100 TB), and the rank/cumsum window runs over those 200 rows only.
+    An open-ended-N variant would use curation.py's two-phase
+    repartitionByRange cumsum instead of the bounded limit."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -486,8 +487,9 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(200)
     w = W.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = counts.withColumns(
+    ranked = top.withColumns(
         {
             "rank": F.row_number().over(w).cast("long"),
             "cum": F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),

@@ -21,19 +21,24 @@ from vers_spark.sources.tables import load_table
 NEAR_TAIL = " near dup tail"
 
 
-def _augmented(spark: SparkSession, sf_dir: str, mod: int, tail: str) -> DataFrame:
+def _augmented(
+    spark: SparkSession, sf_dir: str, mod: int, tail: str, offset: int = 10000
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % mod == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), F.concat("text", F.lit(tail)).alias("text")
+        (F.col("doc_id") + offset).alias("doc_id"), F.concat("text", F.lit(tail)).alias("text")
     )
     return docs.unionByName(dups)
 
 
-def _d_augmented(mod: int, tail: str) -> str:
+def _d_augmented(mod: int, tail: str, offset: int = 10000) -> str:
+    # offset is an explicit parameter (not post-hoc string surgery on the
+    # rendered SQL) so the Spark query and its oracle can never silently
+    # desynchronize on the duplicate-id namespace.
     return f"""(
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 10000 AS doc_id, text || '{tail}' AS text
+        SELECT doc_id + {offset} AS doc_id, text || '{tail}' AS text
         FROM documents WHERE doc_id % {mod} = 0
     )"""
 
@@ -176,17 +181,14 @@ def doc_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     at doc_id+30000) whose symmetric Jaccard drops well below the usual 0.8
     but whose containment of the original is 1.0 — the near-superset
     duplicates a symmetric join misses by construction."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = docs.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 30000).alias("doc_id"),
-        F.concat("text", F.lit(SUPERSET_TAIL)).alias("text"),
+    return TD.containment_pairs(
+        _augmented(spark, sf_dir, 9, SUPERSET_TAIL, offset=30000), threshold=0.9
     )
-    return TD.containment_pairs(docs.unionByName(dups), threshold=0.9)
 
 ORACLE_SQL: dict[str, str] = {
     "doc_containment_pairs": f"""
         WITH sh AS MATERIALIZED (
-            SELECT * FROM {_d_shingles(_d_augmented(9, SUPERSET_TAIL).replace('+ 10000', '+ 30000'))}
+            SELECT * FROM {_d_shingles(_d_augmented(9, SUPERSET_TAIL, offset=30000))}
         ), sizes AS MATERIALIZED (
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
         ), inter AS MATERIALIZED (

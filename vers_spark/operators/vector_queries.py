@@ -304,27 +304,22 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit unit: the double→decimal CAST itself rounds differently across
     engines; rounding the double product does not.) f32 inputs carry ~7
     significant digits, so 8 fractional digits is part of the operator
-    contract, not a loss. Output (centroid_sum, n_vecs); the mean is a
-    client-side division. One posexplode + one (label, dim) aggregate."""
+    contract, not a loss. Output is EXPLODED (label, dim, sx, n_vecs) rows —
+    driver-canonicalizable scalars, no array columns (the round-2 driver
+    canonicalizer cannot sort numpy arrays); the mean is a client-side
+    division. One posexplode + one (label, dim) aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-    s = e.groupBy("label", "dim").agg(
-        F.sum(
-            F.round(F.col("x").cast("double") * F.lit(1e8)).cast("long")
-        ).alias("sx"),
-        F.count(F.lit(1)).alias("n"),
-    )
     return (
-        s.groupBy("label")
+        e.groupBy("label", "dim")
         .agg(
-            F.max("n").alias("_n"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "sx"))),
-                lambda st: st["sx"],
-            ).alias("centroid_sum"),
+            F.sum(
+                F.round(F.col("x").cast("double") * F.lit(1e8)).cast("long")
+            ).alias("sx"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
         )
-        .select("label", F.col("_n").cast("long").alias("n_vecs"), "centroid_sum")
-        .orderBy("label")
+        .select("label", "dim", "sx", "n_vecs")
+        .orderBy("label", "dim")
     )
 
 
@@ -542,15 +537,11 @@ ORACLE_SQL: dict[str, str] = {
         WITH e AS (
             SELECT label, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
             FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
-        ), s AS (
-            SELECT label, dim,
-                   CAST(sum(CAST(round(x * 100000000.0) AS BIGINT)) AS BIGINT) AS sx,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM e GROUP BY label, dim
         )
-        SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
-               list(sx ORDER BY dim) AS centroid_sum
-        FROM s GROUP BY label ORDER BY label
+        SELECT label, CAST(dim AS INT) AS dim,
+               CAST(sum(CAST(round(x * 100000000.0) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM e GROUP BY label, dim ORDER BY label, dim
     """,
     "vec_corpus_roundtrip": _VEC_ROUNDTRIP_SQL.format(nrows=_VEC_ROUNDTRIP_ROWS),
     # same pipeline through the Python data source — same oracle

@@ -63,8 +63,20 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str) -> dict:
     """Incremental refresh: roll up hours in (watermark, max_closed] only.
 
     Closed hour = strictly before the hour of max(ts) (the open hour keeps
-    receiving rows). Touched HOUR partitions are dynamically overwritten;
-    returns the manifest written (watermark + hours refreshed)."""
+    receiving rows). The delta's hours are APPENDED as new files into their
+    day partitions — NOT overwritten: the delta is provably disjoint from
+    everything stored (its hours lie strictly above the watermark = the
+    highest stored hour, the no-overlap/no-gap property the tests gate), so
+    append is exact and a re-run of the same refresh is a no-op delta, never
+    a duplicate. Out-of-order arrivals into already-closed hours are the one
+    case append cannot see — :func:`reconcile_rollup` handles those.
+    Returns the manifest written (watermark + hours refreshed).
+
+    The watermark is stored and compared as UNIX MICROS (bigint): a
+    timestamp string round-trip would re-enter as a session-timezone
+    TIMESTAMP and shift the bound by the UTC offset under a non-UTC
+    ``spark.sql.session.timeZone``, silently double-counting (append!) or
+    dropping the boundary hours; epoch micros are timezone-independent."""
     bounds = events.agg(F.max("ts").alias("mx")).collect()[0]
     if bounds["mx"] is None:
         return {"watermark": None, "hours_refreshed": 0}
@@ -76,20 +88,69 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str) -> dict:
 
     closed = events.filter(_hour(F.col("ts")) < _hour(F.lit(bounds["mx"])))
     if watermark is not None:
-        closed = closed.filter(_hour(F.col("ts")) > F.lit(watermark).cast("timestamp"))
+        closed = closed.filter(
+            F.unix_micros(_hour(F.col("ts"))) > F.lit(int(watermark)).cast("long")
+        )
     delta = hourly_rollup(closed)
     n_hours = delta.select("hour").distinct().count()
     if n_hours:
         delta.write.mode("append").partitionBy("day").parquet(path)
-    new_wm = closed.agg(F.max(_hour(F.col("ts")))).collect()[0][0]
+    new_wm = closed.agg(F.max(F.unix_micros(_hour(F.col("ts"))))).collect()[0][0]
     manifest = {
-        "watermark": str(new_wm) if new_wm is not None else watermark,
+        "watermark": int(new_wm) if new_wm is not None else watermark,
         "hours_refreshed": int(n_hours),
     }
     os.makedirs(path, exist_ok=True)
     with open(manifest_path, "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def reconcile_rollup(spark: SparkSession, events: DataFrame, path: str) -> dict:
+    """Late-data reconciliation: the incremental refresh assumes a
+    time-ordered append log, so rows that arrive AFTER their hour closed
+    leave the stored rollup stale. Reconciliation compares stored per-hour
+    row counts against a raw recount (one COUNT aggregate over closed
+    hours — no values move) and re-aggregates ONLY the day partitions
+    containing drifted hours, via dynamic partition overwrite: untouched
+    history is never rewritten, and cost is ∝ drifted days, not table size.
+    Returns {"hours_drifted", "days_rewritten"}."""
+    bounds = events.agg(F.max("ts").alias("mx")).collect()[0]
+    if bounds["mx"] is None or not os.path.exists(f"{path}/_rollup_manifest.json"):
+        return {"hours_drifted": 0, "days_rewritten": 0}
+    open_hour = _hour(F.lit(bounds["mx"]))
+    stored_h = (
+        spark.read.parquet(path)
+        .groupBy("hour")
+        .agg(F.sum("n_events").cast("long").alias("n_stored"))
+    )
+    raw_h = (
+        events.filter(_hour(F.col("ts")) < open_hour)
+        .groupBy(_hour("ts").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    )
+    drifted = (
+        raw_h.join(stored_h, "hour", "left")
+        .filter(F.coalesce(F.col("n_stored"), F.lit(0)) != F.col("n_raw"))
+        .select(F.to_date("hour").alias("day"), "hour")
+    )
+    days = sorted({r["day"] for r in drifted.select("day").distinct().collect()})
+    n_hours = drifted.count()
+    if not days:
+        return {"hours_drifted": 0, "days_rewritten": 0}
+    day_lits = [F.lit(d) for d in days]
+    delta = hourly_rollup(
+        events.filter(_hour(F.col("ts")) < open_hour).filter(
+            F.to_date(_hour(F.col("ts"))).isin(day_lits)
+        )
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        delta.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return {"hours_drifted": int(n_hours), "days_rewritten": len(days)}
 
 
 def serve_hourly(spark: SparkSession, events: DataFrame, path: str) -> DataFrame:
