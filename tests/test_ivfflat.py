@@ -196,3 +196,29 @@ def test_triplet_mining_oracle(spark, sf_dir):
         spark, sf_dir, "emb_triplet_mining",
         IQ.QUERIES["emb_triplet_mining"], IQ.ORACLE_SQL["emb_triplet_mining"],
     )
+
+
+def test_lloyd_fixed_multi_parity(spark, sf_dir):
+    """The fused multi-slice trainer reproduces each independent
+    lloyd_fixed run bit-for-bit (init ranking, argmin, fixed-point means) —
+    what lets knn_pq_fixed train all four codebooks in one chain while its
+    oracle unrolls four independent k-means."""
+    from pyspark.sql import functions as F
+
+    from vers_spark.indexes.ivfflat import lloyd_fixed, lloyd_fixed_multi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    dsub = dims // 4
+    got = {
+        (r["j"], r["cluster_id"]): r["centroid"]
+        for r in lloyd_fixed_multi(
+            emb, k=8, iters=2, seed_base=1000, slices=[(j * dsub, dsub) for j in range(4)]
+        ).collect()
+    }
+    for j in range(4):
+        sub = emb.select("vec_id", F.slice("embedding", j * dsub + 1, dsub).alias("embedding"))
+        cents, _ = lloyd_fixed(sub, k=8, iters=2, seed=1000 + j)
+        want = {r["cluster_id"]: r["centroid"] for r in cents.collect()}
+        for cid, c in want.items():
+            assert got[(j, cid)] == c, (j, cid)

@@ -1,0 +1,155 @@
+"""Reference-scale ANN evidence: the reference's only canonical corpus is
+wiki-news-300d-1M (1M x 300 — vers Makefile:1-15, utils.rs:127,
+benches/benchmark.rs:9-18). No network access here, so an equivalent-scale
+deterministic synthetic corpus stands in: 1,000,000 x 300 float32 with 50
+latent clusters (hash-derived centers + uniform noise — partitioning-
+independent, regenerates bit-identically).
+
+Runs the reference harness configs:
+- IVFFlat build  (main.rs:63-66): k=20, num_attempts=3, max_iterations=10
+- IVFFlat search: n_probes=4 of 20
+- HNSW build     (main.rs:74-78): layers=12, ef_c=100, ef_s=32, M=24
+  (sharded 64-way k-means — per-shard graph build is ~quadratic)
+- exact ground truth via the blocked BLAS KNN for 100 held-out queries
+
+Records build wall, batch search wall (and per-query mean), recall@10.
+Output: one JSON line + a markdown table fragment for BASELINE.md.
+
+Usage: python tools/ann_scale_run.py [--n 1000000] [--skip-hnsw]
+Corpus cached at .scale_data/emb1m_<n>.parquet (gitignored).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DIMS = 300
+N_CLUSTERS = 50
+N_QUERIES = 100
+
+
+def gen_corpus(spark, n: int, path: str) -> None:
+    from pyspark.sql import functions as F
+
+    # hash-derived floats: center[label mod 50] + U(-0.5, 0.5) noise,
+    # deterministic per (vec_id, dim) regardless of partitioning
+    df = spark.range(0, n + N_QUERIES, 1, 256).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % N_CLUSTERS).cast("int").alias("label"),
+    )
+    d = F.sequence(F.lit(0), F.lit(DIMS - 1))
+
+    def elem(dim):
+        center = (
+            F.pmod(F.xxhash64(F.concat_ws(":", F.lit("c"), F.col("label"), dim)), F.lit(4000))
+            / 1000.0
+            - 2.0
+        )
+        noise = (
+            F.pmod(F.xxhash64(F.concat_ws(":", F.lit("n"), F.col("vec_id"), dim)), F.lit(1000))
+            / 1000.0
+            - 0.5
+        )
+        return (center + noise).cast("float")
+
+    df.select(
+        "vec_id", "label", F.transform(d, elem).alias("embedding")
+    ).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--skip-hnsw", action="store_true")
+    ap.add_argument("--skip-ivf", action="store_true")
+    ap.add_argument("--hnsw-shards", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from vers_spark.session import get_spark
+
+    spark = get_spark(app_name="ann_scale", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    path = f"{REPO}/.scale_data/emb1m_{args.n}.parquet"
+    if not os.path.isdir(path):
+        t0 = time.perf_counter()
+        gen_corpus(spark, args.n, path)
+        print(f"# corpus generated in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    full = spark.read.parquet(path)
+    corpus = full.filter(F.col("vec_id") < args.n)
+    queries = full.filter(F.col("vec_id") >= args.n)
+    out: dict = {"n": args.n, "dims": DIMS, "n_queries": N_QUERIES}
+
+    # ---- exact ground truth (blocked BLAS — also the exact-scan baseline)
+    from vers_spark.operators.knn import exact_knn_blocked
+
+    t0 = time.perf_counter()
+    gt = {
+        (r["query_id"], r["neighbour_id"])
+        for r in exact_knn_blocked(queries, corpus, k=10).collect()
+    }
+    out["exact_scan_sec"] = round(time.perf_counter() - t0, 1)
+    print(f"# exact ground truth: {out['exact_scan_sec']}s", flush=True)
+
+    def recall(res_df) -> float:
+        hits = {
+            (r["query_id"], r["neighbour_id"])
+            for r in res_df.select("query_id", "neighbour_id").collect()
+        }
+        return round(len(hits & gt) / len(gt), 4)
+
+    if not args.skip_ivf:
+        from vers_spark.indexes.ivfflat import IVFFlatIndex
+
+        t0 = time.perf_counter()
+        ivf = IVFFlatIndex.build(
+            corpus, num_clusters=20, max_iterations=10, num_attempts=3, seed=42
+        )
+        ivf.assignments.count()  # materialize the build
+        out["ivf_build_sec"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        res = ivf.search(queries, k=10, n_probes=4)
+        out["ivf_recall_at_10"] = recall(res)
+        out["ivf_search_batch_sec"] = round(time.perf_counter() - t0, 1)
+        out["ivf_search_per_query_ms"] = round(
+            out["ivf_search_batch_sec"] * 1000 / N_QUERIES, 1
+        )
+        print(f"# ivf: {json.dumps({k: v for k, v in out.items() if k.startswith('ivf')})}", flush=True)
+
+    if not args.skip_hnsw:
+        from vers_spark.indexes.hnsw import HNSWIndex
+
+        t0 = time.perf_counter()
+        hnsw = HNSWIndex.build(
+            corpus,
+            num_layers=12,
+            ef_construction=100,
+            ef_search=32,
+            m=24,
+            num_shards=args.hnsw_shards,
+            seed=42,
+        )
+        hnsw.graph.count()  # materialize
+        out["hnsw_build_sec"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        res = hnsw.search(queries, k=10, n_probe_shards=args.hnsw_shards)
+        out["hnsw_recall_at_10"] = recall(res)
+        out["hnsw_search_batch_sec"] = round(time.perf_counter() - t0, 1)
+        out["hnsw_search_per_query_ms"] = round(
+            out["hnsw_search_batch_sec"] * 1000 / N_QUERIES, 1
+        )
+        print(f"# hnsw: {json.dumps({k: v for k, v in out.items() if k.startswith('hnsw')})}", flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

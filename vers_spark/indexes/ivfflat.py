@@ -541,3 +541,118 @@ def lloyd_fixed(
         )
     )
     return out, final
+
+
+def lloyd_fixed_multi(
+    data: DataFrame,
+    k: int,
+    iters: int,
+    seed_base: int,
+    slices: list[tuple[int, int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """R independent fixed-point Lloyd runs — one per vector SLICE — fused
+    into a single DataFrame chain: every iteration is ONE corpus scan + ONE
+    (slice, cluster, dim) aggregate covering ALL R subspaces, instead of R
+    separate chains (R× the driver jobs locally; R× the corpus scans per
+    iteration on a cluster — the difference between ``iters`` and
+    ``R·iters`` passes over 100 TB when training a product-quantizer's
+    codebooks). Per-slice semantics are IDENTICAL to
+    ``lloyd_fixed(slice_j, k, iters, seed_base + j)``: the same md5-hash
+    init ranking (row_number within j over (hash, id) ≡ orderBy().limit(k)),
+    the same fold argmin with (dist, cluster_id) struct tie-break, the same
+    1e-8 fixed-point BIGINT mean updates — parity is pytest-gated
+    (tests/test_ivfflat.py::test_lloyd_fixed_multi_parity).
+
+    ``slices`` are (start, length) pairs, 0-based. Returns the FINAL
+    centroids after ``iters`` updates: (j int, cluster_id int,
+    centroid array<double>).
+    """
+    from vers_spark.functions.text import stable_hash60
+
+    spark = data.sparkSession
+    n_slices = len(slices)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                F.slice(F.col(vec_col), s + 1, ln).alias("emb"),
+            )
+            for j, (s, ln) in enumerate(slices)
+        ]
+    )
+    e = data.select(F.col(id_col).alias("id"), F.explode(subs).alias("_sub")).select(
+        "id", F.col("_sub.j").alias("j"), F.col("_sub.emb").alias("emb")
+    )
+    h = stable_hash60(
+        F.concat(
+            F.col("id").cast("string"),
+            F.lit(":ivf:"),
+            (F.lit(seed_base) + F.col("j")).cast("string"),
+        )
+    )
+    wj = W.partitionBy("j").orderBy("_h", "id")
+    centroids = (
+        e.withColumn("_h", h)
+        .withColumn("rn", F.row_number().over(wj))
+        .filter(F.col("rn") <= k)
+        .select(
+            "j",
+            (F.col("rn") - 1).cast("int").alias("cluster_id"),
+            F.transform("emb", lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        d = V.sq_euclidean(F.col("emb"), F.col("centroid"))
+        return (
+            e.join(F.broadcast(cents), "j")
+            .select("j", "id", F.struct(d.alias("dist"), "cluster_id", "emb").alias("_s"))
+            .groupBy("j", "id")
+            .agg(F.min("_s").alias("_b"))
+            .select("j", "id", F.col("_b.emb").alias("emb"), F.col("_b.cluster_id").alias("cluster_id"))
+        )
+
+    # per-slice zero centroid for never-assigned clusters (same rule as
+    # lloyd_fixed's all_clusters left join)
+    zero = F.array(*[F.lit(0.0) for _ in range(slices[0][1])])
+    for j, (_, ln) in list(enumerate(slices))[1:]:
+        zero = F.when(
+            F.col("j") == j, F.array(*[F.lit(0.0) for _ in range(ln)])
+        ).otherwise(zero)
+    all_pairs = (
+        spark.range(n_slices)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(k).select(F.col("id").cast("int").alias("cluster_id")))
+    )
+    for _ in range(iters):
+        a = _assign(centroids)
+        sums = (
+            a.select("j", "cluster_id", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("j", "cluster_id", "dim")
+            .agg(
+                F.sum(F.round(F.col("x").cast("double") * F.lit(1e8)).cast("long")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .groupBy("j", "cluster_id")
+            .agg(
+                F.max("n").alias("n"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "sx"))),
+                    lambda st: st["sx"],
+                ).alias("csum"),
+            )
+            .select(
+                "j",
+                "cluster_id",
+                F.transform(
+                    "csum",
+                    lambda s: s.cast("double") / (F.col("n") * F.lit(100000000)).cast("double"),
+                ).alias("centroid"),
+            )
+        )
+        centroids = all_pairs.join(F.broadcast(sums), ["j", "cluster_id"], "left").select(
+            "j", "cluster_id", F.coalesce("centroid", zero).alias("centroid")
+        )
+    return centroids

@@ -226,63 +226,40 @@ _PQF_CACHE: dict[str, list] = {}
 
 
 def _pq_fixed(spark: SparkSession, sf_dir: str) -> list:
-    """Per-subspace (centroids, assignments) from the declarative fixed-point
+    """Per-subspace frozen centroid VALUES from the declarative fixed-point
     Lloyd over embedding slices — the PQ codebook training made engine-exact.
 
     Each subspace trains LAZILY (one fused DAG — the fast single-action
-    path), then only the FINAL centroids freeze to a literal 8-row
-    DataFrame (value-exact f64 round-trip) and the code assignment is
-    recomputed against the frozen table and cached — the ADC distance
-    tables and the code assignments are separate plan branches, so an
-    unfrozen lazy result would execute the training chain once per branch.
-    The four subspace builds run CONCURRENTLY (driver threads — each
-    build's jobs underfill 32 cores, so the scheduler interleaves them;
-    wall ≈ one subspace; measured 7.7s → 4.7s vs per-iteration freezing at
-    sf0.1). This is the train-once/serve-many materialization a real
-    deployment does by writing the codebook to disk."""
+    path) and only the FINAL 8 centroids are collected (value-exact f64
+    round-trip through Python floats) and cached as plain values: the
+    codebook is k·dsub doubles, so serving embeds it as LITERAL expressions
+    instead of joining against a centroid table. The four subspace builds
+    run CONCURRENTLY (driver threads — each build's jobs underfill 32
+    cores, so the scheduler interleaves them; wall ≈ one subspace). This is
+    the train-once/serve-many materialization a real deployment does by
+    writing the codebook to disk. Returns [[(cluster_id, [floats]), ...] per
+    subspace], each sorted by cluster_id."""
     if sf_dir not in _PQF_CACHE:
-        from concurrent.futures import ThreadPoolExecutor
-
-        from vers_spark.functions import vector as V
-        from vers_spark.indexes.ivfflat import lloyd_fixed
+        from vers_spark.indexes.ivfflat import lloyd_fixed_multi
 
         emb = load_table(spark, sf_dir, "embeddings")
         dims = len(emb.select("embedding").first()[0])
         dsub = dims // _PQF_M
-
-        def _train(j: int):
-            sub = emb.select(
-                "vec_id", F.slice("embedding", j * dsub + 1, dsub).alias("embedding")
-            )
-            cents, _ = lloyd_fixed(
-                sub, k=_PQF_K, iters=_PQF_ITERS, seed=_PQF_SEED + j, materialize=False
-            )
-            frozen = spark.createDataFrame(
-                [
-                    (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
-                    for r in cents.collect()
-                ],
-                "cluster_id int, centroid array<double>",
-            )
-            d = V.sq_euclidean(F.col("emb"), F.col("centroid"))
-            assigned = (
-                sub.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
-                .crossJoin(F.broadcast(frozen))
-                .select("id", F.struct(d.alias("dist"), "cluster_id", "emb").alias("_s"))
-                .groupBy("id")
-                .agg(F.min("_s").alias("_b"))
-                .select(
-                    "id",
-                    F.col("_b.emb").alias("emb"),
-                    F.col("_b.cluster_id").alias("cluster_id"),
-                    F.col("_b.dist").alias("dist"),
-                )
-                .cache()
-            )
-            return frozen, assigned
-
-        with ThreadPoolExecutor(max_workers=_PQF_M) as ex:
-            _PQF_CACHE[sf_dir] = list(ex.map(_train, range(_PQF_M)))
+        # all 4 subspaces in ONE fused chain: each Lloyd iteration scans the
+        # corpus once for every codebook (R× fewer jobs locally, R× fewer
+        # corpus passes on a cluster); per-subspace values are identical to
+        # the independent lloyd_fixed runs the DuckDB oracle unrolls
+        cents = lloyd_fixed_multi(
+            emb,
+            k=_PQF_K,
+            iters=_PQF_ITERS,
+            seed_base=_PQF_SEED,
+            slices=[(j * dsub, dsub) for j in range(_PQF_M)],
+        ).collect()
+        runs: list[list] = [[] for _ in range(_PQF_M)]
+        for r in cents:
+            runs[r["j"]].append((int(r["cluster_id"]), [float(x) for x in r["centroid"]]))
+        _PQF_CACHE[sf_dir] = [sorted(sub) for sub in runs]
     return _PQF_CACHE[sf_dir]
 
 
@@ -291,9 +268,20 @@ def knn_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks trained by the fixed-point Lloyd (engine-exact, unlike the
     sampled-numpy PQCodec), ADC computed in 1e-8 fixed-point BIGINT sums
     (order-independent where float ADC sums drift), shortlist of 20
-    re-ranked exactly on the raw vectors. The full
-    quantize→ADC→rerank serving path hash-matches a DuckDB unroll of all
-    four subspace k-means runs plus the same integer ADC."""
+    re-ranked exactly on the raw vectors. The full quantize→ADC→rerank
+    serving path hash-matches a DuckDB unroll of all four subspace k-means
+    runs plus the same integer ADC.
+
+    Serving shape (round 3): the 8-row codebooks are LITERALS, so coding is
+    a pure projection (array_min over 8 (dist, cluster_id) structs — the
+    same fold kernel + lexical-struct tie-break as the training argmin) and
+    ADC is element_at into per-query literal distance arrays after one
+    broadcast of the Q-row query block — the corpus is scanned ONCE with
+    zero shuffles before the per-query top-k (WindowGroupLimit prunes to 20
+    per partition before the exchange). The round-2 shape unioned four
+    corpus-sized code tables and shuffled Q×N×4 rows through a groupBy; at
+    100 TB the codes table would persist bucketed by a coarse cluster
+    (ivfpq_search covers that coarse-pruned variant)."""
     from pyspark.sql import Window as W
 
     from vers_spark.functions import vector as V
@@ -303,34 +291,52 @@ def knn_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsub = dims // _PQF_M
     runs = _pq_fixed(spark, sf_dir)
 
+    # The 64 fold expressions (32 coding + 32 ADC-table) are rendered as SQL
+    # TEXT and parsed once: building them per-element through the Python
+    # Column API costs ~2s of py4j round-trips per 32-fold block (measured),
+    # pure driver overhead. The SQL is the exact fold kernel — same casts,
+    # same left fold, literals repr-round-tripped through a string cast
+    # (correctly-rounded parse = bit-exact f64).
+    def _sqe_sql(vec_sql: str, cent: list[float]) -> str:
+        arr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cent) + ")"
+        return (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    def _sub_sql(vec_sql: str, j: int) -> str:
+        return f"slice({vec_sql}, {j * dsub + 1}, {dsub})"
+
+    def _code_sql(vec_sql: str, j: int) -> str:
+        entries = ",".join(
+            f"named_struct('dist', {_sqe_sql(_sub_sql(vec_sql, j), c)}, 'cluster_id', {cid})"
+            for cid, c in runs[j]
+        )
+        return f"(array_min(array({entries}))).cluster_id"
+
+    def _dtab_sql(vec_sql: str, j: int) -> str:
+        elems = ",".join(
+            f"CAST(round(({_sqe_sql(_sub_sql(vec_sql, j), c)}) * 1E8) AS BIGINT)"
+            for _, c in runs[j]
+        )
+        return f"array({elems})"
+
+    codes_wide = emb.selectExpr(
+        "vec_id AS id",
+        *[f"{_code_sql('embedding', j)} AS c{j}" for j in range(_PQF_M)],
+    )
     q = emb.filter(F.col("vec_id") % 101 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    codes = None
-    dtab = None
-    for j, (centroids, assignments) in enumerate(runs):
-        cj = assignments.select(
-            F.lit(j).alias("j"), "id", F.col("cluster_id").alias("code")
-        )
-        qsub = F.slice("qv", j * dsub + 1, dsub)
-        dj = (
-            q.crossJoin(F.broadcast(centroids.select("cluster_id", "centroid")))
-            .select(
-                "query_id",
-                F.lit(j).alias("j"),
-                F.col("cluster_id").alias("code"),
-                F.round(V.sq_euclidean(qsub, F.col("centroid")) * F.lit(1e8))
-                .cast("long")
-                .alias("d_fp"),
-            )
-        )
-        codes = cj if codes is None else codes.unionByName(cj)
-        dtab = dj if dtab is None else dtab.unionByName(dj)
-
-    adc = (
-        codes.join(F.broadcast(dtab), ["j", "code"])
-        .groupBy("query_id", "id")
-        .agg(F.sum("d_fp").cast("long").alias("adc_fp"))
+    qd = q.selectExpr(
+        "query_id", *[f"{_dtab_sql('qv', j)} AS d{j}" for j in range(_PQF_M)]
+    )
+    adc_expr = sum(
+        F.element_at(F.col(f"d{j}"), F.col(f"c{j}") + 1) for j in range(_PQF_M)
+    )
+    adc = codes_wide.crossJoin(F.broadcast(qd)).select(
+        "query_id", "id", adc_expr.cast("long").alias("adc_fp")
     )
     sw = W.partitionBy("query_id").orderBy(F.asc("adc_fp"), F.asc("id"))
     short = (
@@ -339,7 +345,8 @@ def knn_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("id").alias("neighbour_id"))
     )
     rerank = (
-        short.join(emb.select(F.col("vec_id").alias("neighbour_id"), F.col("embedding").alias("cv")), "neighbour_id")
+        emb.select(F.col("vec_id").alias("neighbour_id"), F.col("embedding").alias("cv"))
+        .join(F.broadcast(short), "neighbour_id")
         .join(F.broadcast(q), "query_id")
         .withColumn("distance", V.sq_euclidean(F.col("qv"), F.col("cv")))
     )
