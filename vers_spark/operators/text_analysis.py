@@ -546,6 +546,113 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M = 1 << 17  # bloom bit-space (131072 positions)
+BLOOM_K = 3  # hash functions (affine over the shared 60-bit shingle base)
+
+
+def doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the FIXED-SIZE variant of
+    doc_decontaminate for when the eval/benchmark set is too large to
+    broadcast as exact shingles: the eval side compresses to its set of
+    bloom bit positions (≤ m = 2^17 rows whatever the eval size; k = 3
+    affine hashes over the same 60-bit md5 base the minhash family uses),
+    and the train side probes it with one broadcast join. One-sided error
+    by construction: every exact hit is flagged (no false negatives — the
+    superset property vs doc_decontaminate is test-gated); false positives
+    are bounded by (1 − e^{−kn/m})^k. Every hash is deterministic, so the
+    whole approximate structure carries a FULL DuckDB oracle — the driver
+    hash certifies the bloom construction itself, not just its statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(TX.word_shingles(TX.ws_tokens(F.col("text")), 4))
+    base = docs.select("doc_id", "source", F.explode(sh).alias("shingle"))
+    h = TX.stable_hash60(F.col("shingle"))
+    pos = F.array(
+        *[
+            F.pmod(TX.minhash_value(h, a, b), F.lit(BLOOM_M)).cast("long")
+            for a, b in TX.MINHASH_COEFFS[:BLOOM_K]
+        ]
+    )
+    ev_pos = (
+        base.filter(F.col("source") == "src0")
+        .select(F.explode(pos).alias("p"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = base.filter(F.col("source") != "src0").select(
+        "doc_id", "shingle", F.explode(pos).alias("p")
+    )
+    probed = (
+        tr.join(F.broadcast(ev_pos), "p", "left")
+        .groupBy("doc_id", "shingle")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_K).alias("bloom_hit"))
+    )
+    agg = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("long").alias("n_bloom_hits"),
+    )
+    ratio = F.col("n_bloom_hits").cast("double") / F.col("n_shingles").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        ratio.alias("bloom_ratio"),
+        (ratio >= 0.05).alias("contaminated_bloom"),
+    )
+
+
+WINDOW_DUP_W = 20  # ExactSubstr-style window width, in tokens
+
+
+def doc_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level duplication signal (the window-granular form of Lee
+    et al. 2021's ExactSubstr dedup, public algorithm): every WINDOW_DUP_W-
+    token window (stride 1) is fingerprinted with the 60-bit hash; a window
+    POSITION is duplicated if its fingerprint occurs in ≥ 2 distinct docs.
+    Per doc: window count, duplicated-window count, duplicated fraction —
+    the signal used to cut verbatim-repeated spans that per-doc near-dup
+    (MinHash) misses because the containing docs differ. The corpus is
+    augmented with prefixed copies (doc_id+50000, 'intro note ' + text for
+    doc_id % 13 == 0): a copy with ANY added prefix still shares every
+    interior window with its original — exactly the cross-doc verbatim-span
+    case this operator exists to catch. Scale shape: one row per token
+    position carrying an 8-byte hash (never window text), one (hash)
+    aggregate with map-side combine + one hash-keyed join back — the
+    standard web-scale formulation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.unionByName(
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat(F.lit("intro note "), F.col("text")).alias("text"),
+        )
+    )
+    wins = TX.word_shingles(TX.ws_tokens(F.col("text")), WINDOW_DUP_W)
+    base = docs.select(
+        "doc_id", F.explode(wins).alias("w")
+    ).select("doc_id", TX.stable_hash60(F.col("w")).alias("h"))
+    multi = (
+        base.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("dup"))
+    )
+    agg = (
+        base.join(multi, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).cast("long").alias("n_dup_windows"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        (F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double")).alias(
+            "dup_fraction"
+        ),
+    )
+
+
 # (check name, SQL violation predicate) — the ingest-time expectation suite;
 # ONE literal list drives both the Spark program and the DuckDB oracle, so
 # the two can't drift.
@@ -1103,3 +1210,79 @@ QUERIES = {
 }
 
 ORACLE_SQL["doc_chunk_udtf"] = ORACLE_SQL["doc_chunk_windows"]
+
+QUERIES["doc_decontaminate_bloom"] = doc_decontaminate_bloom
+QUERIES["doc_window_dups"] = doc_window_dups
+
+_BLOOM_POS = ", ".join(
+    f"CAST((({a} * hp + {b}) % {TX.HASH_PRIME}) % {BLOOM_M} AS BIGINT)"
+    for a, b in TX.MINHASH_COEFFS[:BLOOM_K]
+)
+_D_HASH60_SHINGLE = D_HASH60.format(x="shingle")
+_D_HASH60_W = D_HASH60.format(x="w")
+ORACLE_SQL["doc_decontaminate_bloom"] = rf"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source, unnest(list_distinct(
+            CASE WHEN len(t) >= 4
+                 THEN list_transform(range(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                 ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+        FROM toks
+    ), hp AS (
+        SELECT doc_id, source, shingle,
+               ({_D_HASH60_SHINGLE}) % {TX.HASH_PRIME} AS hp
+        FROM sh
+    ), posx AS (
+        SELECT doc_id, source, shingle, unnest([{_BLOOM_POS}]) AS p FROM hp
+    ), ev AS (
+        SELECT DISTINCT p FROM posx WHERE source = 'src0'
+    ), probed AS (
+        SELECT tr.doc_id, tr.shingle,
+               (sum(CASE WHEN ev.p IS NOT NULL THEN 1 ELSE 0 END) = {BLOOM_K}) AS bloom_hit
+        FROM (SELECT doc_id, shingle, p FROM posx WHERE source <> 'src0') tr
+        LEFT JOIN ev ON tr.p = ev.p
+        GROUP BY tr.doc_id, tr.shingle
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+        FROM probed GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_bloom_hits,
+           CAST(n_bloom_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS bloom_ratio,
+           CAST(n_bloom_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.05 AS contaminated_bloom
+    FROM agg
+"""
+
+ORACLE_SQL["doc_window_dups"] = rf"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 50000 AS doc_id, 'intro note ' || text AS text
+        FROM documents WHERE doc_id % 13 = 0
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM corpus
+    ), wins AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(t) >= {WINDOW_DUP_W}
+                 THEN list_transform(range(1, len(t) - {WINDOW_DUP_W - 2}),
+                      i -> list_aggregate(t[i:i+{WINDOW_DUP_W - 1}], 'string_agg', ' '))
+                 ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS w
+        FROM toks
+    ), hs AS (
+        SELECT doc_id, {_D_HASH60_W} AS h FROM wins
+    ), multi AS (
+        SELECT h FROM hs GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), agg AS (
+        SELECT hs.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN m.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+        FROM hs LEFT JOIN multi m ON hs.h = m.h
+        GROUP BY hs.doc_id
+    )
+    SELECT doc_id, n_windows, n_dup_windows,
+           CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE) AS dup_fraction
+    FROM agg
+"""
