@@ -95,16 +95,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vers_spark.operators import bpe, rag
 
     # Registration order IS the driver's sweep order, and the sweep has
-    # truncated at exactly 50 queries in both prior rounds. Order by
-    # marginal correctness-signal value:
-    #   1. the two round-2 ERROR rows, now fixed (array→scalar projection) —
-    #      cheap, and flipping them green is the round's top verdict item;
-    #   2. the 58 queries that have never received a driver row in any
-    #      round (r1 swept relational/curation/temporal, r2 swept
-    #      vector/index/text-analysis) — cheapest suites first so a
-    #      50-query or wall-clock budget certifies as many as possible;
-    #      streaming (the most expensive per query) closes the block;
-    #   3. everything already green in r1/r2, for re-certification.
+    # truncated at exactly 50 queries in every prior round. Round-4 order,
+    # by marginal correctness-signal value:
+    #   1. the 13 queries that have NEVER received a driver row in r1∪r2∪r3
+    #      (11 streaming + the two r3 text ops) — r3 queued streaming last
+    #      and the cut dropped them again; they go FIRST this time;
+    #   2. the 4 red r3 rows, now fixed (struct→scalar flattening for the
+    #      two multimodal queries; date_format + fixed-point BIGINT output
+    #      projection for the two timestamp/decimal hash-fails);
+    #   3. re-certification, oldest driver row first (r1 relational/
+    #      curation/temporal suites, untouched since round 1).
     modules = [
         vector_queries.QUERIES,
         index_queries.QUERIES,
@@ -125,64 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(m)
 
     priority = [
-        # -- fixed round-2 driver ERRORs --
-        "ivf_build_fixed",
-        "emb_label_centroids",
-        # -- never-swept: bpe / rag / pca --
-        "bpe_train_merges",
-        "bpe_segment_vocab",
-        "bpe_corpus_tokens",
-        "rag_retrieve_chunks",
-        "rag_maxsim_rerank",
-        "emb_pca_stats",
-        "emb_pca_knn_recall",
-        # -- never-swept: text dedup --
-        "minhash_signatures",
-        "minhash_neardup",
-        "ngram_jaccard_pairs",
-        "doc_containment_pairs",
-        "ngram_jaccard_prefix",
-        "simhash_docs",
-        "simhash_neardup",
-        "neardup_components",
-        "neardup_best_quality",
-        # -- never-swept: text-analysis tail (registered after the r2 cut) --
-        "doc_expectations",
-        "doc_pii_scrub",
-        "dedup_docs_normalized",
-        # -- never-swept: curation / temporal / graph tails --
-        "doc_mixture_sample",
-        "doc_weighted_sample",
-        "doc_upsert_merge",
-        "doc_merge_full",
-        "doc_time_travel",
-        "doc_version_diff",
-        "doc_pretrain_batches",
-        "evt_user_trend",
-        "evt_gapfill_locf",
-        "evt_hourly_rollup_serve",
-        "graph_pagerank_topk",
-        # -- never-swept: embedding similarity + multimodal --
-        "emb_neardup_pairs",
-        "emb_cosine_neardup",
-        "emb_brp_neardup",
-        "doc_mllib_exactdup",
-        "emb_similarity_join",
-        "emb_knn_selfjoin_exact",
-        "mm_meta_stats",
-        "mm_feature_extract",
-        "mm_real_pipeline",
-        "mm_frame_sample",
-        "mm_resize",
-        "mm_audio_resample",
-        # -- never-swept: connectors (driver-side temp I/O — keep adjacent) --
-        "vec_corpus_pyds",
-        "vec_corpus_roundtrip",
-        # -- never-swept: streaming (most expensive per query) --
-        "stream_events_hourly",
-        "stream_interval_join",
-        "stream_static_enrich",
-        "stream_dedup_users",
+        # -- never-swept (r1∪r2∪r3): the two r3 text ops, then streaming --
+        "doc_decontaminate_bloom",
+        "doc_window_dups",
         "stream_dedup_ingest",
         "stream_quality_gate",
         "stream_funnel",
@@ -194,6 +139,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ivf_assign_stats",
         "stream_ivf_assign_fixed",
         "stream_rollup_serve",
+        # -- fixed round-3 red rows --
+        "mm_resize",
+        "mm_audio_resample",
+        "evt_gapfill_locf",
+        "evt_hourly_rollup_serve",
+        # -- re-certification: r1 rows first (untouched for 3 rounds) --
+        "q1_pricing_summary",
+        "q5_revenue_by_nation",
+        "q_top_customers_per_nation",
+        "q_events_hourly",
+        "evt_purchase_asof_click",
+        "evt_error_context",
+        "evt_sessionize_batch",
+        "evt_funnel_conversion",
+        "evt_user_trend",
+        "doc_curation_pipeline",
+        "doc_pretrain_batches",
+        "doc_mixture_sample",
+        "doc_weighted_sample",
+        "doc_upsert_merge",
+        "doc_merge_full",
+        "doc_time_travel",
+        "doc_version_diff",
+        "graph_pagerank_topk",
+        # -- re-certification: streaming rows from r1 --
+        "stream_events_hourly",
+        "stream_interval_join",
+        "stream_static_enrich",
+        "stream_dedup_users",
+        # -- re-certification: r2 vector/index spine --
+        "vk_vector_ops",
+        "knn_exact_euclidean",
+        "knn_exact_cosine",
+        "ivf_build_fixed",
+        "ivf_search_fixed_p4",
+        "lsh_search_degenerate",
+        "hnsw_layer_stats",
+        "index_lifecycle_roundtrip",
+        "emb_label_centroids",
+        "knn_pq_fixed",
+        # -- re-certification: r3 text/dedup spine --
+        "minhash_neardup",
+        "simhash_neardup",
+        "neardup_components",
+        "bpe_train_merges",
+        "rag_retrieve_chunks",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"

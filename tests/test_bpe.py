@@ -56,3 +56,22 @@ def test_merges_deterministic_and_monotone(spark, sf_dir):
     assert all(c > 0 for c in counts)
     replay, _ = bpe.train_merges(spark, sf_dir)
     assert replay == merges
+
+
+def test_incremental_counts_equal_full_recount(spark, sf_dir):
+    """The scale path's delta-maintained pair counts must reproduce the
+    textbook full-recount training EXACTLY: same merge sequence (pair,
+    order, counts) and same final segmented vocab. Words not containing
+    the merged pair have identical seqs before/after, so their pair
+    multisets cancel in the delta — this gate pins that algebra against
+    both replace-semantics tie-cases and join/coalesce bookkeeping."""
+    from vers_spark.operators.bpe import train_merges_on
+    from vers_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    m_inc, v_inc = train_merges_on(docs, k=8, mode="incremental")
+    m_full, v_full = train_merges_on(docs, k=8, mode="recount")
+    assert m_inc == m_full
+    inc = {r["token"]: r["seq"] for r in v_inc.collect()}
+    full = {r["token"]: r["seq"] for r in v_full.collect()}
+    assert inc == full

@@ -159,3 +159,59 @@ def test_rollup_late_data_reconciliation(spark, sf_dir):
         "hours_drifted": 0,
         "days_rewritten": 0,
     }
+
+
+def test_rollup_watermark_manifest_migration(spark, sf_dir):
+    """Manifest-format migration: a pre-change manifest stored the watermark
+    as a timestamp STRING; the current reader must parse it into unix-micros
+    (not crash on int()) and keep the refresh incremental — while a junk
+    watermark must raise rather than silently double-append stored hours."""
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vers_spark.sources.rollup import (
+        _parse_watermark,
+        hourly_rollup,
+        refresh_rollup,
+        serve_hourly,
+    )
+    from vers_spark.sources.tables import load_table
+    from vers_spark.streaming.events import scratch_dir
+
+    events = load_table(spark, sf_dir, "events")
+    path = scratch_dir("vs_rollup_mig_") + "/hourly"
+    cut = events.agg(
+        F.timestamp_micros(
+            ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2).cast("long")
+        ).alias("mid")
+    ).collect()[0]["mid"]
+    m1 = refresh_rollup(spark, events.filter(F.col("ts") <= F.lit(cut)), path)
+
+    # rewrite the manifest in the LEGACY string format, micros-equivalent
+    from datetime import datetime, timezone
+
+    legacy = datetime.fromtimestamp(m1["watermark"] / 1e6, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    assert _parse_watermark(legacy) == m1["watermark"]  # string form round-trips
+    with open(f"{path}/_rollup_manifest.json", "w") as f:
+        json.dump({"watermark": legacy, "hours_refreshed": m1["hours_refreshed"]}, f)
+
+    m2 = refresh_rollup(spark, events, path)  # must not raise ValueError
+    total_closed = hourly_rollup(events).select("hour").distinct().count() - 1
+    assert m1["hours_refreshed"] + m2["hours_refreshed"] == total_closed  # still incremental
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_dec"])
+        for r in serve_hourly(spark, events, path).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_dec"])
+        for r in hourly_rollup(events).collect()
+    }
+    assert got == want
+
+    with _pytest.raises(ValueError, match="unparseable rollup watermark"):
+        _parse_watermark("not-a-watermark")

@@ -392,3 +392,55 @@ def test_containment_pairs_oracle_and_superset_recovery(spark, sf_dir):
     rows = TDQ.QUERIES["doc_containment_pairs"](spark, sf_dir).collect()
     injected = [r for r in rows if r["doc_big"] == r["doc_small"] + 30000]
     assert injected and all(r["containment"] == 1.0 for r in injected)
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """One-sided-error contract of the bloom variant: a bloom filter can
+    false-positive but never false-negative, so for every training doc
+    n_bloom_hits >= n_hits (exact) with identical shingle counts, and every
+    doc the exact gate flags contaminated is flagged by the bloom gate.
+    Also bound the false-positive inflation: at m = 2^17 bits, k = 3 and
+    the sf0.001 eval load the aggregate FP lift must stay small."""
+    exact = {
+        r["doc_id"]: r
+        for r in TA.QUERIES["doc_decontaminate"](spark, sf_dir).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in TA.QUERIES["doc_decontaminate_bloom"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(bloom)
+    total_exact = total_bloom = 0
+    for did, e in exact.items():
+        b = bloom[did]
+        assert b["n_shingles"] == e["n_shingles"], did
+        assert b["n_bloom_hits"] >= e["n_hits"], did  # no false negatives
+        if e["contaminated"]:
+            assert b["contaminated_bloom"], did
+        total_exact += e["n_hits"]
+        total_bloom += b["n_bloom_hits"]
+    # (1 - e^{-kn/m})^k with n = distinct eval shingles at this SF keeps the
+    # corpus-wide FP lift well under 5% of probed shingles
+    n_probed = sum(e["n_shingles"] for e in exact.values())
+    assert total_bloom - total_exact <= max(0.05 * n_probed, 50)
+
+
+def test_window_dups_recovers_prefixed_copies(spark, sf_dir):
+    """ExactSubstr-style recall: a prefixed copy (doc_id + 50000) shares
+    every interior window with its original, so BOTH sides of each injected
+    pair must report dup_fraction near 1 (the copy's first W-1 windows
+    straddle the prefix), and a corpus with no cross-doc verbatim spans
+    would report 0 — docs NOT in an injected pair dominate the low end."""
+    rows = {r["doc_id"]: r for r in TA.QUERIES["doc_window_dups"](spark, sf_dir).collect()}
+    # docs shorter than the window width emit one truncated window that the
+    # prefix perturbs — the interior-window guarantee needs >= W full tokens
+    originals = [d for d in rows if d + 50000 in rows and rows[d]["n_windows"] > 1]
+    assert originals, "augmentation injected no full-window copies at this SF"
+    for d in originals:
+        orig, copy = rows[d], rows[d + 50000]
+        # original: every one of its windows also occurs in the copy
+        assert orig["n_dup_windows"] == orig["n_windows"], d
+        # copy: every original window is among the copy's windows, so the
+        # copy shares at least orig["n_windows"] of its own
+        assert copy["n_dup_windows"] >= copy["n_windows"] - (TA.WINDOW_DUP_W - 1), d
+        assert copy["n_dup_windows"] >= orig["n_windows"], d

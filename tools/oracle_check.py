@@ -43,6 +43,12 @@ def main() -> int:
                     detail = f"rows {res['spark_rows']} != {res['duck_rows']}"
                 elif not res["cols_match"]:
                     detail = f"cols {res['spark_cols']} != {res['duck_cols']}"
+                elif not res.get("dtype_match", True):
+                    detail = (
+                        f"DTYPES (driver hash hazard) "
+                        f"{list(zip(res['spark_cols'], res['spark_dtypes']))} != "
+                        f"{list(zip(res['duck_cols'], res['duck_dtypes']))}"
+                    )
                 else:
                     detail = f"values, first: {res['first_mismatches'][:1]}"
                 failures.append(f"{name}: {detail}")

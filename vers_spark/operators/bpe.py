@@ -96,22 +96,88 @@ def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _vocab_from_docs(load_table(spark, sf_dir, "documents"))
 
 
-def train_merges_on(docs: DataFrame, k: int = N_MERGES) -> tuple[list, DataFrame]:
-    """Run k merge rounds over an arbitrary corpus DataFrame (unmemoized)."""
+def train_merges_on(
+    docs: DataFrame, k: int = N_MERGES, mode: str = "incremental"
+) -> tuple[list, DataFrame]:
+    """Run k merge rounds over an arbitrary corpus DataFrame (unmemoized).
+
+    ``mode="recount"`` is the textbook shape: every round re-aggregates
+    adjacent-pair counts over the WHOLE vocab — K rounds = K vocab-sized
+    explode+aggregate passes. Fine at small vocabs, but a 1M-type vocab
+    pays K full scans of ~10M pair rows for merges that each touch a tiny
+    fraction of words.
+
+    ``mode="incremental"`` (default) is the scale path and is ALGEBRAICALLY
+    IDENTICAL (parity test-gated, same DuckDB oracle): pair counts live in
+    a maintained table; each round
+      1. takes the argmax with orderBy+limit(1) — Spark compiles this to
+         TakeOrderedAndProject, a per-partition top-1 tree-reduced on the
+         driver, never a global sort;
+      2. filters the vocab to ONLY the words containing the merged pair
+         (``seq.contains(" l r ")`` — exactly the rows ``_apply_merge``
+         can change);
+      3. recounts pairs over that affected slice before and after the
+         merge and applies the signed delta to the counts table (rows not
+         containing the pair have identical seq → identical pair multiset
+         → zero delta, so delta-update ≡ full recount for ANY replace
+         semantics, including the a==b run tie-cases);
+      4. localCheckpoints the updated counts to keep lineage flat across
+         rounds (the graph.pagerank_fixed pattern).
+    Per-round cost is ∝ affected words + a counts-table join whose delta
+    side is tiny, instead of ∝ vocab — the difference between hours and
+    minutes at web-scale vocabularies."""
     vocab = _vocab_from_docs(docs).cache()
     merges: list[tuple[int, str, str, int]] = []
+    if mode == "recount":
+        for step in range(1, k + 1):
+            best = (
+                _pair_counts(vocab)
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            row = best[0]
+            merges.append((step, row["l"], row["r"], int(row["c"])))
+            vocab = _apply_merge(vocab, row["l"], row["r"])
+        return merges, vocab
+
+    counts = _pair_counts(vocab).localCheckpoint(eager=False)
     for step in range(1, k + 1):
         best = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
+            counts.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
         )
         if not best:
             break
         row = best[0]
-        merges.append((step, row["l"], row["r"], int(row["c"])))
-        vocab = _apply_merge(vocab, row["l"], row["r"])
+        l, r = row["l"], row["r"]
+        merges.append((step, l, r, int(row["c"])))
+        pat = f" {l} {r} "
+        affected = vocab.filter(F.col("seq").contains(pat)).cache()
+        delta = (
+            _pair_counts(_apply_merge(affected, l, r))
+            .unionByName(
+                _pair_counts(affected).select("l", "r", (-F.col("c")).alias("c"))
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("c").alias("dc"))
+            .filter(F.col("dc") != 0)
+        )
+        counts = (
+            counts.join(delta, ["l", "r"], "full")
+            .select(
+                "l",
+                "r",
+                (F.coalesce(F.col("c"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0))).alias("c"),
+            )
+            .filter(F.col("c") > 0)
+            # eager: materialize the updated counts while `affected` is
+            # still cached (the delta reads it twice — before/after)
+            .localCheckpoint(eager=True)
+        )
+        vocab = _apply_merge(vocab, l, r)
+        affected.unpersist()
     return merges, vocab
 
 

@@ -194,16 +194,38 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio resample plumbing (kind filter pushed down, meta rewritten in
-    Arrow batches) — rows-only."""
+    Arrow batches). Output is FLAT SCALARS only — the r3 driver canonicalizer
+    rejects struct cells (unhashable dict in pandas sort), so the meta struct
+    is projected to its per-kind non-null fields; halving the rate (16000 →
+    8000) makes the fake-mode byte-length rewrite non-trivial, and because
+    the fake path is deterministic arithmetic on the documents table this is
+    now a full hash-certified oracle, not rows-only."""
     media = synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
-    return resample_audio(media, 16000, decode="fake").drop("payload")
+    out = resample_audio(media, 8000, decode="fake")
+    return out.select(
+        "media_id",
+        "kind",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
 
 
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize plumbing (kind filter pushed down, payload+meta rewritten
-    in Arrow batches) — rows-only."""
+    in Arrow batches). Flat-scalar output (struct cells crash the driver
+    canonicalizer — r3); fake-mode resize truncates/pads the payload to
+    width*height bytes, so the byte length and new dims are SQL-stateable —
+    full hash oracle."""
     media = synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
-    return resize_images(media, 8, 4, decode="fake").drop("payload")
+    out = resize_images(media, 8, 4, decode="fake")
+    return out.select(
+        "media_id",
+        "kind",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
 
 
 _SQE = (
@@ -316,6 +338,30 @@ ORACLE_SQL["mm_meta_stats"] = """
            max(height) AS max_height,
            CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms
     FROM m GROUP BY kind ORDER BY kind
+"""
+
+# Fake-mode resize truncates/pads payload to width*height bytes and pins
+# meta to the target dims; synthesize_media assigns kind = image when
+# doc_id % 3 = 0 and payload = utf-8 text bytes — all SQL-stateable.
+ORACLE_SQL["mm_resize"] = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           'image' AS kind,
+           CAST(32 AS BIGINT) AS n_bytes,
+           CAST(8 AS INT) AS width,
+           CAST(4 AS INT) AS height
+    FROM documents WHERE doc_id % 3 = 0
+"""
+
+# Fake-mode resample scales payload length by target/src = 8000/16000 (src
+# rate pinned to 16000 by the synthesizer): n = GREATEST(len // 2, 1);
+# duration_ms carries through as n_chars * 10. kind = audio ⇔ doc_id % 3 = 1.
+ORACLE_SQL["mm_audio_resample"] = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           'audio' AS kind,
+           CAST(GREATEST(octet_length(encode(text)) // 2, 1) AS BIGINT) AS n_bytes,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n_chars * 10 AS INT) AS duration_ms
+    FROM documents WHERE doc_id % 3 = 1
 """
 
 QUERIES = {

@@ -366,7 +366,16 @@ def stream_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return serve_hourly(spark, spark.read.parquet(raw_dir), roll_dir)
+    served = serve_hourly(spark, spark.read.parquet(raw_dir), roll_dir)
+    # output projection discipline (r3 driver hash-fails were Decimal
+    # columns): stored partials stay DECIMAL(18,4), the query output goes
+    # ×10⁴ fixed-point BIGINT — same shape as evt_hourly_rollup_serve
+    return served.select(
+        "hour",
+        "event_type",
+        "n_events",
+        (F.col("sum_value_dec") * 10000).cast("long").alias("sum_value_fp"),
+    )
 
 
 def stream_ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,7 +560,8 @@ ORACLE_SQL["stream_ivf_assign_fixed"] = _stream_ivf_fixed_sql()
 ORACLE_SQL["stream_rollup_serve"] = """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value_dec
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               AS sum_value_fp
     FROM events GROUP BY 1, 2
 """
 

@@ -294,7 +294,20 @@ def evt_hourly_rollup_serve(spark, sf_dir: str):
     ).collect()[0]["mid"]
     refresh_rollup(spark, events.filter(F.col("ts") <= F.lit(cut)), path)
     refresh_rollup(spark, events, path)
-    return serve_hourly(spark, events, path)
+    served = serve_hourly(spark, events, path)
+    # Driver-canonicalizer discipline (r3 hash-fail): the STORED partials
+    # stay DECIMAL(18,4)/BIGINT (that's the bit-exact re-aggregation story),
+    # but the query OUTPUT projects the timestamp through date_format and
+    # the decimal to ×10⁴ fixed-point BIGINT — raw TIMESTAMP/DECIMAL cells
+    # render differently in Spark-via-Arrow vs DuckDB pandas frames
+    # (ns-vs-µs units, Decimal-object vs float64) and break the repr hash
+    # even when values agree.
+    return served.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        (F.col("sum_value_dec") * 10000).cast("long").alias("sum_value_fp"),
+    )
 
 
 def evt_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,7 +345,16 @@ def evt_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_gap", F.col("n_events").isNull())
         .withColumn("n_events", F.coalesce("n_events", F.lit(0)).cast("long"))
         .withColumn("locf_sum", F.last("sum_dec", ignorenulls=True).over(w))
-        .select("user_id", "hour", "n_events", "is_gap", "locf_sum")
+        # output projection discipline (r3 driver hash-fail): timestamp →
+        # formatted string, DECIMAL → ×10⁴ fixed-point BIGINT; the LOCF
+        # math itself stays exact DECIMAL
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+            "is_gap",
+            (F.col("locf_sum") * 10000).cast("long").alias("locf_sum_fp"),
+        )
     )
 
 
@@ -358,18 +380,21 @@ ORACLE_SQL: dict[str, str] = {
         ), grid AS (
             SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour FROM span
         )
-        SELECT g.user_id, g.hour,
+        SELECT g.user_id,
+               strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
                CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
                h.n_events IS NULL AS is_gap,
-               last_value(h.sum_dec IGNORE NULLS) OVER (
+               CAST(last_value(h.sum_dec IGNORE NULLS) OVER (
                    PARTITION BY g.user_id ORDER BY g.hour
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 AS BIGINT)
+                   AS locf_sum_fp
         FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
     """,
     "evt_hourly_rollup_serve": """
-        SELECT date_trunc('hour', ts) AS hour, event_type,
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value_dec
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                   AS sum_value_fp
         FROM events GROUP BY 1, 2
     """,
     "evt_user_trend": """

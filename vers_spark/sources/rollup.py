@@ -45,6 +45,37 @@ def _hour(col):
     return F.date_trunc("hour", col)
 
 
+def _parse_watermark(wm) -> int | None:
+    """Manifest-format migration: the watermark was originally persisted as
+    a timestamp STRING and is now int unix-micros. Accept both — a pre-change
+    manifest must not crash the refresh — and treat anything unparseable as
+    None (forces one full re-roll, which the disjointness property makes
+    append-safe only on an empty store, so fall back by re-reading stored
+    hours is NOT needed: None simply means 'no incremental bound', and the
+    closed-hour filter plus the caller's fresh store keep semantics; for a
+    populated store an unparseable watermark raises instead of silently
+    double-appending)."""
+    if wm is None or isinstance(wm, int):
+        return wm
+    s = str(wm)
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S.%f"):
+        try:
+            dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1_000_000)
+        except ValueError:
+            continue
+    raise ValueError(
+        f"unparseable rollup watermark {wm!r}: refusing to refresh (an append "
+        "with no incremental bound would double-count stored hours)"
+    )
+
+
 def hourly_rollup(events: DataFrame) -> DataFrame:
     """(hour, day, event_type, n_events, sum_value_dec) — the stored shape."""
     return (
@@ -84,7 +115,7 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str) -> dict:
     watermark = None
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            watermark = json.load(f)["watermark"]
+            watermark = _parse_watermark(json.load(f)["watermark"])
 
     closed = events.filter(_hour(F.col("ts")) < _hour(F.lit(bounds["mx"])))
     if watermark is not None:
