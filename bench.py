@@ -76,6 +76,7 @@ def _clear_state(spark) -> None:
     index_queries._PQ_CACHE.clear()
     index_queries._FIXED_CACHE.clear()
     index_queries._PQF_CACHE.clear()
+    index_queries._PQF_STORE.clear()  # persisted-code-store memo (parquet stays on disk)
     from vers_spark.operators import bpe
 
     bpe._TRAIN_CACHE.clear()

@@ -423,3 +423,43 @@ def test_rag_topk_is_take_ordered_not_global_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # the only Window left ranks the K survivors (input bounded by limit)
     assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_pq_code_store_partition_pruning(spark, sf_dir, tmp_path):
+    """The persisted PQ code store (indexes/pq.persist_codes_partitioned)
+    must serve coarse-probed searches with STATIC partition pruning — the
+    probed-cluster literal set reaches the parquet scan as a
+    PartitionFilters entry, so at 100 TB only probed posting-list
+    directories are read — and must return exactly the same rows as the
+    assignments-join path it replaces."""
+    from vers_spark.indexes.ivfflat import IVFFlatIndex
+    from vers_spark.indexes.pq import PQCodec, ivfpq_search, persist_codes_partitioned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    queries = emb.filter(F.col("vec_id") < 3)
+    ivf = IVFFlatIndex.build(corpus, num_clusters=4, seed=1)
+    codec = PQCodec.train(corpus, m=8, k_codebook=16, max_iter=5)
+    codes_plain = codec.encode(corpus).localCheckpoint()
+    store = persist_codes_partitioned(
+        codes_plain, ivf.assignments, str(tmp_path / "codes")
+    )
+    pruned = ivfpq_search(ivf, codec, store, queries, k=5, n_probes=2)
+    plan = audit.executed_plan(pruned)
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    base = ivfpq_search(ivf, codec, codes_plain, queries, k=5, n_probes=2)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_knn_pq_fixed_serves_from_code_store(spark, sf_dir):
+    """knn_pq_fixed serving must read the persisted code store (4 int code
+    columns), not recompute coding folds over raw embeddings: exactly one
+    scan in the plan reads the embedding column (the query block + rerank
+    side), and a scan over (id, c0..c3) exists."""
+    from vers_spark.operators.index_queries import knn_pq_fixed
+
+    df = knn_pq_fixed(spark, sf_dir)
+    scans = audit.scan_columns(df)
+    code_scans = [s for s in scans if {"c0", "c1", "c2", "c3"} <= s]
+    assert code_scans, f"no code-store scan found in {scans}"
+    assert all("embedding" not in s for s in code_scans)

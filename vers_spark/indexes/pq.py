@@ -214,6 +214,27 @@ class PQCodec:
         return spark.createDataFrame(out, "query_id long, lut array<array<double>>")
 
 
+def persist_codes_partitioned(
+    codes: DataFrame, assignments: DataFrame, path: str
+) -> DataFrame:
+    """The billion-scale PQ serving layout: codes joined with their COARSE
+    cluster assignment and written as parquet PARTITIONED BY cluster_id.
+    Serving (ivfpq_search with this store) then reads ONLY the probed
+    posting-list directories — partition pruning composes with the 16×
+    compression, so a 100 TB corpus serves from n_probes/k of ~6 TB of
+    codes instead of rescanning raw vectors. Train-once/serve-many: the
+    write happens at index-build time, every query batch afterwards is
+    read-only. Returns the read-back DataFrame (vec_id, codes, cluster_id).
+
+    ``assignments``: (id, cluster_id) from the coarse quantizer
+    (IVFFlatIndex.assignments)."""
+    joined = codes.join(
+        assignments.select(F.col("id").alias("vec_id"), "cluster_id"), "vec_id"
+    )
+    joined.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    return codes.sparkSession.read.parquet(path)
+
+
 def ivfpq_search(
     ivf,
     codec: PQCodec,
@@ -260,12 +281,31 @@ def ivfpq_search(
     ).filter((F.col("c_rank") <= n_probes) | (F.col("cum_before") < k))
 
     luts = codec.luts_df(queries)
-    cands = (
-        probes.select("query_id", "cluster_id")
-        .join(ivf.assignments.select("id", "cluster_id"), "cluster_id")
-        .join(codes.withColumnRenamed("vec_id", "id"), "id")
-        .join(F.broadcast(luts), "query_id")
-    )
+    if "cluster_id" in codes.columns:
+        # codes PERSISTED WITH the coarse assignment (persist_codes_partitioned):
+        # no assignments join, no id-shuffle of the codes table — candidates
+        # come straight off the probed partitions. The probed-cluster set is
+        # collected (≤ num_clusters scalars, driver-bounded by construction)
+        # and applied as a LITERAL isin filter so the parquet scan gets
+        # STATIC partition pruning — at 100 TB only the probed posting-list
+        # directories are read at all.
+        probe_set = [
+            r["cluster_id"]
+            for r in probes.select("cluster_id").distinct().collect()
+        ]
+        pruned = codes.filter(F.col("cluster_id").isin(probe_set))
+        cands = (
+            probes.select("query_id", "cluster_id")
+            .join(pruned.withColumnRenamed("vec_id", "id"), "cluster_id")
+            .join(F.broadcast(luts), "query_id")
+        )
+    else:
+        cands = (
+            probes.select("query_id", "cluster_id")
+            .join(ivf.assignments.select("id", "cluster_id"), "cluster_id")
+            .join(codes.withColumnRenamed("vec_id", "id"), "id")
+            .join(F.broadcast(luts), "query_id")
+        )
     adc = F.aggregate(
         F.zip_with(
             "codes", "lut", lambda c, row: F.element_at(row, (c + 1).cast("int"))

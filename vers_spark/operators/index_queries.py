@@ -263,6 +263,73 @@ def _pq_fixed(spark: SparkSession, sf_dir: str) -> list:
     return _PQF_CACHE[sf_dir]
 
 
+# The 64 fold expressions (32 coding + 32 ADC-table) are rendered as SQL
+# TEXT and parsed once: building them per-element through the Python
+# Column API costs ~2s of py4j round-trips per 32-fold block (measured),
+# pure driver overhead. The SQL is the exact fold kernel — same casts,
+# same left fold, literals repr-round-tripped through a string cast
+# (correctly-rounded parse = bit-exact f64).
+def _pqf_sqe_sql(vec_sql: str, cent: list[float]) -> str:
+    arr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cent) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _pqf_sub_sql(vec_sql: str, j: int, dsub: int) -> str:
+    return f"slice({vec_sql}, {j * dsub + 1}, {dsub})"
+
+
+def _pqf_code_sql(vec_sql: str, j: int, runs: list, dsub: int) -> str:
+    entries = ",".join(
+        f"named_struct('dist', {_pqf_sqe_sql(_pqf_sub_sql(vec_sql, j, dsub), c)}, 'cluster_id', {cid})"
+        for cid, c in runs[j]
+    )
+    return f"(array_min(array({entries}))).cluster_id"
+
+
+def _pqf_dtab_sql(vec_sql: str, j: int, runs: list, dsub: int) -> str:
+    elems = ",".join(
+        f"CAST(round(({_pqf_sqe_sql(_pqf_sub_sql(vec_sql, j, dsub), c)}) * 1E8) AS BIGINT)"
+        for _, c in runs[j]
+    )
+    return f"array({elems})"
+
+
+_PQF_STORE: dict[str, DataFrame] = {}
+
+
+def _pqf_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED PQ code store (round-3 backlog #6 closed): codes for
+    the whole corpus computed ONCE (32 literal-codebook folds in a single
+    corpus scan), joined with the k=8 fixed-point coarse assignment, and
+    written as parquet partitioned by coarse_id. Every serve afterwards
+    reads 4 tiny int columns — no raw-vector scan, no fold recompute — and
+    a coarse-probed consumer gets partition pruning for free. At 100 TB
+    this is the difference between rescanning the corpus per query batch
+    and reading ~1/k of a few-TB code table."""
+    if sf_dir not in _PQF_STORE:
+        from vers_spark.streaming.events import scratch_dir
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        dims = len(emb.select("embedding").first()[0])
+        dsub = dims // _PQF_M
+        runs = _pq_fixed(spark, sf_dir)
+        codes = emb.selectExpr(
+            "vec_id AS id",
+            *[f"{_pqf_code_sql('embedding', j, runs, dsub)} AS c{j}" for j in range(_PQF_M)],
+        )
+        _, assignments = _lloyd_fixed(spark, sf_dir)
+        store = scratch_dir("vs_pqf_codes_") + "/codes"
+        codes.join(
+            assignments.select("id", F.col("cluster_id").alias("coarse_id")), "id"
+        ).write.mode("overwrite").partitionBy("coarse_id").parquet(store)
+        _PQF_STORE[sf_dir] = spark.read.parquet(store)
+    return _PQF_STORE[sf_dir]
+
+
 def knn_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization under the HARD oracle gate: per-subspace
     codebooks trained by the fixed-point Lloyd (engine-exact, unlike the
@@ -272,16 +339,15 @@ def knn_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving path hash-matches a DuckDB unroll of all four subspace k-means
     runs plus the same integer ADC.
 
-    Serving shape (round 3): the 8-row codebooks are LITERALS, so coding is
-    a pure projection (array_min over 8 (dist, cluster_id) structs — the
-    same fold kernel + lexical-struct tie-break as the training argmin) and
-    ADC is element_at into per-query literal distance arrays after one
-    broadcast of the Q-row query block — the corpus is scanned ONCE with
-    zero shuffles before the per-query top-k (WindowGroupLimit prunes to 20
-    per partition before the exchange). The round-2 shape unioned four
-    corpus-sized code tables and shuffled Q×N×4 rows through a groupBy; at
-    100 TB the codes table would persist bucketed by a coarse cluster
-    (ivfpq_search covers that coarse-pruned variant)."""
+    Serving shape (round 4): codes come from the PERSISTED store
+    (_pqf_codes — parquet partitioned by the k=8 coarse cluster, built once
+    per corpus), so serving reads 4 int columns and never recomputes the
+    coding folds; ADC is element_at into per-query literal distance arrays
+    after one broadcast of the Q-row query block — one scan of the code
+    table, zero shuffles before the per-query top-k (WindowGroupLimit
+    prunes to 20 per partition before the exchange). This oracle scans ALL
+    code partitions by design (the DuckDB twin states full-corpus ADC);
+    ivfpq_search is the coarse-PRUNED serving variant."""
     from pyspark.sql import Window as W
 
     from vers_spark.functions import vector as V
@@ -291,46 +357,12 @@ def knn_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsub = dims // _PQF_M
     runs = _pq_fixed(spark, sf_dir)
 
-    # The 64 fold expressions (32 coding + 32 ADC-table) are rendered as SQL
-    # TEXT and parsed once: building them per-element through the Python
-    # Column API costs ~2s of py4j round-trips per 32-fold block (measured),
-    # pure driver overhead. The SQL is the exact fold kernel — same casts,
-    # same left fold, literals repr-round-tripped through a string cast
-    # (correctly-rounded parse = bit-exact f64).
-    def _sqe_sql(vec_sql: str, cent: list[float]) -> str:
-        arr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cent) + ")"
-        return (
-            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> "
-            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-
-    def _sub_sql(vec_sql: str, j: int) -> str:
-        return f"slice({vec_sql}, {j * dsub + 1}, {dsub})"
-
-    def _code_sql(vec_sql: str, j: int) -> str:
-        entries = ",".join(
-            f"named_struct('dist', {_sqe_sql(_sub_sql(vec_sql, j), c)}, 'cluster_id', {cid})"
-            for cid, c in runs[j]
-        )
-        return f"(array_min(array({entries}))).cluster_id"
-
-    def _dtab_sql(vec_sql: str, j: int) -> str:
-        elems = ",".join(
-            f"CAST(round(({_sqe_sql(_sub_sql(vec_sql, j), c)}) * 1E8) AS BIGINT)"
-            for _, c in runs[j]
-        )
-        return f"array({elems})"
-
-    codes_wide = emb.selectExpr(
-        "vec_id AS id",
-        *[f"{_code_sql('embedding', j)} AS c{j}" for j in range(_PQF_M)],
-    )
+    codes_wide = _pqf_codes(spark, sf_dir).select("id", *[f"c{j}" for j in range(_PQF_M)])
     q = emb.filter(F.col("vec_id") % 101 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     qd = q.selectExpr(
-        "query_id", *[f"{_dtab_sql('qv', j)} AS d{j}" for j in range(_PQF_M)]
+        "query_id", *[f"{_pqf_dtab_sql('qv', j, runs, dsub)} AS d{j}" for j in range(_PQF_M)]
     )
     adc_expr = sum(
         F.element_at(F.col(f"d{j}"), F.col(f"c{j}") + 1) for j in range(_PQF_M)
@@ -586,14 +618,24 @@ _PQ_CACHE: dict[tuple, tuple] = {}
 
 
 def _ivfpq(spark: SparkSession, sf_dir: str):
-    from vers_spark.indexes.pq import PQCodec
+    """Codec + PERSISTED-PARTITIONED codes: the codes are written once,
+    joined with their coarse (k=8) assignment and partitioned by
+    cluster_id (indexes/pq.persist_codes_partitioned), so every serve
+    afterwards reads only the probed posting-list directories — the
+    round-3 backlog item (per-batch corpus rescans) closed."""
+    from vers_spark.indexes.pq import PQCodec, persist_codes_partitioned
+    from vers_spark.streaming.events import scratch_dir
 
     key = (sf_dir,)
     if key not in _PQ_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         corpus = emb.filter(F.col("vec_id") % 97 != 0)
         codec = PQCodec.train(corpus, m=16, k_codebook=64, max_iter=15)
-        codes = codec.encode(corpus).cache()
+        codes = persist_codes_partitioned(
+            codec.encode(corpus),
+            _ivf(spark, sf_dir, 8).assignments,
+            scratch_dir("vs_pq_codes_") + "/codes",
+        )
         _PQ_CACHE[key] = (codec, codes)
     return _PQ_CACHE[key]
 
