@@ -215,3 +215,63 @@ def test_rollup_watermark_manifest_migration(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="unparseable rollup watermark"):
         _parse_watermark("not-a-watermark")
+
+
+def test_rollup_compaction_bounds_files_and_preserves_serve(spark, sf_dir):
+    """Long-lived store maintenance: four staged refreshes append one file
+    per touched day (the boundary days accumulate several); compact_rollup
+    rewrites ONLY the over-bound day partitions to one file each, leaves
+    other days' files byte-identical, and the served view is unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vers_spark.sources.rollup import compact_rollup, refresh_rollup, serve_hourly
+    from vers_spark.sources.tables import load_table
+    from vers_spark.streaming.events import scratch_dir
+
+    events = load_table(spark, sf_dir, "events")
+    path = scratch_dir("vs_rollup_cpt_") + "/hourly"
+    qs = [
+        int(q)
+        for q in events.select(F.unix_micros("ts").alias("us")).approxQuantile(
+            "us", [0.25, 0.5, 0.75], 0.0
+        )
+    ]
+    lo = None
+    for hi in [*qs, None]:
+        part = events
+        if lo is not None:
+            part = part.filter(F.unix_micros("ts") > F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.unix_micros("ts") <= F.lit(hi))
+        # cumulative slice like a growing log: refresh sees all data so far
+        refresh_rollup(spark, events.filter(F.unix_micros("ts") <= F.lit(hi)) if hi else events, path)
+        lo = hi
+
+    def day_files():
+        return {
+            d: sorted(
+                f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+            )
+            for d in os.listdir(path)
+            if d.startswith("day=")
+        }
+
+    before = day_files()
+    assert any(len(fl) > 1 for fl in before.values()), "staging produced no fragmentation"
+    served_before = sorted(
+        map(tuple, serve_hourly(spark, events, path).collect())
+    )
+
+    res = compact_rollup(spark, path, max_files_per_day=1)
+    assert res["days_compacted"] >= 1 and res["files_removed"] >= 1
+    after = day_files()
+    assert all(len(fl) == 1 for fl in after.values())
+    # days already at the bound kept their exact files
+    for d, fl in before.items():
+        if len(fl) == 1:
+            assert after[d] == fl, d
+    assert sorted(map(tuple, serve_hourly(spark, events, path).collect())) == served_before
+    # idempotent
+    assert compact_rollup(spark, path, max_files_per_day=1)["days_compacted"] == 0

@@ -444,3 +444,49 @@ def test_window_dups_recovers_prefixed_copies(spark, sf_dir):
         # copy shares at least orig["n_windows"] of its own
         assert copy["n_dup_windows"] >= copy["n_windows"] - (TA.WINDOW_DUP_W - 1), d
         assert copy["n_dup_windows"] >= orig["n_windows"], d
+
+
+def test_versioned_compaction_commit(spark, sf_dir):
+    """compact_versioned publishes a maintenance VERSION: over-bound buckets
+    collapse to one file each, untouched buckets are carried by reference
+    (same paths), the table's rows are unchanged, diff between the two
+    versions is empty, and vacuum reclaims the fragmented files once the
+    pre-compaction version expires."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vers_spark.sources.tables import load_table
+    from vers_spark.sources.versioned import (
+        _read_manifest,
+        compact_versioned,
+        create_versioned,
+        current_version,
+        diff_versions,
+        read_version,
+        vacuum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vs_compact_") + "/docs"
+    # force many write tasks → several files per bucket dir
+    create_versioned(docs.repartition(8), path, key="doc_id", n_buckets=4)
+    m0 = _read_manifest(path, 0)
+    assert any(len(fl) > 1 for fl in m0["buckets"].values()), "no fragmentation staged"
+    rows_before = sorted(map(tuple, read_version(spark, path).collect()))
+
+    v1 = compact_versioned(spark, path, max_files_per_bucket=1)
+    assert v1 == 1 and current_version(path) == 1
+    m1 = _read_manifest(path, 1)
+    assert all(len(fl) == 1 for fl in m1["buckets"].values())
+    assert sorted(map(tuple, read_version(spark, path).collect())) == rows_before
+    assert diff_versions(spark, path, 0, 1).count() == 0  # pure maintenance
+    # compaction is idempotent once under the bound
+    assert compact_versioned(spark, path, max_files_per_bucket=1) == 1
+
+    old_files = {f for fl in m0["buckets"].values() for f in fl}
+    removed = vacuum(path, keep_last=1)
+    assert removed == len(old_files)  # every fragmented file reclaimed
+    assert all(not os.path.exists(f) for f in old_files)
+    assert sorted(map(tuple, read_version(spark, path).collect())) == rows_before

@@ -184,6 +184,49 @@ def reconcile_rollup(spark: SparkSession, events: DataFrame, path: str) -> dict:
     return {"hours_drifted": int(n_hours), "days_rewritten": len(days)}
 
 
+def compact_rollup(spark: SparkSession, path: str, max_files_per_day: int = 8) -> dict:
+    """Bound small-file accumulation in a long-lived rollup store: every
+    incremental refresh APPENDS one parquet file per day it touches, so a
+    boundary day collects one file per refresh — after months of hourly
+    refreshes a day partition is hundreds of tiny files and the serving
+    scan pays per-file open cost. Compaction rewrites ONLY the day
+    partitions whose file count exceeds the bound, each into a single file
+    (rows verbatim — no re-aggregation, so the exactness story is
+    untouched), via dynamic partition overwrite; untouched days keep their
+    files byte-identical. Cost ∝ fragmented days, not store size. Returns
+    {"days_compacted", "files_removed"}."""
+    if not os.path.isdir(path):
+        return {"days_compacted": 0, "files_removed": 0}
+    frag: dict[str, int] = {}
+    for d in os.listdir(path):
+        if not d.startswith("day="):
+            continue
+        n = len(
+            [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        )
+        if n > max_files_per_day:
+            frag[d.split("=", 1)[1]] = n
+    if not frag:
+        return {"days_compacted": 0, "files_removed": 0}
+    days = sorted(frag)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("day").isin(days))
+        # one task per fragmented day → exactly one output file per day dir
+        .repartition(len(days), F.col("day"))
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return {
+        "days_compacted": len(days),
+        "files_removed": sum(frag.values()) - len(days),
+    }
+
+
 def serve_hourly(spark: SparkSession, events: DataFrame, path: str) -> DataFrame:
     """The continuous-aggregate view: rollup rows for closed hours UNION a
     raw aggregation of ONLY the open tail (rows at or after the hour of

@@ -174,6 +174,41 @@ def merge_versioned(
     return new_v
 
 
+def compact_versioned(
+    spark: SparkSession, path: str, max_files_per_bucket: int = 4
+) -> int:
+    """Compaction COMMIT: buckets whose current file list exceeds the bound
+    are rewritten into one file each and published as a NEW version whose
+    manifest swaps in the compacted lists; every other bucket is carried
+    over by reference, byte-identical. Data is unchanged (rows verbatim —
+    diff_versions between the two versions is empty), so readers pinned to
+    older snapshots are unaffected, and ``vacuum`` reclaims the fragmented
+    files once their versions expire — the same commit/GC machinery the
+    merges use, reused for maintenance. Fragmentation source: each merge
+    writes impacted buckets with as many files as write tasks. Returns the
+    new version (or the current one if nothing exceeded the bound)."""
+    v = current_version(path)
+    m = _read_manifest(path, v)
+    key, n_buckets = m["key"], int(m["n_buckets"])
+    frag = {p: fl for p, fl in m["buckets"].items() if len(fl) > max_files_per_bucket}
+    if not frag:
+        return v
+    files = [f for fl in frag.values() for f in fl]
+    df = (
+        spark.read.parquet(*files)
+        .withColumn(PART_COL, _bucket(key, n_buckets))
+        # one task per fragmented bucket → one output file per bucket dir
+        .repartition(len(frag), F.col(PART_COL))
+    )
+    new_v = v + 1
+    data_dir = f"{path}/data/v{new_v}"
+    df.write.mode("overwrite").partitionBy(PART_COL).parquet(data_dir)
+    buckets = dict(m["buckets"])
+    buckets.update(_list_part_files(data_dir))
+    _write_manifest(path, new_v, {"key": key, "n_buckets": n_buckets, "buckets": buckets})
+    return new_v
+
+
 def vacuum(path: str, keep_last: int = 1) -> int:
     """Drop manifests older than the newest ``keep_last`` versions and
     delete data files no surviving manifest references. Returns the number
