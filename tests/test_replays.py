@@ -141,8 +141,10 @@ def test_gapfill_locf_matches_python_replay(spark, sf_dir):
     from vers_spark.operators.temporal import evt_gapfill_locf
     from vers_spark.sources.tables import load_table
 
+    # query output: hour as 'yyyy-MM-dd HH:mm:ss' string, LOCF value as
+    # ×10⁴ fixed-point BIGINT (driver-canonicalizer discipline, round 4)
     out = {
-        (r["user_id"], r["hour"]): (r["n_events"], r["is_gap"], r["locf_sum"])
+        (r["user_id"], r["hour"]): (r["n_events"], r["is_gap"], r["locf_sum_fp"])
         for r in evt_gapfill_locf(spark, sf_dir).collect()
     }
 
@@ -160,18 +162,22 @@ def test_gapfill_locf_matches_python_replay(spark, sf_dir):
         cell = per[r["user_id"]][r["hour"]]
         cell[0] += 1
         cell[1] = r["v"] if cell[1] is None else cell[1] + r["v"]
+    def fp(dec):
+        return None if dec is None else int(dec * 10000)
+
     want = {}
     for u, hours in per.items():
         h0, h1 = min(hours), max(hours)
         last = None
         h = h0
         while h <= h1:
+            key = (u, h.strftime("%Y-%m-%d %H:%M:%S"))
             if h in hours:
                 n, s = hours[h]
                 last = s
-                want[(u, h)] = (n, False, last)
+                want[key] = (n, False, fp(last))
             else:
-                want[(u, h)] = (0, True, last)
+                want[key] = (0, True, fp(last))
             h = h + timedelta(hours=1)
     assert out == want
 
