@@ -157,6 +157,21 @@ def main() -> None:
         # kept attempt ran in a stolen window — discount its wall time
         spin[name] = round(max(probes) / spin_base, 2) if spin_base else 1.0
         print(f"# {name}: {timings[name]}s ({rows[name]} rows, spin x{spin[name]})", file=sys.stderr)
+    # Warm-serving evidence, OUTSIDE the headline total (the headline lines
+    # stay cold/comparable): with codebooks trained and the code store
+    # persisted, one more knn_pq_fixed pass measures the per-batch serving
+    # marginal — the number a deployed train-once/serve-many system pays.
+    extra: dict[str, float] = {}
+    try:
+        qmap["knn_pq_fixed"](spark, SF_DIR).count()  # warm codebooks + store
+        t0 = time.perf_counter()
+        qmap["knn_pq_fixed"](spark, SF_DIR).count()
+        extra["knn_pq_serve_warm"] = round(time.perf_counter() - t0, 3)
+        print(f"# knn_pq_serve_warm: {extra['knn_pq_serve_warm']}s", file=sys.stderr)
+    except Exception as exc:  # evidence line must never kill bench
+        print(f"# warm pq serving probe failed: {exc}", file=sys.stderr)
+    _clear_state(spark)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
@@ -169,6 +184,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "spin_base_ms": spin_base,
                 "contention": spin,
+                "extra": extra,
             }
         )
     )

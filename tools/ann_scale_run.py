@@ -84,7 +84,10 @@ def main() -> None:
         print(f"# corpus generated in {time.perf_counter() - t0:.1f}s", flush=True)
 
     full = spark.read.parquet(path)
-    corpus = full.filter(F.col("vec_id") < args.n)
+    # ~1.2 GB reads as only ~10 input splits at the default 128 MB target —
+    # a 32-core box runs the build at a third of its width; 2 partitions
+    # per core keeps every Lloyd pass fully parallel
+    corpus = full.filter(F.col("vec_id") < args.n).repartition(64)
     queries = full.filter(F.col("vec_id") >= args.n)
     out: dict = {"n": args.n, "dims": DIMS, "n_queries": N_QUERIES}
 

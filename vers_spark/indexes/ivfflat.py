@@ -208,10 +208,21 @@ class IVFFlatIndex:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        feat = data.select(array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
-        model = KMeans(k=k, maxIter=max_iter, seed=seed, initMode="random").fit(feat)
-        cents = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
-        cost = float(model.summary.trainingCost)
+        # MLlib KMeans does NOT cache its input: without the explicit cache
+        # every Lloyd iteration re-reads the corpus AND re-runs the
+        # array→vector conversion — ~max_iter× redundant scans (measured
+        # as the dominant cost of the 1M×300 reference-scale build).
+        feat = data.select(
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+        ).cache()
+        try:
+            model = KMeans(k=k, maxIter=max_iter, seed=seed, initMode="random").fit(feat)
+            cents = np.array(
+                [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
+            )
+            cost = float(model.summary.trainingCost)
+        finally:
+            feat.unpersist()
         return cents, cost
 
     @staticmethod
