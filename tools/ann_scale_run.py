@@ -69,7 +69,15 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--skip-hnsw", action="store_true")
     ap.add_argument("--skip-ivf", action="store_true")
-    ap.add_argument("--hnsw-shards", type=int, default=64)
+    # 128 random shards at 1M: ~7.8k vectors/shard keeps the 32 concurrent
+    # applyInPandas workers at ~0.5 GB each (the 64-way K-MEANS sharding OOMed
+    # the box: the synthetic corpus has 50 latent clusters, so k-means shards
+    # merge several of them — one 40-60k-vector shard per worker x 32 workers
+    # next to the 48 GB JVM heap crossed 125 GB and the OOM killer took the
+    # Python workers). Random shards are uniform by construction; the harness
+    # probes all shards anyway, so shard locality buys nothing here.
+    ap.add_argument("--hnsw-shards", type=int, default=128)
+    ap.add_argument("--hnsw-shard-by", default="random", choices=["random", "kmeans"])
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -119,12 +127,23 @@ def main() -> None:
         ivf.assignments.count()  # materialize the build
         out["ivf_build_sec"] = round(time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
-        res = ivf.search(queries, k=10, n_probes=4)
+        # blocked-BLAS serving path (parity-gated vs the declarative search
+        # in tests/test_ivfflat.py): the declarative 300-dim fold measured
+        # 4.5-6 s/query at this scale; the GEMM path is the one a deployment
+        # would run
+        res = ivf.search_blocked(queries, k=10, n_probes=4)
         out["ivf_recall_at_10"] = recall(res)
         out["ivf_search_batch_sec"] = round(time.perf_counter() - t0, 1)
         out["ivf_search_per_query_ms"] = round(
             out["ivf_search_batch_sec"] * 1000 / N_QUERIES, 1
         )
+        # warm repeat = the serving number: posting sizes cached on the
+        # index, OS page cache hot — what a resident index actually costs
+        t0 = time.perf_counter()
+        ivf.search_blocked(queries, k=10, n_probes=4).select(
+            F.count(F.lit(1))
+        ).collect()
+        out["ivf_search_warm_sec"] = round(time.perf_counter() - t0, 1)
         print(f"# ivf: {json.dumps({k: v for k, v in out.items() if k.startswith('ivf')})}", flush=True)
 
     if not args.skip_hnsw:
@@ -138,6 +157,7 @@ def main() -> None:
             ef_search=32,
             m=24,
             num_shards=args.hnsw_shards,
+            shard_by=args.hnsw_shard_by,
             seed=42,
         )
         hnsw.graph.count()  # materialize

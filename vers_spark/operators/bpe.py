@@ -173,10 +173,26 @@ def train_merges_on(
             )
             .filter(F.col("c") > 0)
             # eager: materialize the updated counts while `affected` is
-            # still cached (the delta reads it twice — before/after)
+            # still cached (the delta reads it twice — before/after).
+            # counts stays hashpartitioned(l, r) from round 1's aggregate
+            # (localCheckpoint preserves outputPartitioning), so this join
+            # only ever exchanges the TINY delta side — the counts table is
+            # sharded once and never reshuffled across rounds.
             .localCheckpoint(eager=True)
         )
-        vocab = _apply_merge(vocab, l, r)
+        # Rewrite ONLY the affected slice: _apply_merge is the identity on
+        # every word not containing the pair, so filter+union ≡ full rewrite
+        # — the per-round string work drops from O(vocab) to O(affected).
+        # The per-round localCheckpoint flattens lineage: without it, round
+        # K's vocab re-executes all K-1 prior replaces on every scan
+        # (O(K²) passes across a K-round train — THE scale killer for
+        # realistic merge counts), and each checkpoint materializes lazily
+        # on the next round's first job.
+        vocab = (
+            vocab.filter(~F.col("seq").contains(pat))
+            .unionByName(_apply_merge(affected, l, r))
+            .localCheckpoint(eager=False)
+        )
         affected.unpersist()
     return merges, vocab
 
