@@ -81,6 +81,36 @@ def test_sharded_recall_all_probes(spark, sf_dir, hnsw_idx):
     assert len(got & exact) / len(exact) >= 0.9
 
 
+def test_balanced_kmeans_shards_cap_and_recall(spark, sf_dir):
+    """max_shard_rows splits oversized k-means clusters into hash-salted
+    sub-shards inheriting the parent centroid: shard count grows, observed
+    shard sizes respect ~the cap (hash-uniform, 2x slack), membership is a
+    partition of the corpus, and probed search still recalls ≥ 0.9 (probing
+    a cluster ≡ probing its adjacent-ranked sub-shards)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cap = max(50, n // 20)
+    idx = HNSWIndex.build(
+        emb, num_layers=4, ef_construction=40, ef_search=24, m=8,
+        num_shards=8, shard_by="kmeans", seed=7, max_shard_rows=cap,
+    )
+    assert idx.params["num_shards"] >= 8
+    assert len(idx.centroids) == idx.params["num_shards"]
+    sizes = {r["shard_id"]: r["n"] for r in
+             idx.nodes.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(sizes.values()) == n
+    assert max(sizes.values()) <= 2 * cap
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbour_id"]) for r in exact_knn(q, emb, k=10).collect()}
+    # n_probe_shards counts PARENT clusters under balanced sharding: probing
+    # 6 of the 8 clusters must pull in every sub-shard of each
+    got = {
+        (r["query_id"], r["neighbour_id"])
+        for r in idx.search(q, k=10, n_probe_shards=6).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
+
+
 def test_probe_pruning_monotone(spark, sf_dir, hnsw_idx):
     """More probed shards → recall can only improve (same per-shard graphs)."""
     emb = load_table(spark, sf_dir, "embeddings")

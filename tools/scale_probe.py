@@ -160,10 +160,17 @@ def _probes():
         return cents
 
     def bpe_merges(spark, sf_dir):
-        from vers_spark.operators.bpe import _TRAIN_CACHE, bpe_train_merges
+        # pin the INCREMENTAL trainer (the scale path) at both scales so the
+        # factor measures its scan-bound growth, not the auto-dispatch
+        # crossover (recount is job-bound and wins under 100k vocab types)
+        from vers_spark.operators.bpe import _TRAIN_CACHE, train_merges
 
         _TRAIN_CACHE.clear()
-        return bpe_train_merges(spark, sf_dir)
+        merges, _ = train_merges(spark, sf_dir, mode="incremental")
+        return spark.createDataFrame(
+            [(s, l, r, c) for s, l, r, c in merges],
+            "step int, left string, right string, pair_count long",
+        )
 
     def rag_retrieve(spark, sf_dir):
         from vers_spark.operators.rag import rag_retrieve_chunks

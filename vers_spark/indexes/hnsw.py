@@ -355,6 +355,7 @@ class HNSWIndex:
         vec_col: str = "embedding",
         seed: int = 42,
         metric: str = "sq_euclidean",
+        max_shard_rows: int | None = None,
     ) -> "HNSWIndex":
         """Reference-default hyperparameters from `main.rs:74-78`.
 
@@ -362,6 +363,18 @@ class HNSWIndex:
         (hnsw.rs:258: cosine distance = 1 − dot on unit vectors): vectors are
         L2-normalized at build (the utils.rs:48 normalize-on-load contract)
         and reported distances are sq_euclidean/2 ≡ 1 − dot.
+
+        ``max_shard_rows`` (k-means sharding only) BALANCES the shards:
+        any cluster bigger than the cap is hash-split into
+        ceil(size/cap) sub-shards that inherit the parent centroid. K-means
+        clusters track the data's cluster structure — skewed by nature (at
+        1M×300 with 50 latent clusters, 64-way k-means produced 40-60k-row
+        shards whose concurrent per-shard graph builds OOMed the box) — so
+        the cap is what makes locality-sharded builds memory-safe: per-task
+        footprint is bounded by the CAP, not by the skew, while probe
+        pruning still ranks sub-shards by the parent centroid (probing a
+        cluster = probing its few sub-shards, adjacent in the ranking
+        because they tie on distance).
         """
         if metric not in ("sq_euclidean", "cosine"):
             raise ValueError(f"unknown metric {metric!r}")
@@ -380,13 +393,46 @@ class HNSWIndex:
             ivf = IVFFlatIndex.build(
                 data, num_clusters=num_shards, id_col="id", vec_col="embedding", seed=seed
             )
-            nodes = ivf.assignments.select(
-                F.col("cluster_id").alias("shard_id"), "id", "embedding"
-            )
-            centroids = np.array(
-                [r["centroid"] for r in ivf.centroids.orderBy("cluster_id").collect()],
-                dtype=np.float64,
-            )
+            cent_rows = [
+                list(r["centroid"]) for r in ivf.centroids.orderBy("cluster_id").collect()
+            ]
+            if max_shard_rows:
+                sizes = ivf._cluster_sizes()
+                splits = [
+                    max(1, -(-sizes.get(c, 0) // max_shard_rows))
+                    for c in range(num_shards)
+                ]
+                offsets = [0] * num_shards
+                for c in range(1, num_shards):
+                    offsets[c] = offsets[c - 1] + splits[c - 1]
+                # shard_id = offset[cluster] + hash-salt within the cluster;
+                # sub-shards inherit the parent centroid (duplicated rows in
+                # the probe-ranking array below)
+                off_expr = F.element_at(
+                    F.array(*[F.lit(o) for o in offsets]), F.col("cluster_id") + 1
+                )
+                salt_expr = F.pmod(
+                    F.xxhash64("id", F.lit(seed)),
+                    F.element_at(F.array(*[F.lit(s) for s in splits]), F.col("cluster_id") + 1),
+                )
+                nodes = ivf.assignments.select(
+                    (off_expr + salt_expr).cast("int").alias("shard_id"), "id", "embedding"
+                )
+                centroids = np.array(
+                    [cent_rows[c] for c in range(num_shards) for _ in range(splits[c])],
+                    dtype=np.float64,
+                )
+                # search probe pruning ranks PARENT clusters and probes all
+                # of a probed cluster's sub-shards (hash-splitting spreads a
+                # cluster's neighbours across its sub-shards — probing only
+                # some of them silently halves recall)
+                shard_parent = [c for c in range(num_shards) for _ in range(splits[c])]
+                num_shards = offsets[-1] + splits[-1]
+            else:
+                nodes = ivf.assignments.select(
+                    F.col("cluster_id").alias("shard_id"), "id", "embedding"
+                )
+                centroids = np.array(cent_rows, dtype=np.float64)
         elif shard_by == "random":
             nodes = data.select(
                 F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(num_shards)).cast("int").alias("shard_id"),
@@ -410,6 +456,8 @@ class HNSWIndex:
             "seed": int(seed),
             "metric": metric,
         }
+        if shard_by == "kmeans" and max_shard_rows:
+            params["shard_parent"] = [int(p) for p in shard_parent]
         graph = (
             nodes.groupBy("shard_id")
             .applyInPandas(lambda pdf: _build_local(pdf, params), _GRAPH_SCHEMA)
@@ -476,7 +524,24 @@ class HNSWIndex:
             self.params["m"],
             self.params["seed"],
         )
-        if cents is not None and probes < num_shards:
+        parents = self.params.get("shard_parent")
+        if cents is not None and parents is not None:
+            # balanced k-means sharding: n_probe_shards counts PARENT
+            # clusters; a probed cluster contributes ALL its sub-shards
+            parr = np.array(parents)
+            uniq_parents, first_idx = np.unique(parr, return_index=True)
+            if probes < len(uniq_parents):
+                pcents = cents[first_idx]
+                ranks = np.argsort(
+                    np.array([_sq_dists(pcents, qv) for qv in qvecs]), axis=1
+                )[:, :probes]
+                probe_sets = [
+                    set(map(int, np.nonzero(np.isin(parr, uniq_parents[r]))[0]))
+                    for r in ranks
+                ]
+            else:
+                probe_sets = None
+        elif cents is not None and probes < num_shards:
             ranks = np.argsort(
                 np.array([_sq_dists(cents, qv) for qv in qvecs]), axis=1
             )[:, :probes]

@@ -78,11 +78,21 @@ def _kmeans_numpy(X: np.ndarray, k: int, max_iter: int, seed: int):
         )
         labels = d.argmin(axis=1)
         cost = float(np.maximum(d[np.arange(len(X)), labels], 0.0).sum())
-        new = np.zeros_like(cents)
-        for c in range(k):
-            members = X[labels == c]
-            if len(members):
-                new[c] = members.mean(axis=0)
+        # grouped means via d weighted bincounts — one vectorized pass per
+        # dim instead of k gather+mean calls per iteration (16-codebook PQ
+        # training ran 15k of those; the per-call overhead dominated train).
+        # bincount sums sequentially in row order: deterministic, though not
+        # bit-identical to the per-cluster np.mean it replaces — nothing
+        # hash-certified reads these centroids (the IVF degenerate oracles
+        # probe all clusters; the engine-exact builds use lloyd_fixed), and
+        # the recall/cost property gates are rounding-insensitive.
+        counts = np.bincount(labels, minlength=k).astype(np.float64)
+        sums = np.empty_like(cents)
+        for j in range(X.shape[1]):
+            sums[:, j] = np.bincount(labels, weights=X[:, j], minlength=k)
+        nz = counts > 0
+        new = np.zeros_like(cents)  # empty cluster -> zero vector
+        new[nz] = sums[nz] / counts[nz, None]
         if np.array_equal(new, cents):
             break
         cents = new
@@ -142,7 +152,9 @@ class IVFFlatIndex:
         become partition pruning — pinning that in memory would trade
         pruned IO for a full-corpus cache."""
         if self.params.get("_source") != "files" and not self.params.get("_served"):
-            self.assignments = self.assignments.localCheckpoint(eager=False)
+            sl = self.assignments.storageLevel
+            if not (sl.useMemory or sl.useDisk):  # caller may have cached already
+                self.assignments = self.assignments.localCheckpoint(eager=False)
             self.params["_served"] = True
         return self.assignments
 

@@ -37,6 +37,10 @@ from pyspark.sql import functions as F
 from vers_spark.indexes.ivfflat import _kmeans_numpy
 from vers_spark.operators.knn import _ranked
 
+# Codebook training never collects more than this many rows (seeded uniform
+# sample above it — same discipline as ivfflat._LOCAL_KMEANS_SAMPLE_ROWS).
+_TRAIN_SAMPLE_ROWS = 200_000
+
 
 @dataclass
 class PQCodec:
@@ -60,12 +64,19 @@ class PQCodec:
         max_iter: int = 10,
         seed: int = 42,
     ) -> "PQCodec":
-        """Train per-subspace codebooks on ``train_vecs`` (caller bounds the
-        sample — at 100 TB pass a hash-sampled slice, the codebook quality
-        saturates around 10⁵-10⁶ rows; see operators/curation hash-sampling)."""
-        X = np.array(
-            [r[0] for r in train_vecs.select(vec_col).collect()], dtype=np.float64
-        )
+        """Train per-subspace codebooks on ``train_vecs``. The collect is
+        CAPPED at a seeded uniform sample of ``_TRAIN_SAMPLE_ROWS`` (codebook
+        quality saturates around 10⁵-10⁶ rows) — the driver footprint stays
+        bounded whatever corpus the caller passes; below the cap the sample
+        is the identity, so small-SF results are unchanged. Arrow toPandas
+        (not row-based collect): array columns transfer columnar."""
+        n = train_vecs.count()
+        sample = train_vecs.select(vec_col)
+        if n > _TRAIN_SAMPLE_ROWS:
+            sample = sample.sample(
+                fraction=min(1.0, 1.05 * _TRAIN_SAMPLE_ROWS / n), seed=seed
+            ).limit(_TRAIN_SAMPLE_ROWS)
+        X = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
         d = X.shape[1]
         if d % m:
             raise ValueError(f"dim {d} not divisible by m={m}")

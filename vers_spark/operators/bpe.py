@@ -181,28 +181,45 @@ def train_merges_on(
             .localCheckpoint(eager=True)
         )
         # Rewrite ONLY the affected slice: _apply_merge is the identity on
-        # every word not containing the pair, so filter+union ≡ full rewrite
-        # — the per-round string work drops from O(vocab) to O(affected).
-        # The per-round localCheckpoint flattens lineage: without it, round
-        # K's vocab re-executes all K-1 prior replaces on every scan
-        # (O(K²) passes across a K-round train — THE scale killer for
-        # realistic merge counts), and each checkpoint materializes lazily
-        # on the next round's first job.
-        vocab = (
-            vocab.filter(~F.col("seq").contains(pat))
-            .unionByName(_apply_merge(affected, l, r))
-            .localCheckpoint(eager=False)
-        )
+        # Full rewrite, LINEAR lineage chain (one regexp pass per round —
+        # a filter+union affected-only rewrite was tried and measured WORSE:
+        # its plan tree doubles per round, 2^j union leaves by round j, and
+        # per-round checkpoints to flatten it cost 8 materializations =
+        # 11.4 s vs 2.3 s at sf0.1). Checkpoint every 4th round instead:
+        # lineage replay depth stays <= 4 whatever K is (the O(K^2) replay
+        # killer at realistic merge counts), with only K/4 vocab
+        # materializations.
+        vocab = _apply_merge(vocab, l, r)
+        if step % 4 == 0:
+            vocab = vocab.localCheckpoint(eager=False)
         affected.unpersist()
     return merges, vocab
 
 
-def train_merges(spark: SparkSession, sf_dir: str, k: int = N_MERGES) -> tuple[list, DataFrame]:
+# Auto-dispatch bound: below this many vocab types the recount mode wins —
+# its only per-round action is the argmax collect (K jobs total), while the
+# incremental counts maintenance costs ~5 jobs/round, which dominates when
+# the whole vocab re-aggregate is only milliseconds anyway. Above it, the
+# K full pair-table scans are the cost and incremental's ∝-affected rounds
+# win (10x corpus probe: factor 1.38 incremental vs 2.08 recount).
+_RECOUNT_MAX_VOCAB = 100_000
+
+
+def train_merges(
+    spark: SparkSession, sf_dir: str, k: int = N_MERGES, mode: str = "auto"
+) -> tuple[list, DataFrame]:
     """Run k merge rounds; returns ([(step, l, r, count)], final vocab df).
-    Memoized per (sf_dir, k) — both registered queries share one training run."""
-    key = (sf_dir, k)
+    Memoized per (sf_dir, k, mode) — both registered queries share one
+    training run. mode="auto" picks recount below _RECOUNT_MAX_VOCAB
+    distinct types (job-count-bound locally) and incremental above
+    (scan-bound at scale); both are parity-identical (test-gated)."""
+    key = (sf_dir, k, mode)
     if key not in _TRAIN_CACHE:
-        _TRAIN_CACHE[key] = train_merges_on(load_table(spark, sf_dir, "documents"), k)
+        docs = load_table(spark, sf_dir, "documents")
+        if mode == "auto":
+            n_types = _vocab_from_docs(docs).count()
+            mode = "recount" if n_types <= _RECOUNT_MAX_VOCAB else "incremental"
+        _TRAIN_CACHE[key] = train_merges_on(docs, k, mode=mode)
     return _TRAIN_CACHE[key]
 
 

@@ -304,12 +304,17 @@ _PQF_STORE: dict[str, DataFrame] = {}
 def _pqf_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED PQ code store (round-3 backlog #6 closed): codes for
     the whole corpus computed ONCE (32 literal-codebook folds in a single
-    corpus scan), joined with the k=8 fixed-point coarse assignment, and
-    written as parquet partitioned by coarse_id. Every serve afterwards
-    reads 4 tiny int columns — no raw-vector scan, no fold recompute — and
-    a coarse-probed consumer gets partition pruning for free. At 100 TB
+    corpus scan) and written to parquet. Every serve afterwards reads 4
+    tiny int columns — no raw-vector scan, no fold recompute. At 100 TB
     this is the difference between rescanning the corpus per query batch
-    and reading ~1/k of a few-TB code table."""
+    and scanning a few-TB int table.
+
+    knn_pq_fixed's oracle is FULL-corpus ADC, so this store is deliberately
+    unpartitioned: a coarse-cluster layout would force a k=8 fixed-point
+    Lloyd train into every cold serve (+4.4 s measured at sf0.1) that the
+    full scan never exploits. The coarse-PRUNED store (partitionBy cluster,
+    PartitionFilters plan-guarded) is pq.persist_codes_partitioned, served
+    by ivfpq_search."""
     if sf_dir not in _PQF_STORE:
         from vers_spark.streaming.events import scratch_dir
 
@@ -321,11 +326,8 @@ def _pqf_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id AS id",
             *[f"{_pqf_code_sql('embedding', j, runs, dsub)} AS c{j}" for j in range(_PQF_M)],
         )
-        _, assignments = _lloyd_fixed(spark, sf_dir)
         store = scratch_dir("vs_pqf_codes_") + "/codes"
-        codes.join(
-            assignments.select("id", F.col("cluster_id").alias("coarse_id")), "id"
-        ).write.mode("overwrite").partitionBy("coarse_id").parquet(store)
+        codes.write.mode("overwrite").parquet(store)
         _PQF_STORE[sf_dir] = spark.read.parquet(store)
     return _PQF_STORE[sf_dir]
 
