@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_resample",
         "evt_gapfill_locf",
         "evt_hourly_rollup_serve",
+        # -- new round-4 operator (rows-only by design, recall test-gated) --
+        "ivfpq_residual_search",
         # -- re-certification: r1 rows first (untouched for 3 rounds) --
         "q1_pricing_summary",
         "q5_revenue_by_nation",

@@ -150,6 +150,94 @@ def test_ivfpq_recall_monotone_in_probes(spark, sf_dir):
     codes.unpersist()
 
 
+def test_ivfpq_residual_beats_plain_adc(spark, tmp_path):
+    """Residual codes (PQ of x − coarse centroid, the FAISS by_residual
+    layout) must rank candidates better than whole-vector codes at
+    IDENTICAL code size when the coarse quantizer explains real structure.
+    The repo's synthetic embeddings have near-zero coarse structure
+    (residual variance ≈ raw variance → both codings tie within noise), so
+    this builds a strongly-clustered corpus: 8 well-separated hash-derived
+    centers, small within-cluster noise. Pure-ADC recall (no rerank — the
+    rerank would mask coding quality) must beat plain by a clear margin,
+    and the reranked configuration must reach ≥ 0.9."""
+    from pyspark.sql import functions as F
+
+    from vers_spark.indexes.ivfflat import IVFFlatIndex
+    from vers_spark.indexes.pq import (
+        PQCodec,
+        ivfpq_search,
+        ivfpq_search_residual,
+        persist_codes_partitioned,
+        residuals,
+    )
+    from vers_spark.operators.knn import exact_knn
+
+    # three-level synthetic: 8 well-separated coarse clusters ≫ 400 family
+    # offsets within them ≫ per-point jitter. A query's true neighbours are
+    # its ~9 family siblings (jitter apart); ranking them needs resolution
+    # at the FAMILY scale — exactly what residual codes buy: plain PQ cells
+    # must span the global range (coarse + family), residual cells only the
+    # within-cluster range, so the same m × k_codebook budget resolves
+    # families residually but not globally.
+    dims, n = 32, 4000
+    d = F.sequence(F.lit(0), F.lit(dims - 1))
+
+    def elem(dim):
+        coarse = (
+            F.pmod(F.xxhash64(F.concat_ws(":", F.lit("c"), F.col("label") % 8, dim)), F.lit(400))
+            / 50.0
+        )
+        family = (
+            F.pmod(F.xxhash64(F.concat_ws(":", F.lit("f"), F.col("label"), dim)), F.lit(100))
+            / 125.0
+        )
+        jitter = (
+            F.pmod(F.xxhash64(F.concat_ws(":", F.lit("n"), F.col("id"), dim)), F.lit(100))
+            / 5000.0
+        )
+        return (coarse + family + jitter).cast("float")
+
+    full = (
+        spark.range(0, n, 1, 8)
+        .select(F.col("id"), (F.col("id") % 400).cast("int").alias("label"))
+        .select(F.col("id").alias("vec_id"), F.transform(d, elem).alias("embedding"))
+    )
+    corpus = full.filter(F.col("vec_id") % 97 != 0).cache()
+    queries = full.filter(F.col("vec_id") % 97 == 0)
+    ivf = IVFFlatIndex.build(corpus, num_clusters=8, seed=1)
+    exact = {
+        (r["query_id"], r["neighbour_id"])
+        for r in exact_knn(queries, corpus, k=10).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbour_id"]) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    m, kc = 4, 16  # coarse codes → coding quality differences show
+    plain = PQCodec.train(corpus, m=m, k_codebook=kc, max_iter=15)
+    plain_codes = persist_codes_partitioned(
+        plain.encode(corpus), ivf._serving_assignments(), str(tmp_path / "plain")
+    )
+    res_df = residuals(ivf)
+    res = PQCodec.train(res_df, m=m, k_codebook=kc, max_iter=15)
+    res_codes = persist_codes_partitioned(
+        res.encode(res_df), ivf._serving_assignments(), str(tmp_path / "res")
+    )
+    r_plain = recall(ivfpq_search(ivf, plain, plain_codes, queries, k=10, n_probes=8))
+    r_res = recall(
+        ivfpq_search_residual(ivf, res, res_codes, queries, k=10, n_probes=8)
+    )
+    assert r_res > r_plain, (r_res, r_plain)
+    r_rerank = recall(
+        ivfpq_search_residual(
+            ivf, res, res_codes, queries, k=10, n_probes=8, oversample=10, corpus=corpus
+        )
+    )
+    assert r_rerank >= 0.9, r_rerank
+    corpus.unpersist()
+
+
 def test_ann_recall_report_floors(spark, sf_dir):
     """The consolidated recall report covers every approximate family and
     each clears its quality floor (floors are family-appropriate: graph/

@@ -78,6 +78,10 @@ def main() -> None:
     # probes all shards anyway, so shard locality buys nothing here.
     ap.add_argument("--hnsw-shards", type=int, default=128)
     ap.add_argument("--hnsw-shard-by", default="random", choices=["random", "kmeans"])
+    # kmeans sharding only: cap per-shard rows (skew-safe memory bound) and
+    # probe a subset of parent clusters (the locality win random can't give)
+    ap.add_argument("--hnsw-max-shard-rows", type=int, default=12000)
+    ap.add_argument("--hnsw-probes", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -159,11 +163,17 @@ def main() -> None:
             num_shards=args.hnsw_shards,
             shard_by=args.hnsw_shard_by,
             seed=42,
+            max_shard_rows=(
+                args.hnsw_max_shard_rows if args.hnsw_shard_by == "kmeans" else None
+            ),
         )
+        out["hnsw_shards_effective"] = int(hnsw.params["num_shards"])
         hnsw.graph.count()  # materialize
         out["hnsw_build_sec"] = round(time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
-        res = hnsw.search(queries, k=10, n_probe_shards=args.hnsw_shards)
+        probes = args.hnsw_probes or args.hnsw_shards
+        out["hnsw_probes"] = probes
+        res = hnsw.search(queries, k=10, n_probe_shards=probes)
         out["hnsw_recall_at_10"] = recall(res)
         out["hnsw_search_batch_sec"] = round(time.perf_counter() - t0, 1)
         out["hnsw_search_per_query_ms"] = round(

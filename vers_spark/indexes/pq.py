@@ -246,6 +246,124 @@ def persist_codes_partitioned(
     return codes.sparkSession.read.parquet(path)
 
 
+def residuals(ivf, corpus_unused=None) -> DataFrame:
+    """(vec_id, cluster_id, embedding=residual) from an IVFFlatIndex:
+    residual = x − centroid[assign(x)], via one broadcast centroid join —
+    the FAISS IVF-PQ ``by_residual`` layout. Training PQ codebooks on
+    residuals concentrates them near the origin (coarse structure already
+    explained by the centroid), so the same m × k_codebook budget spends
+    its resolution on the LOCAL geometry — measurably better ADC ranking
+    than whole-vector codes at identical code size."""
+    a = ivf._serving_assignments().select(
+        F.col("id").alias("vec_id"), "cluster_id", "embedding"
+    )
+    c = F.broadcast(ivf.centroids)
+    return a.join(c, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        F.zip_with(
+            "embedding", "centroid", lambda x, y: x.cast("double") - y
+        ).alias("embedding"),
+    )
+
+
+def ivfpq_search_residual(
+    ivf,
+    codec: PQCodec,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 2,
+    oversample: int = 5,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """IVF × PQ with RESIDUAL codes (codes = PQ(x − coarse centroid)).
+
+    The ADC lookup table is now per (query, probed cluster) — the query's
+    residual against THAT cluster's centroid — so LUTs key on
+    (query_id, cluster_id): Q × ~n_probes rows, driver-computed like
+    luts_df and broadcast. Probing/fill-rule resolve driver-side on the
+    collected centroid table (the search_blocked twin, ivfflat.rs:166-195
+    semantics); candidates come off the cluster-pruned code store with a
+    literal isin filter (static partition pruning on the
+    persist_codes_partitioned layout); the per-candidate ADC stays a pure
+    JVM fold. ``codes`` must carry cluster_id (the persisted layout).
+    """
+    import numpy as np
+
+    from vers_spark.functions import vector as V
+    from vers_spark.functions.validate import bounded_collect
+
+    if "cluster_id" not in codes.columns:
+        raise ValueError("residual serving needs the cluster-partitioned code store")
+    spark = codes.sparkSession
+    q_rows = bounded_collect(
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        "ivfpq_search_residual",
+    )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbour_id long, distance double, rank int"
+        )
+    cent_rows = ivf.centroids.orderBy("cluster_id").collect()
+    c_ids = np.array([r["cluster_id"] for r in cent_rows], dtype=np.int64)
+    c_mat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    sizes = ivf._cluster_sizes()
+    m, dsub = codec.m, codec.dsub
+
+    lut_rows = []
+    for qid, qv in q_rows:
+        q = np.asarray(qv, dtype=np.float64)
+        d = np.einsum("ij,ij->i", c_mat - q[None, :], c_mat - q[None, :])
+        order = np.lexsort((c_ids, d))
+        cum_before = 0
+        for rank0, ci in enumerate(order):
+            if rank0 >= n_probes and cum_before >= k:
+                break
+            cid = int(c_ids[ci])
+            cum_before += sizes.get(cid, 0)
+            res = q - c_mat[ci]
+            lut = []
+            for j in range(m):
+                diff = codec.codebooks[j] - res[j * dsub : (j + 1) * dsub][None, :]
+                lut.append(np.einsum("kd,kd->k", diff, diff).tolist())
+            lut_rows.append((int(qid), cid, lut))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, cluster_id int, lut array<array<double>>"
+    )
+    probe_set = sorted({cid for _, cid, _ in lut_rows})
+    pruned = codes.filter(F.col("cluster_id").isin(probe_set))
+    cands = pruned.withColumnRenamed("vec_id", "neighbour_id").join(
+        F.broadcast(luts), "cluster_id"
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            "codes", "lut", lambda c, row: F.element_at(row, (c + 1).cast("int"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shortlist = _ranked(
+        cands.withColumn("_dist", adc),
+        "_dist",
+        k * oversample if corpus is not None else k,
+    )
+    if corpus is None:
+        return shortlist
+    q_df = corpus.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in q_rows],
+        "query_id long, q_vec array<double>",
+    )
+    c = corpus.select(F.col("vec_id").alias("neighbour_id"), F.col("embedding").alias("c_vec"))
+    exact = (
+        shortlist.select("query_id", "neighbour_id")
+        .join(F.broadcast(q_df), "query_id")
+        .join(c, "neighbour_id")
+        .withColumn("_dist", V.sq_euclidean(F.col("q_vec"), F.col("c_vec")))
+    )
+    return _ranked(exact, "_dist", k)
+
+
 def ivfpq_search(
     ivf,
     codec: PQCodec,

@@ -659,6 +659,42 @@ def ivfpq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_residual_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ with RESIDUAL codes (pq.ivfpq_search_residual — the FAISS
+    by_residual layout): codebooks trained on x − coarse centroid, ADC LUTs
+    per (query, probed cluster), served off the cluster-partitioned code
+    store with static partition pruning. Rows-only; the
+    residual-beats-plain coding property and rerank recall are gated in
+    tests/test_ivfflat.py on a structured corpus."""
+    from vers_spark.indexes.pq import (
+        PQCodec,
+        ivfpq_search_residual,
+        persist_codes_partitioned,
+        residuals,
+    )
+    from vers_spark.streaming.events import scratch_dir
+
+    key = (sf_dir, "residual")
+    if key not in _PQ_CACHE:
+        ivf = _ivf(spark, sf_dir, 8)
+        res_df = residuals(ivf)
+        codec = PQCodec.train(res_df, m=16, k_codebook=64, max_iter=15)
+        codes = persist_codes_partitioned(
+            codec.encode(res_df),
+            ivf._serving_assignments(),
+            scratch_dir("vs_pq_rescodes_") + "/codes",
+        )
+        _PQ_CACHE[key] = (codec, codes)
+    codec, codes = _PQ_CACHE[key]
+    ivf = _ivf(spark, sf_dir, 8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return ivfpq_search_residual(
+        ivf, codec, codes, queries, k=10, n_probes=4, oversample=5, corpus=corpus
+    )
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated ANN quality audit: recall@10 of EVERY approximate search
     family against its exact-scan ground truth, one row per family — the
@@ -982,6 +1018,7 @@ QUERIES = {
     "hnsw_search": hnsw_search,
     "hnsw_search_filtered": hnsw_search_filtered,
     "ivfpq_search": ivfpq_search_q,
+    "ivfpq_residual_search": ivfpq_residual_search_q,
     "index_lifecycle_roundtrip": index_lifecycle_roundtrip,
     "hnsw_search_frontier": hnsw_search_frontier,
     "hnsw_layer_stats": hnsw_layer_stats,
