@@ -144,8 +144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_resample",
         "evt_gapfill_locf",
         "evt_hourly_rollup_serve",
-        # -- new round-4 operator (rows-only by design, recall test-gated) --
+        # -- new round-4 operators --
         "ivfpq_residual_search",
+        "neardup_triangles",
         # -- re-certification: r1 rows first (untouched for 3 rounds) --
         "q1_pricing_summary",
         "q5_revenue_by_nation",

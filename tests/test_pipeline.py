@@ -67,6 +67,27 @@ def test_resize_and_frames(media):
         assert sorted(idxs) == list(range(len(idxs)))
 
 
+def test_triangle_stats_known_graph(spark):
+    """triangle_stats on a hand-checkable graph: a 4-clique {0,1,2,3}
+    (each node: degree 3, 3 triangles, clustering 1.0), a pendant 3→4
+    (degree bumps, no new triangle), and an open wedge 10-11-12 (zero
+    triangles, center clustering 0.0)."""
+    import itertools
+
+    from vers_spark.operators.graph import triangle_stats
+
+    edges = list(itertools.combinations(range(4), 2)) + [(3, 4), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r for r in triangle_stats(df).collect()}
+    assert {n: got[n]["n_triangles"] for n in sorted(got)} == {
+        0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 10: 0, 11: 0, 12: 0,
+    }
+    assert got[0]["degree"] == 3 and got[0]["clustering"] == 1.0
+    assert got[3]["degree"] == 4 and abs(got[3]["clustering"] - 0.5) < 1e-12
+    assert got[4]["degree"] == 1 and got[4]["clustering"] == 0.0
+    assert got[11]["degree"] == 2 and got[11]["clustering"] == 0.0
+
+
 def test_connected_components_vs_union_find(spark):
     """Label propagation equals classic union-find on a seeded random graph
     plus a long path (worst-case diameter for the propagation loop)."""

@@ -120,8 +120,9 @@ def _sig_sql(corpus_sql: str) -> str:
     """
 
 
-def _jaccard_tail_sql(corpus_sql: str, cand_cte: str, threshold: float) -> str:
-    """Shared verification tail: candidates → exact jaccard → threshold."""
+def _jaccard_ctes_sql(corpus_sql: str, cand_cte: str, threshold: float) -> str:
+    """Shared verification CTE chain ending in ``pairs(doc_a, doc_b,
+    jaccard)`` — composable by downstream graph oracles (triangles)."""
     return f"""
         sh AS (SELECT * FROM {_d_shingles(corpus_sql)}),
         {cand_cte},
@@ -132,14 +133,23 @@ def _jaccard_tail_sql(corpus_sql: str, cand_cte: str, threshold: float) -> str:
             JOIN sh sa ON sa.doc_id = c.doc_a
             JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
             GROUP BY c.doc_a, c.doc_b
-        )
-        SELECT i.doc_a, i.doc_b,
-               CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
-        FROM inter i
-        JOIN sizes na ON na.doc_id = i.doc_a
-        JOIN sizes nb ON nb.doc_id = i.doc_b
-        WHERE CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) >= {threshold}
-    """
+        ),
+        pairs AS (
+            SELECT i.doc_a, i.doc_b,
+                   CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sizes na ON na.doc_id = i.doc_a
+            JOIN sizes nb ON nb.doc_id = i.doc_b
+            WHERE CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) >= {threshold}
+        )"""
+
+
+def _jaccard_tail_sql(corpus_sql: str, cand_cte: str, threshold: float) -> str:
+    """Shared verification tail: candidates → exact jaccard → threshold."""
+    return (
+        _jaccard_ctes_sql(corpus_sql, cand_cte, threshold)
+        + "\n        SELECT doc_a, doc_b, jaccard FROM pairs"
+    )
 
 
 _D_SIMHASH = """
@@ -360,6 +370,19 @@ ORACLE_SQL["neardup_best_quality"] = f"""
 """
 
 
+def neardup_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the near-dup pair graph (operators/graph.
+    triangle_stats): per-doc triangle participation + local clustering
+    coefficient — triangle-dense neighbourhoods are transitive duplicate
+    clusters (safe to collapse), low-clustering stars are hub false
+    positives (a boilerplate shingle chaining unrelated docs). Reuses the
+    cached banded-MinHash pair table; full DuckDB oracle composed from the
+    same jaccard CTE chain."""
+    from vers_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_minhash_pairs(spark, sf_dir)).orderBy("doc_id")
+
+
 QUERIES = {
     "minhash_signatures": minhash_signatures_q,
     "minhash_neardup": minhash_neardup_q,
@@ -370,8 +393,37 @@ QUERIES = {
     "simhash_neardup": simhash_neardup_q,
     "neardup_components": neardup_components_q,
     "neardup_best_quality": neardup_best_quality_q,
+    "neardup_triangles": neardup_triangles_q,
 }
 
 # the prefix-filtered join provably computes the SAME pairs (completeness of
 # the prefix principle + exact verification) — one oracle certifies both
 ORACLE_SQL["ngram_jaccard_prefix"] = ORACLE_SQL["ngram_jaccard_pairs"]
+
+ORACLE_SQL["neardup_triangles"] = f"""
+    WITH {_jaccard_ctes_sql(_d_augmented(7, NEAR_TAIL), _D_MINHASH_CAND, 0.8)},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+    tri AS (SELECT w.a, w.b, w.c FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
+    pert AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY doc_id
+    ),
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.degree,
+           CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN (2.0 * CAST(COALESCE(p.n_triangles, 0) AS DOUBLE))
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN pert p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+"""
