@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round-4 operators --
         "ivfpq_residual_search",
         "neardup_triangles",
+        "evt_zorder_range_scan",
         # -- re-certification: r1 rows first (untouched for 3 rounds) --
         "q1_pricing_summary",
         "q5_revenue_by_nation",

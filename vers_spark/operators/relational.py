@@ -239,6 +239,47 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZSTORE: dict[str, str] = {}
+
+
+def evt_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data clustering as a certified query: events are
+    written ONCE Z-ORDERED by (user_id, unix_micros(ts)) — the Morton-key
+    sort from sources/layout.py (the Delta/Iceberg Z-ORDER OPTIMIZE
+    mechanism, pure codegen integer expressions) — then a user-range ×
+    time-range aggregate runs against the store. Clustering makes every
+    file's (user_id, ts) min/max footer stats a tight bounding box, so the
+    conjunctive range predicate skips files/row groups on BOTH dimensions
+    (a single-column sort only prunes one; the bounding-box tightness
+    property is gated in tests/test_pipeline.py). Results are
+    layout-invariant, so the DuckDB twin runs the same predicate on the
+    raw events view — the hash oracle certifies the rewrite+read path end
+    to end."""
+    from vers_spark.sources.layout import write_zordered
+    from vers_spark.streaming.events import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    if sf_dir not in _ZSTORE:
+        path = scratch_dir("vs_zorder_") + "/events_z"
+        write_zordered(ev, path, "user_id", "unix_micros(ts)", num_files=16)
+        _ZSTORE[sf_dir] = path
+    z = spark.read.parquet(_ZSTORE[sf_dir])
+    ucap = ev.agg(F.max("user_id")).collect()[0][0] // 10
+    return (
+        z.filter(
+            (F.col("user_id") <= ucap)
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per priority × status (statuses enumerated)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -1050,6 +1091,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    "evt_zorder_range_scan": """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE user_id <= (SELECT max(user_id) // 10 FROM events)
+          AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY event_type
+    """,
     "q_orders_pivot_status": """
         SELECT o_orderpriority,
                count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
@@ -1509,6 +1560,7 @@ QUERIES = {
     "q_nation_presence": q_nation_presence,
     "q_events_user_stats": q_events_user_stats,
     "q_events_hourly": q_events_hourly,
+    "evt_zorder_range_scan": evt_zorder_range_scan,
     "q_orders_pivot_status": q_orders_pivot_status,
     "q_orders_cube": q_orders_cube,
     "q_events_props_json": q_events_props_json,
