@@ -117,8 +117,13 @@ def test_connected_components_vs_union_find(spark):
     expected = {n: find(n) for n in parent}
 
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    # driver_cap=0 forces the DISTRIBUTED propagation loop (the default cap
+    # would route this small graph to the driver union-find — which would
+    # make this test circular); then assert the fast path agrees with it
+    got = {r["node"]: r["component"] for r in connected_components(df, driver_cap=0).collect()}
     assert got == expected
+    fast = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert fast == expected
 
 
 def test_stratified_sample_rates(spark, sf_dir):

@@ -32,14 +32,42 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    driver_cap: int = 1_000_000,
 ) -> DataFrame:
     """Return ``(node BIGINT, component BIGINT)`` for every node appearing in
     ``edges``; ``component`` is the minimum node id of the node's component.
-    Raises if ``max_iter`` rounds don't reach the fixpoint (diameter bound
-    exceeded — pathological input for this variant)."""
+
+    Two regimes, identical output (parity test-gated):
+    - edge count ≤ ``driver_cap``: driver-side union-find on the collected
+      pair list (union attaches the larger root under the smaller, so the
+      final root IS the component minimum). Near-dup graphs are SMALL after
+      banding — a few thousand pairs at sf0.1 — and the propagation loop's
+      fixed cost is ~3 jobs/round × diameter rounds, which dominates the
+      whole query; union-find collapses that to one count + one collect.
+      The cap bounds driver memory (1M pairs ≈ ~16 MB of longs).
+    - above the cap: min-label propagation, one shuffle + one agg per
+      round, localCheckpointed lineage, 1-row convergence probe. Raises if
+      ``max_iter`` rounds don't reach the fixpoint (diameter bound
+      exceeded — pathological input for this variant)."""
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
+    if driver_cap and e.count() <= driver_cap:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in e.collect():
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(rows, "node long, component long")
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     und = und.distinct().cache()
     labels = (
