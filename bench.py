@@ -45,6 +45,10 @@ HEADLINE = [
     "ivf_build_fixed",
     "knn_pq_fixed",
     "bpe_train_merges",
+    # round-4 additions: graph analytics over the dup graph (full oracle)
+    # and the Z-order-clustered store range scan (layout-certifying oracle)
+    "neardup_triangles",
+    "evt_zorder_range_scan",
 ]
 
 
@@ -77,9 +81,10 @@ def _clear_state(spark) -> None:
     index_queries._FIXED_CACHE.clear()
     index_queries._PQF_CACHE.clear()
     index_queries._PQF_STORE.clear()  # persisted-code-store memo (parquet stays on disk)
-    from vers_spark.operators import bpe
+    from vers_spark.operators import bpe, relational
 
     bpe._TRAIN_CACHE.clear()
+    relational._ZSTORE.clear()  # Z-order store memo (cold = rewrite + scan)
     _qcache._CACHE.clear()  # cross-query cached DataFrames (pairs/components)
     spark.catalog.clearCache()
     try:
