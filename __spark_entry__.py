@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_residual_search",
         "neardup_triangles",
         "evt_zorder_range_scan",
+        "graph_ppr_customer_affinity",
         # -- re-certification: r1 rows first (untouched for 3 rounds) --
         "q1_pricing_summary",
         "q5_revenue_by_nation",

@@ -67,6 +67,24 @@ def test_resize_and_frames(media):
         assert sorted(idxs) == list(range(len(idxs)))
 
 
+def test_personalized_pagerank_localizes_mass(spark):
+    """PPR sanity on a two-component graph: personalizing on one component
+    leaves the other with exactly zero mass (teleport + walk both confined),
+    and within the seed component the seed outranks equally-connected
+    non-seeds."""
+    from vers_spark.operators.graph import pagerank_personalized_fixed
+
+    # component A: triangle 0-1-2; component B: triangle 10-11-12
+    und = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    scores = {r["node"]: r["score"] for r in pagerank_personalized_fixed(edges, seeds).collect()}
+    assert all(scores[n] == 0 for n in (10, 11, 12))
+    assert scores[0] > scores[1] == scores[2] > 0
+
+
 def test_triangle_stats_known_graph(spark):
     """triangle_stats on a hand-checkable graph: a 4-clique {0,1,2,3}
     (each node: degree 3, 3 triangles, clustering 1.0), a pendant 3→4

@@ -121,6 +121,59 @@ PR_ITERS = 5
 PR_TOPK = 20
 
 
+def pagerank_personalized_fixed(
+    edges: DataFrame, seeds: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """Source-PERSONALIZED fixed-point PageRank (random-walk-with-restart
+    affinity): the teleport mass is restricted to ``seeds`` — score_{i+1}(v)
+    = [v ∈ S]·(0.15/|S|) + 0.85·Σ_{u→v} score_i(u)/outdeg(u), initial mass
+    1/|S| on the seeds, 0 elsewhere. Scores rank every node by proximity to
+    the seed cohort (the recsys/graph-feature primitive global PageRank
+    can't express). Same per-round shuffle discipline and integer
+    fixed-point arithmetic as :func:`pagerank_fixed`, so the unrolled CTE
+    twin hash-matches exactly. ``seeds``: DataFrame with a ``node`` column;
+    seeds outside the graph are ignored (semi-join)."""
+    edges = edges.cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    seeds = seeds.select("node").distinct().join(nodes, "node", "left_semi").cache()
+    ns = seeds.count()
+    if ns == 0:
+        raise ValueError("personalized pagerank needs >= 1 seed inside the graph")
+    base = (15 * PR_UNIT // 100) // ns
+    init = PR_UNIT // ns
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    is_seed = seeds.withColumn("_s", F.lit(1))
+    ranks = nodes.join(is_seed, "node", "left").select(
+        "node",
+        F.when(F.col("_s") == 1, F.lit(init)).otherwise(F.lit(0)).cast("long").alias("score"),
+    )
+    for i in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr("score div outdeg").alias("c"))
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("insum"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .join(is_seed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("_s") == 1, F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(insum, CAST(0 AS BIGINT))) div {PR_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("score"),
+            )
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint()  # bound plan growth like CC
+    return ranks
+
+
 def triangle_stats(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
     """Per-node triangle count + local clustering coefficient over an
     undirected graph given as ORDERED pairs (src < dst, the near-dup pair

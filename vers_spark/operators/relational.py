@@ -1523,8 +1523,93 @@ def _pagerank_oracle() -> str:
 
 ORACLE_SQL["graph_pagerank_topk"] = _pagerank_oracle()
 
+
+def graph_ppr_customer_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (operators/graph.pagerank_personalized_fixed)
+    over the same supplier⇄customer graph: teleport mass restricted to the
+    supplier cohort suppkey % 10 = 0, returning the top-20 CUSTOMERS by
+    random-walk-with-restart affinity to that cohort — the "customers
+    closest to this supplier segment" recsys primitive that global
+    PageRank can't express. Integer fixed-point per round → the 5 unrolled
+    rounds hash-match the DuckDB twin exactly."""
+    from vers_spark.operators.graph import PR_TOPK, pagerank_personalized_fixed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    ranks = pagerank_personalized_fixed(edges, seeds)
+    return (
+        ranks.filter(F.col("node").startswith("c"))
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(PR_TOPK)
+    )
+
+
+def _ppr_oracle() -> str:
+    from vers_spark.operators.graph import PR_ITERS, PR_TOPK, PR_UNIT
+
+    base = 15 * PR_UNIT // 100
+    sql = f"""
+        WITH pairs AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                                       'c' || CAST(o_custkey AS VARCHAR) AS dst
+                       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        seeds AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+                  FROM supplier WHERE s_suppkey % 10 = 0
+                  AND 's' || CAST(s_suppkey AS VARCHAR) IN (SELECT node FROM nodes)),
+        smeta AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds),
+        outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+        it0 AS (SELECT nd.node,
+                       CAST(CASE WHEN sd.node IS NOT NULL
+                                 THEN {PR_UNIT} // (SELECT ns FROM smeta)
+                                 ELSE 0 END AS BIGINT) AS score
+                FROM nodes nd LEFT JOIN seeds sd ON sd.node = nd.node)
+    """
+    for i in range(1, PR_ITERS + 1):
+        sql += f"""
+        , it{i} AS (
+            SELECT nd.node,
+                   CAST(CASE WHEN sd.node IS NOT NULL
+                             THEN {base} // (SELECT ns FROM smeta)
+                             ELSE 0 END
+                        + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS score
+            FROM nodes nd
+            LEFT JOIN seeds sd ON sd.node = nd.node
+            LEFT JOIN (
+                SELECT e.dst AS node, CAST(sum(r.score // o.outdeg) AS BIGINT) AS insum
+                FROM edges e JOIN it{i - 1} r ON r.node = e.src
+                             JOIN outdeg o ON o.src = e.src
+                GROUP BY e.dst
+            ) s ON s.node = nd.node)
+        """
+    sql += (
+        f"SELECT node, score FROM it{PR_ITERS} WHERE node LIKE 'c%' "
+        f"ORDER BY score DESC, node ASC LIMIT {PR_TOPK}"
+    )
+    return sql
+
+
+ORACLE_SQL["graph_ppr_customer_affinity"] = _ppr_oracle()
+
 QUERIES = {
     "graph_pagerank_topk": graph_pagerank_topk,
+    "graph_ppr_customer_affinity": graph_ppr_customer_affinity,
     "q1_pricing_summary": q1_pricing_summary,
     "q2_cheapest_supplier": q2_cheapest_supplier,
     "q7_volume_shipping": q7_volume_shipping,
