@@ -149,7 +149,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_triangles",
         "evt_zorder_range_scan",
         "graph_ppr_customer_affinity",
-        # -- re-certification: r1 rows first (untouched for 3 rounds) --
+        # -- re-certification, CHANGED code paths this round first (PQ code
+        #    store, BPE mode dispatch, CC union-find fast path, IVF serving
+        #    materialization, index manifest `_`-key filtering): their green
+        #    rows predate the change, so they re-certify inside the 50-cut --
+        "knn_pq_fixed",
+        "bpe_train_merges",
+        "neardup_components",
+        "minhash_neardup",
+        "ivf_search_fixed_p4",
+        "index_lifecycle_roundtrip",
+        "ivf_build_fixed",
+        "rag_retrieve_chunks",
+        # -- re-certification: r1 rows (untouched for 3 rounds) --
         "q1_pricing_summary",
         "q5_revenue_by_nation",
         "q_top_customers_per_nation",
@@ -173,23 +185,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join",
         "stream_static_enrich",
         "stream_dedup_users",
-        # -- re-certification: r2 vector/index spine --
+        # -- past the historical 50-cut: unchanged multi-round-green spine --
         "vk_vector_ops",
         "knn_exact_euclidean",
         "knn_exact_cosine",
-        "ivf_build_fixed",
-        "ivf_search_fixed_p4",
         "lsh_search_degenerate",
         "hnsw_layer_stats",
-        "index_lifecycle_roundtrip",
         "emb_label_centroids",
-        "knn_pq_fixed",
-        # -- re-certification: r3 text/dedup spine --
-        "minhash_neardup",
         "simhash_neardup",
-        "neardup_components",
-        "bpe_train_merges",
-        "rag_retrieve_chunks",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"
