@@ -55,6 +55,24 @@ def test_search_blocked_matches_declarative(spark, emb, index):
         assert gk == wk, f"n_probes={n_probes}"
 
 
+def test_search_blocked_fill_rule_when_k_exceeds_probes(spark, emb, index):
+    """k larger than any single posting list forces the driver-side fill
+    rule to expand the probe set exactly like the declarative cumsum (and
+    with k > corpus/2 it must expand well past n_probes=1)."""
+    q = emb.filter(F.col("vec_id") < 3)
+    n = emb.count()
+    k = n // 2
+    got = index.search_blocked(q, k=k, n_probes=1).collect()
+    want = index.search(q, k=k, n_probes=1).collect()
+    gk = {(r["query_id"], r["rank"]): (r["neighbour_id"], r["distance"]) for r in got}
+    wk = {(r["query_id"], r["rank"]): (r["neighbour_id"], r["distance"]) for r in want}
+    assert gk == wk
+    per_q = {}
+    for r in got:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert set(per_q.values()) == {k}
+
+
 def test_recall_monotone_in_probes(spark, emb, index):
     q = emb.filter(F.col("vec_id") < 20)
     want = exact_knn(q, emb, k=10, metric="sq_euclidean").collect()

@@ -266,6 +266,36 @@ def _file_bbox_area(path: str, col_a: str, col_b: str) -> float:
     return sum(areas) / len(areas)
 
 
+def test_zorder_key_matches_python_morton(spark):
+    """zorder_key ≡ an independent Python Morton encode over the same
+    quantization: quantize each coordinate to 8 bits with the identical
+    multiply-then-integer-divide, interleave bits (a even, b odd)."""
+    from vers_spark.sources.layout import zorder_key
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(0, 1000), rng.randrange(-500, 500)) for _ in range(200)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    bits = 8
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_key("a", "b", 0, 999, -500, 499, bits=bits)
+        ).collect()
+    }
+
+    def quant(v, lo, hi):
+        return (v - lo) * ((1 << bits) - 1) // max(hi - lo, 1)
+
+    for (a, b), z in got.items():
+        qa, qb = quant(a, 0, 999), quant(b, -500, 499)
+        want = sum(
+            (((qa >> i) & 1) << (2 * i)) + (((qb >> i) & 1) << (2 * i + 1))
+            for i in range(bits)
+        )
+        assert z == want, (a, b, z, want)
+
+
 def test_zorder_write_tightens_file_bounding_boxes(spark, sf_dir, tmp_path):
     """Z-order clustering on (user_id, ts) must shrink each file's footer
     min/max bounding box far below the naive layout's (which spans ~the
