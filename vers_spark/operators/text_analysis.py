@@ -253,6 +253,64 @@ def doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_cells(tok_col):
+    """depth structs (row_id, bucket) for one token column — the shared
+    build/lookup hashing: md5-60bit base → minhash affine family mod P →
+    mod width. Deterministic in both engines."""
+    base = TX.stable_hash60(tok_col)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_id"),
+                (TX.minhash_value(base, a, b) % CMS_WIDTH).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(TX.MINHASH_COEFFS[:CMS_DEPTH])
+        ]
+    )
+
+
+def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates (Cormode & Muthukrishnan
+    2005), cross-engine EXACT — the sketch companion to the exact
+    :func:`doc_heavy_hitter_tokens` for thresholds below ~1/width of
+    memory. The sketch is a (depth=4 × width=1024) counter table built in
+    ONE aggregate pass over exploded tokens (the explode is ×depth; the
+    aggregate OUTPUT is ≤ 4096 rows whatever the corpus size — the
+    mergeable fixed-memory summary that makes this the 100 TB shape);
+    estimates are min over depth of the token's bucket counters, so
+    cms_n ≥ exact_n always (one-sided error), with equality unless the
+    token collides in all 4 rows. Bucket hashing is the corpus-stable
+    md5-60-bit hash through the minhash affine family — deterministic in
+    both engines, so unlike q_sketch_stats' engine-internal HLL/t-digest
+    this sketch carries a FULL DuckDB hash oracle. Output: the exact
+    top-20 tokens with exact and sketch counts side by side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.ws_tokens(F.col("text"))).alias("tok"))
+    cells = toks.select(F.explode(_cms_cells(F.col("tok"))).alias("c")).select(
+        "c.row_id", "c.bucket"
+    )
+    cms = cells.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(20)
+    )
+    lookups = top.select(
+        "tok", "exact_n", F.explode(_cms_cells(F.col("tok"))).alias("c")
+    ).select("tok", "exact_n", "c.row_id", "c.bucket")
+    return (
+        lookups.join(F.broadcast(cms), ["row_id", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+    )
+
+
 def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): unique
     token ratio, adjacent-duplicate-token fraction, fraction of characters in
@@ -885,7 +943,35 @@ def doc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(TX.MINHASH_COEFFS[:CMS_DEPTH])
+    )
+    h = D_HASH60.format(x="tok")
+    return f"""
+        WITH toks AS (SELECT unnest({D_TOKENS.format(t='text')}) AS tok FROM documents),
+        hashes AS (SELECT tok, ({h}) % {TX.HASH_PRIME} AS hp FROM toks),
+        cells AS (
+            SELECT r.row_id, (r.a * hp + r.b) % {TX.HASH_PRIME} % {CMS_WIDTH} AS bucket
+            FROM hashes CROSS JOIN (VALUES {rows}) r(row_id, a, b)
+        ),
+        cms AS (SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+                FROM cells GROUP BY row_id, bucket),
+        top AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+                FROM toks GROUP BY tok ORDER BY exact_n DESC, tok ASC LIMIT 20),
+        th AS (SELECT tok, exact_n, ({h}) % {TX.HASH_PRIME} AS hp FROM top),
+        lk AS (SELECT t.tok, t.exact_n, r.row_id,
+                      (r.a * t.hp + r.b) % {TX.HASH_PRIME} % {CMS_WIDTH} AS bucket
+               FROM th t CROSS JOIN (VALUES {rows}) r(row_id, a, b))
+        SELECT l.tok, l.exact_n, CAST(min(c.cnt) AS BIGINT) AS cms_n
+        FROM lk l JOIN cms c ON c.row_id = l.row_id AND c.bucket = l.bucket
+        GROUP BY l.tok, l.exact_n
+        ORDER BY l.exact_n DESC, l.tok ASC
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
+    "doc_cms_heavy_hitters": _cms_oracle(),
     "doc_heavy_hitter_tokens": f"""
         WITH counts AS (
             SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -1194,6 +1280,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_bigram_topk": doc_bigram_topk,
     "doc_heavy_hitter_tokens": doc_heavy_hitter_tokens,
+    "doc_cms_heavy_hitters": doc_cms_heavy_hitters,
     "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
     "doc_csv_roundtrip": doc_csv_roundtrip,
     "doc_orc_roundtrip": doc_orc_roundtrip,
