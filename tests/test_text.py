@@ -490,3 +490,23 @@ def test_versioned_compaction_commit(spark, sf_dir):
     assert removed == len(old_files)  # every fragmented file reclaimed
     assert all(not os.path.exists(f) for f in old_files)
     assert sorted(map(tuple, read_version(spark, path).collect())) == rows_before
+
+
+def test_cms_heavy_hitters_one_sided_error(spark, sf_dir):
+    """Count-min contract: the sketch NEVER undercounts (min over depth of
+    bucket sums each ≥ the true count), and the overshoot obeys the
+    ~N·e/width expectation loosely (collisions among ~N distinct tokens
+    into 1024 buckets × 4 rows)."""
+    from vers_spark.operators.text_analysis import CMS_WIDTH
+    from vers_spark.sources.tables import load_table
+    from vers_spark.functions import text as TX
+
+    rows = TA.QUERIES["doc_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.select(F.explode(TX.ws_tokens(F.col("text"))).alias("t")).count()
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"], r
+        # loose bound: expected collision mass per row is N/width; min over
+        # 4 rows sits well under a few multiples of that
+        assert r["cms_n"] - r["exact_n"] <= 10 * n_total // CMS_WIDTH, (r, n_total)
