@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_zorder_range_scan",
         "graph_ppr_customer_affinity",
         "doc_cms_heavy_hitters",
+        "stream_cms_merge",
         # -- re-certification, CHANGED code paths this round first (PQ code
         #    store, BPE mode dispatch, CC union-find fast path, IVF serving
         #    materialization, index manifest `_`-key filtering): their green

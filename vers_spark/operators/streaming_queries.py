@@ -378,6 +378,71 @@ def stream_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MAINTENANCE of a count-min sketch — the mergeable-summary
+    property exercised end to end: each event micro-batch aggregates its
+    OWN (row_id, bucket) partial counter table (≤ depth×width = 4096 rows
+    per batch, whatever the batch size) and blind-appends it to the sketch
+    log; no keyed state store, no shuffle of raw events across batches —
+    counters are additive, so merge = sum. Serving compacts the log with
+    one tiny aggregate and answers heavy-user queries at fixed memory.
+    End state ≡ the batch CMS over all events (counter addition is
+    order-insensitive), so the full DuckDB hash oracle certifies the
+    streamed sketch exactly — same certification as doc_cms_heavy_hitters,
+    reached through the streaming path. Items are user ids (heavy-user
+    detection); output = exact top-20 users with exact and sketch counts."""
+    from vers_spark.operators.text_analysis import _cms_cells
+    from vers_spark.sources.tables import load_table
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("tok")
+    )
+    store = scratch_dir("vs_cms_stream_") + "/sketch"
+    ckpt = scratch_dir("vs_cms_stream_ck_")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(F.explode(_cms_cells(F.col("tok"))).alias("c"))
+            .select("c.row_id", "c.bucket")
+            .groupBy("row_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    cms = (
+        spark.read.parquet(store)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("tok")
+    )
+    top = (
+        ev.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(20)
+    )
+    lookups = top.select(
+        "tok", "exact_n", F.explode(_cms_cells(F.col("tok"))).alias("c")
+    ).select("tok", "exact_n", "c.row_id", "c.bucket")
+    return (
+        lookups.join(F.broadcast(cms), ["row_id", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+    )
+
+
 def stream_ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same streaming ingest against the fixed-point build's frozen
     centroids: end state ≡ the batch build's posting lists, hash-matched
@@ -534,6 +599,7 @@ QUERIES = {
     "stream_ivf_assign_stats": stream_ivf_assign_stats,
     "stream_ivf_assign_fixed": stream_ivf_assign_fixed,
     "stream_rollup_serve": stream_rollup_serve,
+    "stream_cms_merge": stream_cms_merge,
 }
 
 # streaming ingest end state ≡ the fixed-point batch build's posting lists:
@@ -582,3 +648,43 @@ ORACLE_SQL["stream_merge_versioned"] = """
            CAST(3 AS BIGINT) AS n_versions
     FROM merged GROUP BY source ORDER BY source
 """
+
+
+def _stream_cms_oracle() -> str:
+    """DuckDB twin of the STREAMED sketch: counter addition is order- and
+    batching-insensitive, so the batch CMS over all events is the exact end
+    state of the micro-batch merge — same structure as the doc CMS oracle
+    with user-id items."""
+    from vers_spark.operators.text_analysis import CMS_DEPTH, CMS_WIDTH
+    from vers_spark.functions.text import HASH_PRIME, MINHASH_COEFFS
+
+    rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_COEFFS[:CMS_DEPTH])
+    )
+    h = (
+        "list_reduce(list_transform(string_split(substr(md5(tok), 1, 15), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
+    )
+    return f"""
+        WITH toks AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
+        hashes AS (SELECT tok, ({h}) % {HASH_PRIME} AS hp FROM toks),
+        cells AS (
+            SELECT r.row_id, (r.a * hp + r.b) % {HASH_PRIME} % {CMS_WIDTH} AS bucket
+            FROM hashes CROSS JOIN (VALUES {rows}) r(row_id, a, b)
+        ),
+        cms AS (SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+                FROM cells GROUP BY row_id, bucket),
+        top AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+                FROM toks GROUP BY tok ORDER BY exact_n DESC, tok ASC LIMIT 20),
+        th AS (SELECT tok, exact_n, ({h}) % {HASH_PRIME} AS hp FROM top),
+        lk AS (SELECT t.tok, t.exact_n, r.row_id,
+                      (r.a * t.hp + r.b) % {HASH_PRIME} % {CMS_WIDTH} AS bucket
+               FROM th t CROSS JOIN (VALUES {rows}) r(row_id, a, b))
+        SELECT l.tok, l.exact_n, CAST(min(c.cnt) AS BIGINT) AS cms_n
+        FROM lk l JOIN cms c ON c.row_id = l.row_id AND c.bucket = l.bucket
+        GROUP BY l.tok, l.exact_n
+        ORDER BY l.exact_n DESC, l.tok ASC
+    """
+
+
+ORACLE_SQL["stream_cms_merge"] = _stream_cms_oracle()
