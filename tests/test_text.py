@@ -510,3 +510,18 @@ def test_cms_heavy_hitters_one_sided_error(spark, sf_dir):
         # loose bound: expected collision mass per row is N/width; min over
         # 4 rows sits well under a few multiples of that
         assert r["cms_n"] - r["exact_n"] <= 10 * n_total // CMS_WIDTH, (r, n_total)
+
+
+def test_rag_xxhash_backend_shape_and_determinism(spark, sf_dir):
+    """The xxhash64 deployment swap (BASELINE.md scaling table): same
+    pipeline, Spark-native codegen hash instead of the cross-engine md5 —
+    must be deterministic across runs and produce a full valid top-K
+    ranking (values differ from the oracle-certified md5 path by design:
+    different base hash → different random projection)."""
+    from vers_spark.operators.rag import TOP_K, rag_retrieve_chunks
+
+    a = rag_retrieve_chunks(spark, sf_dir, hash_backend="xxhash64").collect()
+    b = rag_retrieve_chunks(spark, sf_dir, hash_backend="xxhash64").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == TOP_K
+    assert sorted(r["rank"] for r in a) == list(range(1, TOP_K + 1))

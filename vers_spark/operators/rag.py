@@ -63,23 +63,38 @@ def _features(base):
     ]
 
 
-def _embed(tokens: DataFrame, keys: list[str]) -> DataFrame:
-    """Σ-aggregate the per-token features into EMB_DIMS wide columns."""
-    base = stable_hash60(F.col("token"))
+def _embed(tokens: DataFrame, keys: list[str], hash_backend: str = "md5") -> DataFrame:
+    """Σ-aggregate the per-token features into EMB_DIMS wide columns.
+
+    ``hash_backend``: ``"md5"`` (default) is the cross-engine base hash the
+    DuckDB oracle certifies; ``"xxhash64"`` is the DEPLOYMENT swap named in
+    BASELINE.md's scaling table since round 2 — Spark's codegen'd 64-bit
+    hash, ~5× cheaper per token, same embedding semantics (an affine family
+    over a well-mixed base), but Spark-only, so queries using it trade the
+    hash oracle for the recall/shape gates (tests/test_text.py probes the
+    swap's scaling claim)."""
+    if hash_backend == "md5":
+        base = stable_hash60(F.col("token"))
+    elif hash_backend == "xxhash64":
+        base = F.abs(F.xxhash64(F.col("token")))
+    else:
+        raise ValueError(f"unknown hash_backend {hash_backend!r}")
     feats = _features(base)
     return tokens.groupBy(*keys).agg(
         *[F.sum(feats[d]).cast("long").alias(f"e{d}") for d in range(EMB_DIMS)]
     )
 
 
-def rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rag_retrieve_chunks(
+    spark: SparkSession, sf_dir: str, hash_backend: str = "md5"
+) -> DataFrame:
     toks = F.split(F.trim(F.lower("chunk")), r"\s+")
     ct = (
         _chunks(spark, sf_dir)
         .select("doc_id", "chunk_id", F.explode(toks).alias("token"))
         .filter(F.col("token") != "")
     )
-    ce = _embed(ct, ["doc_id", "chunk_id"])
+    ce = _embed(ct, ["doc_id", "chunk_id"], hash_backend)
     qt = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
@@ -90,7 +105,7 @@ def rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
         .withColumn("_g", F.lit(1))
     )
-    qe = _embed(qt, ["_g"]).select(
+    qe = _embed(qt, ["_g"], hash_backend).select(
         *[F.col(f"e{d}").alias(f"q{d}") for d in range(EMB_DIMS)]
     )
     score = sum(F.col(f"e{d}") * F.col(f"q{d}") for d in range(EMB_DIMS))
