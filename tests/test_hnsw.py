@@ -208,6 +208,35 @@ def test_filtered_search_recall_and_membership(spark, sf_dir, hnsw_idx):
     assert len(got & exact) / len(exact) >= 0.8
 
 
+def test_frontier_parent_probe_covers_subshards(spark, sf_dir):
+    """Balanced-kmeans sharding (duplicated parent centroids): frontier
+    routing must count PARENT clusters like search() does. Probing all 8
+    parents of a >8-sub-shard index must therefore be the recall-exact mode
+    (identical to the unrouted frontier), and probing 6 of 8 parents must
+    pull in EVERY sub-shard of each probed parent (recall floor mirrors the
+    batch-path test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cap = max(50, n // 20)
+    idx = HNSWIndex.build(
+        emb, num_layers=4, ef_construction=40, ef_search=24, m=8,
+        num_shards=8, shard_by="kmeans", seed=7, max_shard_rows=cap,
+    )
+    assert idx.params["num_shards"] > 8  # the cap actually split clusters
+    q = emb.filter(F.col("vec_id") < 10)
+    full = sorted(map(tuple, idx.search_frontier(q, k=10).collect()))
+    routed_all = sorted(
+        map(tuple, idx.search_frontier(q, k=10, n_probe_shards=8).collect())
+    )
+    assert routed_all == full  # 8 parents ≡ all shards, NOT 8 of 12 sub-shards
+    exact = {(r["query_id"], r["neighbour_id"]) for r in exact_knn(q, emb, k=10).collect()}
+    pruned = {
+        (r["query_id"], r["neighbour_id"])
+        for r in idx.search_frontier(q, k=10, n_probe_shards=6).collect()
+    }
+    assert len(pruned & exact) / len(exact) >= 0.8
+
+
 def test_frontier_probe_pruning_recall(spark, sf_dir, hnsw_idx):
     """Centroid-routed frontier search (4 of 8 shards) keeps recall ≥ 0.8
     vs exact, and all-shards frontier recall is at least as good."""

@@ -73,6 +73,29 @@ def test_search_blocked_fill_rule_when_k_exceeds_probes(spark, emb, index):
     assert set(per_q.values()) == {k}
 
 
+def test_search_blocked_tie_break_at_boundary(spark):
+    """Duplicate vectors: every corpus row ties at distance 0, so the
+    per-batch truncation boundary falls INSIDE the tied group. The composite
+    (distance, id) key must decide who survives — argpartition on distance
+    alone could keep whichever tying rows the batch happened to order first
+    (corpus built descending-id to expose exactly that). Bit-exact parity
+    with the declarative search is the contract."""
+    n = 300
+    vec = [1.0] * 8
+    corpus = spark.createDataFrame(
+        [(i, vec) for i in range(n - 1, -1, -1)], "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    idx = IVFFlatIndex.build(corpus, num_clusters=2, max_iterations=2, seed=3)
+    q = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
+    got = idx.search_blocked(q, k=10, n_probes=1).collect()
+    want = idx.search(q, k=10, n_probes=1).collect()
+    gk = {(r["query_id"], r["rank"]): (r["neighbour_id"], r["distance"]) for r in got}
+    wk = {(r["query_id"], r["rank"]): (r["neighbour_id"], r["distance"]) for r in want}
+    assert gk == wk
+    # ties resolve to the SMALLEST ids, ascending
+    assert [gk[(0, r)][0] for r in range(1, 11)] == list(range(10))
+
+
 def test_recall_monotone_in_probes(spark, emb, index):
     q = emb.filter(F.col("vec_id") < 20)
     want = exact_knn(q, emb, k=10, metric="sq_euclidean").collect()

@@ -692,27 +692,57 @@ class HNSWIndex:
                 self.graph.filter(F.col("kind") == 1).agg(F.max("layer")).collect()[0][0] or 0
             )
 
+        parents = self.params.get("shard_parent")
+        n_route_units = (
+            len(set(parents)) if parents is not None else int(self.params["num_shards"])
+        )
         if (
             n_probe_shards is not None
             and self.centroids is not None
-            and n_probe_shards < int(self.params["num_shards"])
+            and n_probe_shards < n_route_units
         ):
             # centroid routing, declaratively: rank shards per query by
             # centroid distance (broadcast — num_shards rows) and start the
             # descent only on the n nearest, the frontier twin of the batch
             # path's probe_sets. All-shards remains the recall-exact mode.
-            cent_df = self.spark.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
-                "shard_id int, c_vec array<double>",
-            )
-            cw = W.partitionBy("query_id").orderBy("c_dist", "shard_id")
+            # Balanced-kmeans indexes (max_shard_rows) hash-split a cluster
+            # into sub-shards with DUPLICATED parent centroids: rank the
+            # unique PARENT centroids and probe ALL sub-shards of each probed
+            # parent — ranking sub-shards individually would count duplicates
+            # against n_probe_shards and cover only part of a cluster's
+            # neighbourhood (same semantics as search()'s probe_sets).
+            if parents is not None:
+                parr = np.array(parents)
+                uniq_parents, first_idx = np.unique(parr, return_index=True)
+                cent_df = self.spark.createDataFrame(
+                    [
+                        (int(p), [float(x) for x in self.centroids[i]])
+                        for p, i in zip(uniq_parents, first_idx)
+                    ],
+                    "route_id int, c_vec array<double>",
+                )
+                sub_df = self.spark.createDataFrame(
+                    [(int(p), int(s)) for s, p in enumerate(parents)],
+                    "route_id int, shard_id int",
+                )
+            else:
+                cent_df = self.spark.createDataFrame(
+                    [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+                    "route_id int, c_vec array<double>",
+                )
+                sub_df = None
+            cw = W.partitionBy("query_id").orderBy("c_dist", "route_id")
             probe = (
                 q.crossJoin(F.broadcast(cent_df))
                 .withColumn("c_dist", V.sq_euclidean(F.col("q_vec"), F.col("c_vec")))
                 .withColumn("_r", F.row_number().over(cw))
                 .filter(F.col("_r") <= n_probe_shards)
-                .select("query_id", "shard_id")
             )
+            if sub_df is not None:
+                probe = probe.join(F.broadcast(sub_df), "route_id")
+            else:
+                probe = probe.withColumn("shard_id", F.col("route_id"))
+            probe = probe.select("query_id", "shard_id")
             start = q.join(probe, "query_id").join(eps, "shard_id")
         else:
             start = q.crossJoin(eps)

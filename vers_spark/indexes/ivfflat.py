@@ -477,8 +477,15 @@ class IVFFlatIndex:
                         part = np.tile(np.arange(dd.shape[1]), (dd.shape[0], 1))
                     for row, qi in enumerate(qis):
                         cols = part[row]
-                        order = np.lexsort((b_ids[cols], dd[row, cols]))
-                        sel = cols[order]
+                        # argpartition selected by distance alone; ties at the
+                        # take-boundary could drop a smaller-id neighbour and
+                        # break the bit-exact parity with search(). Re-admit
+                        # every candidate tying the boundary distance, then
+                        # truncate on the composite (distance, id) key.
+                        thr = dd[row, cols].max()
+                        cand = np.nonzero(dd[row] <= thr)[0]
+                        order = np.lexsort((b_ids[cand], dd[row, cand]))
+                        sel = cand[order][:take]
                         out.append(
                             pd.DataFrame(
                                 {

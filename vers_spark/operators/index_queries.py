@@ -342,8 +342,11 @@ def knn_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs plus the same integer ADC.
 
     Serving shape (round 4): codes come from the PERSISTED store
-    (_pqf_codes — parquet partitioned by the k=8 coarse cluster, built once
-    per corpus), so serving reads 4 int columns and never recomputes the
+    (_pqf_codes — deliberately UNPARTITIONED parquet, built once per
+    corpus: this query is the full-corpus ADC oracle, so every code row is
+    read regardless; the coarse-cluster-partitioned layout lives in
+    pq.persist_codes_partitioned / ivfpq_search where pruning pays), so
+    serving reads 4 int columns and never recomputes the
     coding folds; ADC is element_at into per-query literal distance arrays
     after one broadcast of the Q-row query block — one scan of the code
     table, zero shuffles before the per-query top-k (WindowGroupLimit

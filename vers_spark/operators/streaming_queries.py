@@ -5,6 +5,7 @@ the DuckDB oracle validates actual stream output, not a batch rewrite.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -418,11 +419,13 @@ def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    cms = (
-        spark.read.parquet(store)
-        .groupBy("row_id", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    # zero micro-batches → foreachBatch never wrote the store: serve the
+    # empty sketch instead of raising AnalysisException on the missing path
+    if os.path.exists(store):
+        partials = spark.read.parquet(store)
+    else:
+        partials = spark.createDataFrame([], "row_id int, bucket int, cnt long")
+    cms = partials.groupBy("row_id", "bucket").agg(F.sum("cnt").alias("cnt"))
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("tok")
     )
