@@ -125,76 +125,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(m)
 
     priority = [
-        # -- never-swept (r1∪r2∪r3): the two r3 text ops, then streaming --
-        "doc_decontaminate_bloom",
-        "doc_window_dups",
-        "stream_dedup_ingest",
-        "stream_quality_gate",
-        "stream_funnel",
-        "stream_retention",
-        "stream_events_sliding",
-        "stream_sessions",
-        "stream_sessions_tws",
-        "stream_merge_versioned",
-        "stream_ivf_assign_stats",
-        "stream_ivf_assign_fixed",
-        "stream_rollup_serve",
-        # -- fixed round-3 red rows --
-        "mm_resize",
-        "mm_audio_resample",
-        "evt_gapfill_locf",
-        "evt_hourly_rollup_serve",
-        # -- new round-4 operators --
-        "ivfpq_residual_search",
-        "neardup_triangles",
-        "evt_zorder_range_scan",
-        "graph_ppr_customer_affinity",
-        "doc_cms_heavy_hitters",
+        # -- round-5 NEW operators (never swept) --
+        "ivf_range_search",
+        "doc_hll_distinct",
+        "doc_bm25_topk",
+        # -- re-certification: code paths changed AFTER the r4 sweep
+        #    (fc36334: search_blocked tie-break, search_frontier parent-aware
+        #    routing, stream_cms_merge empty-store guard) --
+        "hnsw_search_frontier",
         "stream_cms_merge",
-        # -- re-certification, CHANGED code paths this round first (PQ code
-        #    store, BPE mode dispatch, CC union-find fast path, IVF serving
-        #    materialization, index manifest `_`-key filtering): their green
-        #    rows predate the change, so they re-certify inside the 50-cut --
-        "knn_pq_fixed",
-        "bpe_train_merges",
-        "neardup_components",
-        "minhash_neardup",
         "ivf_search_fixed_p4",
-        "index_lifecycle_roundtrip",
-        "ivf_build_fixed",
-        "rag_retrieve_chunks",
-        # -- re-certification: r1 rows (untouched for 3 rounds) --
+        # -- rotation: every remaining row last swept in r1 (oldest first) --
         "q1_pricing_summary",
+        "q2_cheapest_supplier",
+        "q3_shipping_priority",
+        "q4_late_orders",
         "q5_revenue_by_nation",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_part_value_concentration",
+        "q12_priority_classes",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_count",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q19_disjunctive_revenue",
+        "q20_bulk_suppliers",
+        "q21_sole_late_supplier",
+        "q22_idle_rich_customers",
         "q_top_customers_per_nation",
-        "q_events_hourly",
-        "evt_purchase_asof_click",
-        "evt_error_context",
-        "evt_sessionize_batch",
-        "evt_funnel_conversion",
-        "evt_user_trend",
-        "doc_curation_pipeline",
-        "doc_pretrain_batches",
-        "doc_mixture_sample",
-        "doc_weighted_sample",
-        "doc_upsert_merge",
-        "doc_merge_full",
-        "doc_time_travel",
-        "doc_version_diff",
-        "graph_pagerank_topk",
-        # -- re-certification: streaming rows from r1 --
-        "stream_events_hourly",
-        "stream_interval_join",
-        "stream_static_enrich",
-        "stream_dedup_users",
-        # -- past the historical 50-cut: unchanged multi-round-green spine --
+        "q_customer_value_windows",
+        "q_events_range_window",
+        "q_events_grouping_sets",
+        "q_events_user_stats",
+        "q_events_props_json",
+        "q_doc_length_percentiles",
+        "q_rollup_orders",
+        "q_customer_order_activity",
+        "q_nation_presence",
+        "q_orders_pivot_status",
+        "q_orders_cube",
+        "q_sketch_stats",
+        "evt_value_outliers",
+        "evt_retention_cohorts",
+        "doc_stratified_sample",
+        "doc_pack_sequences",
+        "doc_pack_sequences_sharded",
+        "doc_split_assign",
+        "emb_semantic_dedup",
+        "emb_kcenter_sample",
+        # -- rotation: oldest r2 rows to fill the 50-cut --
         "vk_vector_ops",
-        "knn_exact_euclidean",
         "knn_exact_cosine",
+        "knn_exact_euclidean",
+        "knn_blocked_euclidean",
+        "knn_int8_euclidean",
+        # -- past the 50-cut: r2/r3/r4-green spine (rotate next rounds) --
+        "knn_pq_euclidean",
+        "knn_binary_rerank",
+        "knn_matryoshka_rerank",
+        "emb_quantize_stats",
+        "dedup_vectors_stats",
+        "ivf_search_all",
         "lsh_search_degenerate",
-        "hnsw_layer_stats",
-        "emb_label_centroids",
-        "simhash_neardup",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"

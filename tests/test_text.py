@@ -512,6 +512,45 @@ def test_cms_heavy_hitters_one_sided_error(spark, sf_dir):
         assert r["cms_n"] - r["exact_n"] <= 10 * n_total // CMS_WIDTH, (r, n_total)
 
 
+def test_hll_distinct_accuracy_and_register_partition(spark, sf_oracle_dir):
+    """HLL contract at the oracle SF (raw-estimate regime, n ≫ 2.5m): the
+    register histogram partitions all m buckets, the fixed-point sum is
+    consistent with the histogram, and the estimate lands within 3σ
+    (σ = 1.04/√1024 ≈ 3.3%) of the exact distinct count."""
+    from vers_spark.operators.text_analysis import HLL_M, _HLL_SCALE
+
+    rows = TA.QUERIES["doc_hll_distinct"](spark, sf_oracle_dir).collect()
+    assert sum(r["n_buckets"] for r in rows) == HLL_M
+    sum_fp = rows[0]["sum_fp"]
+    assert sum_fp == sum(r["n_buckets"] * (1 << (_HLL_SCALE - r["register"])) for r in rows)
+    est, exact = rows[0]["hll_est"], rows[0]["exact_n"]
+    assert exact > 2.5 * HLL_M  # raw regime actually holds at this SF
+    assert abs(est - exact) / exact < 0.1, (est, exact)
+
+
+def test_bm25_oracle_and_ranking_semantics(spark, sf_dir):
+    """BM25 hash-matches its DuckDB twin, and the scores behave like BM25:
+    ranks are 1..20 with nonincreasing scores, and any returned document
+    with at least one query-term hit outscores a hitless one (hitless docs
+    can only appear when fewer than 20 docs contain any term)."""
+    from vers_spark.operators import rag
+
+    assert_oracle_match(
+        spark, sf_dir, "doc_bm25_topk",
+        rag.QUERIES["doc_bm25_topk"], rag.ORACLE_SQL["doc_bm25_topk"],
+    )
+    rows = rag.QUERIES["doc_bm25_topk"](spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    tf_cols = [c for c in rows[0].asDict() if c.startswith("tf_")]
+    hits = [sum(r[c] for c in tf_cols) > 0 for r in rows]
+    if any(hits):
+        # no hitless doc may outrank a doc with hits
+        first_hitless = hits.index(False) if False in hits else len(hits)
+        assert all(hits[:first_hitless]) and not any(hits[first_hitless:])
+
+
 def test_rag_xxhash_backend_shape_and_determinism(spark, sf_dir):
     """The xxhash64 deployment swap (BASELINE.md scaling table): same
     pipeline, Spark-native codegen hash instead of the cross-engine md5 —

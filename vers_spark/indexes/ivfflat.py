@@ -387,6 +387,60 @@ class IVFFlatIndex:
             )
         )
 
+    def range_search(
+        self,
+        queries: DataFrame,
+        r2: float,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+    ) -> DataFrame:
+        """Radius (range) search: EVERY neighbour within squared-L2 distance
+        ``r2`` of each query — exact results with IVF pruning. A cluster c
+        with coverage radius R_c = max ‖x − cent_c‖ over its members can be
+        skipped when ‖q − cent_c‖ > √r2 + R_c (triangle inequality: its
+        nearest possible member is still out of radius), so the pruning
+        provably changes nothing — the output equals brute force, which is
+        what lets the clusterless SQL twin serve as a FULL hash oracle for
+        the pruned plan. Scale shape: radii are one aggregate over the
+        posting lists (cacheable per index); the (query, cluster) probe set
+        is a broadcast-joined filter on the centroid table; candidates are
+        the probed posting lists only — on a bucketed store the probe join
+        partition-prunes. Pruning pays when clusters are tighter than the
+        radius (real clustered corpora); in the worst case it degrades to a
+        full scan, never to a wrong answer. For UNBOUNDED query sets swap
+        the probe broadcast for a shuffle join on cluster_id."""
+        asg = self._serving_assignments()
+        radii_key = "_range_radii"
+        if radii_key not in self.params:
+            self.params[radii_key] = (
+                asg.join(F.broadcast(self.centroids), "cluster_id")
+                .groupBy("cluster_id")
+                .agg(
+                    F.max(V.sq_euclidean(F.col("embedding"), F.col("centroid"))).alias(
+                        "r2_max"
+                    )
+                )
+                .localCheckpoint(eager=True)
+            )
+        radii = self.params[radii_key]
+        q = queries.select(
+            F.col(query_id).cast("long").alias("query_id"), F.col(query_vec).alias("q_vec")
+        )
+        cents = self.centroids.join(F.broadcast(radii), "cluster_id")
+        c_dist = V.sq_euclidean(F.col("q_vec"), F.col("centroid"))
+        probe = (
+            q.crossJoin(F.broadcast(cents))
+            .filter(F.sqrt(c_dist) <= F.sqrt(F.lit(float(r2))) + F.sqrt(F.col("r2_max")))
+            .select("query_id", "q_vec", "cluster_id")
+        )
+        dist = V.sq_euclidean(F.col("q_vec"), F.col("embedding"))
+        return (
+            asg.join(F.broadcast(probe), "cluster_id")
+            .withColumn("distance", dist)
+            .filter(F.col("distance") <= F.lit(float(r2)))
+            .select("query_id", F.col("id").alias("neighbour_id"), "distance")
+        )
+
     def search_blocked(
         self,
         queries: DataFrame,

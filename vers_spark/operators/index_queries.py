@@ -986,7 +986,41 @@ def _hnsw_layer_sql() -> str:
     """
 
 
+IVF_RANGE_R2 = 1.4  # ≈ the 1% pair-distance quantile of the synthetic embeddings
+
+
+def ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius search (§2.C range formulation): all neighbours within
+    squared-L2 1.4 of each query, served through IVF triangle-inequality
+    cluster pruning (IVFFlatIndex.range_search). The output is provably
+    clustering-invariant — pruned clusters cannot contain an in-radius
+    point — so the clusterless brute-force SQL is a FULL hash oracle for
+    the pruned plan (unlike top-k ANN, range search keeps exactness under
+    pruning for free). Self-matches are excluded."""
+    idx = _ivf(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    return (
+        idx.range_search(q, IVF_RANGE_R2)
+        .filter(F.col("neighbour_id") != F.col("query_id"))
+        .orderBy("query_id", "distance", "neighbour_id")
+    )
+
+
+def _ivf_range_sql() -> str:
+    dist = _D_SQE_FOLD.format(a="q.qv", b="e.embedding")
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id % 97 = 0)
+        SELECT query_id, e.vec_id AS neighbour_id, {dist} AS distance
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id AND ({dist}) <= {IVF_RANGE_R2!r}
+        ORDER BY query_id, distance, neighbour_id
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
+    "ivf_range_search": _ivf_range_sql(),
     "ivf_build_fixed": _ivf_build_fixed_sql(),
     "ivf_search_fixed_p4": _ivf_search_fixed_sql(),
     "emb_similarity_join_fixed": _emb_simjoin_fixed_sql(),
@@ -1004,6 +1038,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     # exact-oracle entries first (hard hash-match signal), rows-only after
+    "ivf_range_search": ivf_range_search,
     "ivf_search_all": ivf_search_all,
     "ivf_search_filtered": ivf_search_filtered,
     "lsh_search_degenerate": lsh_search_degenerate,

@@ -274,11 +274,122 @@ def _rag_maxsim_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------- BM25
+# Okapi BM25 (Robertson & Walker 1994) lexical retrieval, engine-exact.
+# ln() is not correctly-rounded across engines, so the idf is the RAW
+# Robertson ratio (N − df + 0.5)/(df + 0.5) without the log — a monotone
+# transform, so rankings are BM25 rankings (same discipline as
+# doc_tfidf_topk's rational idf). Every constant is computed ONCE in
+# Python and embedded as the identical literal in both engines; the
+# per-document score is a fixed-order row expression (no float aggregate),
+# so the doubles hash-match.
+BM25_TERMS = ("spark", "vector", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+_BM25_1MB = 1.0 - BM25_B
+_BM25_K1P1 = 1.0 + BM25_K1
+
+
+def _tf(toks, term: str):
+    # NB: a single-parameter lambda is required — F.filter dispatches on the
+    # lambda's arity, and a second (defaulted) parameter would receive the
+    # array INDEX column
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed 4-term query. Scale shape: tf and
+    dl are array-side per-row expressions (ONE corpus scan, no (doc, term)
+    explode); N, Σdl, and the 4 dfs are one combined 1-row aggregate that
+    broadcasts back; scoring is row-local; the global top-20 is
+    orderBy+limit → TakeOrderedAndProject (per-partition partial top-k,
+    never a full sort); the rank window runs over the 20 survivors only.
+    At 100 TB nothing shuffles except 20-row blocks and one 1-row stats
+    frame."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.col("text"))
+    per = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(toks, t).cast("long").alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = per.agg(
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).cast("long").alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    s = per.crossJoin(F.broadcast(stats))
+    n_d = F.col("n_docs").cast("double")
+    ratio = (F.col("dl").cast("double") * n_d) / F.col("sum_dl").cast("double")
+
+    def term_score(t: str):
+        tf_d = F.col(f"tf_{t}").cast("double")
+        df_d = F.col(f"df_{t}").cast("double")
+        idf = ((n_d - df_d) + F.lit(0.5)) / (df_d + F.lit(0.5))
+        norm = tf_d + (F.lit(BM25_K1) * (F.lit(_BM25_1MB) + (F.lit(BM25_B) * ratio)))
+        return (idf * (tf_d * F.lit(_BM25_K1P1))) / norm
+
+    score = term_score(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + term_score(t)
+    top = (
+        s.select("doc_id", "dl", *[f"tf_{t}" for t in BM25_TERMS], score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).orderBy("rank")
+
+
+def _bm25_sql() -> str:
+    toks = D_TOKENS.format(t="text")
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter({toks}, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    ratio = "((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE))"
+
+    def ts(t: str) -> str:
+        tf = f"CAST(tf_{t} AS DOUBLE)"
+        dfv = f"CAST(df_{t} AS DOUBLE)"
+        idf = f"(((CAST(n_docs AS DOUBLE) - {dfv}) + 0.5) / ({dfv} + 0.5))"
+        norm = f"({tf} + ({BM25_K1!r} * ({_BM25_1MB!r} + ({BM25_B!r} * {ratio}))))"
+        return f"(({idf} * ({tf} * {_BM25_K1P1!r})) / {norm})"
+
+    score = ts(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = f"({score} + {ts(t)})"
+    tf_list = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+        WITH per AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS dl, {tf_cols}
+                     FROM documents),
+        stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+                         CAST(count(*) AS BIGINT) AS n_docs, {df_cols}
+                  FROM per)
+        SELECT doc_id, dl, {tf_list}, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        FROM (SELECT p.doc_id, p.dl, {tf_list}, {score} AS score
+              FROM per p CROSS JOIN stats)
+        ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+    """
+
+
 QUERIES = {
     "rag_retrieve_chunks": rag_retrieve_chunks,
     "rag_maxsim_rerank": rag_maxsim_rerank,
+    "doc_bm25_topk": doc_bm25_topk,
 }
 ORACLE_SQL = {
     "rag_retrieve_chunks": _rag_sql(),
     "rag_maxsim_rerank": _rag_maxsim_sql(),
+    "doc_bm25_topk": _bm25_sql(),
 }

@@ -311,6 +311,82 @@ def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers → σ ≈ 1.04/√m ≈ 3.3%
+# rho = trailing zeros of the 50 bits above the bucket, +1; w == 0 → max.
+# Trailing zeros of a uniform word are geometric exactly like HLL's leading
+# zeros (Flajolet et al. 2007 §3 analysis is orientation-agnostic) and are
+# computable EXACTLY in both engines as bit_count((w & -w) - 1) — no log2.
+_HLL_RHO_MAX = 60 - HLL_P + 1
+_HLL_SCALE = _HLL_RHO_MAX  # 2^(SCALE − register) is an exact BIGINT ∀ register
+# α_m · m² · 2^SCALE as ONE Python float literal embedded in both engines:
+# the runtime estimate is a single division, so the doubles hash-match.
+_HLL_CONST = 0.7213 / (1.0 + 1.079 / float(HLL_M)) * float(HLL_M) * float(HLL_M) * float(
+    1 << _HLL_SCALE
+)
+
+
+def doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate (Flajolet et al. 2007),
+    cross-engine EXACT — the cardinality companion to
+    :func:`doc_cms_heavy_hitters` (frequency) for vocabularies too large to
+    count-distinct at 100 TB. One aggregate pass over exploded tokens
+    produces the m=1024 register table (max rho per bucket — map-side
+    combine absorbs the duplicates, output fixed at 1024 rows whatever the
+    corpus size; registers are max-mergeable, so this is the shardable/
+    streamable summary shape); the estimate is α·m²/Σ2^(−M_j) computed as
+    an exact fixed-point BIGINT sum (2^(SCALE−M_j) terms — order-free)
+    followed by ONE double division, so unlike q_sketch_stats'
+    engine-internal approx_count_distinct the whole sketch carries a FULL
+    DuckDB hash oracle. Hashing = the corpus-stable md5-60bit base; bucket
+    = h mod m, rho = trailing-zeros(h >> p) + 1 via bit_count — exact in
+    both engines. The counted items are word 3-gram SHINGLES, not tokens:
+    shingle-space cardinality is the quantity MinHash dedup sizing needs,
+    and the synthetic corpus's token vocabulary (~31 types) sits far below
+    the m=1024 raw-estimate regime (valid for n ≳ 2.5m) while its shingle
+    space does not. No low-range linear-counting branch: it needs ln(),
+    which is not correctly-rounded across engines; raw-regime accuracy is
+    gated in tests at the oracle SF. Output: the register histogram
+    (certifies the whole register table) with the exact distinct count and
+    the HLL estimate alongside."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.word_shingles(TX.ws_tokens(F.col("text")), 3)).alias("tok")
+    )
+    h = TX.stable_hash60(F.col("tok"))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == F.lit(0), F.lit(_HLL_RHO_MAX)).otherwise(
+        F.bit_count(w.bitwiseAND(-w) - F.lit(1)) + F.lit(1)
+    )
+    cells = toks.select(
+        (h % HLL_M).cast("int").alias("bucket"), rho.cast("int").alias("rho")
+    )
+    regs = cells.groupBy("bucket").agg(F.max("rho").alias("register"))
+    spine = spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    full = spine.join(F.broadcast(regs), "bucket", "left").select(
+        "bucket", F.coalesce(F.col("register"), F.lit(0)).cast("int").alias("register")
+    )
+    stats = full.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - register)"))
+        .cast("long")
+        .alias("sum_fp")
+    )
+    exact = toks.agg(F.countDistinct("tok").cast("long").alias("exact_n"))
+    hist = full.groupBy("register").agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    return (
+        hist.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("register").cast("int").alias("register"),
+            "n_buckets",
+            "exact_n",
+            "sum_fp",
+            (F.lit(_HLL_CONST) / F.col("sum_fp").cast("double")).alias("hll_est"),
+        )
+        .orderBy("register")
+    )
+
+
 def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): unique
     token ratio, adjacent-duplicate-token fraction, fraction of characters in
@@ -1342,6 +1418,40 @@ ORACLE_SQL["doc_decontaminate_bloom"] = rf"""
            CAST(n_bloom_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.05 AS contaminated_bloom
     FROM agg
 """
+
+_D_HASH60_TOK = D_HASH60.format(x="tok")
+_D_TOKS = D_TOKENS.format(t="text")
+ORACLE_SQL["doc_hll_distinct"] = f"""
+    WITH toks AS (
+        SELECT unnest(CASE WHEN len({_D_TOKS}) >= 3
+                      THEN list_transform(generate_series(1, len({_D_TOKS}) - 2),
+                                          i -> array_to_string(({_D_TOKS})[i:i+2], ' '))
+                      ELSE [array_to_string({_D_TOKS}, ' ')] END) AS tok
+        FROM documents),
+    hashes AS (SELECT tok, ({_D_HASH60_TOK}) AS h FROM toks),
+    cells AS (
+        SELECT CAST(h % {HLL_M} AS INT) AS bucket,
+               CAST(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+                    ELSE bit_count(((h >> {HLL_P}) & -(h >> {HLL_P})) - 1) + 1
+                    END AS INT) AS rho
+        FROM hashes
+    ),
+    regs AS (SELECT bucket, max(rho) AS register FROM cells GROUP BY bucket),
+    spine AS (SELECT CAST(range AS INT) AS bucket FROM range({HLL_M})),
+    full_regs AS (
+        SELECT s.bucket, CAST(coalesce(r.register, 0) AS INT) AS register
+        FROM spine s LEFT JOIN regs r ON r.bucket = s.bucket
+    ),
+    stats AS (SELECT CAST(sum(CAST(1 AS BIGINT) << ({_HLL_SCALE} - register)) AS BIGINT)
+                     AS sum_fp FROM full_regs),
+    exact AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_n FROM toks)
+    SELECT register, CAST(count(*) AS BIGINT) AS n_buckets, exact_n, sum_fp,
+           {_HLL_CONST!r} / CAST(sum_fp AS DOUBLE) AS hll_est
+    FROM full_regs, stats, exact
+    GROUP BY register, exact_n, sum_fp
+    ORDER BY register
+"""
+QUERIES["doc_hll_distinct"] = doc_hll_distinct
 
 ORACLE_SQL["doc_window_dups"] = rf"""
     WITH corpus AS (
