@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_range_search",
         "doc_hll_distinct",
         "doc_bm25_topk",
+        "neardup_components_star",
+        "rag_mmr_rerank",
+        "doc_sample_quantiles",
         # -- re-certification: code paths changed AFTER the r4 sweep
         #    (fc36334: search_blocked tie-break, search_frontier parent-aware
         #    routing, stream_cms_merge empty-store guard) --

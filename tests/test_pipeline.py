@@ -144,6 +144,44 @@ def test_connected_components_vs_union_find(spark):
     assert fast == expected
 
 
+def test_connected_components_star_parity(spark):
+    """Large-star/small-star converges to the SAME min-id components as
+    union-find and label propagation on a seeded random graph plus a long
+    path — the path is the regime the star variant exists for (diameter 40
+    would cost propagation 40 rounds; star contracts it in O(log²))."""
+    import random
+
+    from vers_spark.operators.graph import connected_components, connected_components_star
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(45)]
+    edges += [(200 + i, 201 + i) for i in range(40)]  # path: diameter 40
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    star = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
+    assert star == expected
+    prop = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_cap=0, max_iter=45).collect()
+    }
+    assert star == prop
+
+
 def test_stratified_sample_rates(spark, sf_dir):
     """Hash-bucket stratified sampling hits each language's configured rate
     within binomial tolerance, and is exactly reproducible run-to-run."""

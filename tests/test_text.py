@@ -338,6 +338,59 @@ def test_rag_maxsim_oracle(spark, sf_dir):
     )
 
 
+def test_rag_mmr_rerank_oracle_and_greedy_semantics(spark, sf_dir):
+    """MMR rerank hash-matches its unrolled-CTE DuckDB twin, and the
+    trajectory is a valid greedy: sel_rank 1..k, first pick is the
+    relevance argmax (max_sim = 0), and every later pick's (max_sim, mmr)
+    recompute exactly from the candidate set — an independent replay of
+    the selection, not a re-read of the operator's own output."""
+    from tests.oracle import assert_oracle_match
+    from vers_spark.operators import rag
+    from vers_spark.operators.rag import EMB_DIMS, MMR_W_DIV, MMR_W_REL, _mmr_candidates
+
+    assert_oracle_match(
+        spark, sf_dir, "rag_mmr_rerank",
+        rag.QUERIES["rag_mmr_rerank"], rag.ORACLE_SQL["rag_mmr_rerank"],
+    )
+    cand = {
+        (r["doc_id"], r["chunk_id"]): (
+            [r[f"e{d}"] for d in range(EMB_DIMS)], r["rel"]
+        )
+        for r in _mmr_candidates(spark, sf_dir).collect()
+    }
+    got = rag.QUERIES["rag_mmr_rerank"](spark, sf_dir).collect()
+    assert [r["sel_rank"] for r in got] == list(range(1, len(got) + 1))
+    assert got[0]["max_sim"] == 0
+    assert got[0]["rel"] == max(rel for _, rel in cand.values())
+    picked, chosen = [], set()
+    for r in got:
+        # replay the whole step: the pick must be the argmax over unchosen
+        step_best = min(
+            (
+                (
+                    -(MMR_W_REL * rel - MMR_W_DIV * max(
+                        (sum(a * b for a, b in zip(emb, p)) for p in picked),
+                        default=0,
+                    )),
+                    k[0],
+                    k[1],
+                )
+                for k, (emb, rel) in cand.items()
+                if k not in chosen
+            ),
+        )
+        assert (step_best[1], step_best[2]) == (r["doc_id"], r["chunk_id"])
+        emb, rel = cand[(r["doc_id"], r["chunk_id"])]
+        msim = max(
+            (sum(a * b for a, b in zip(emb, p)) for p in picked), default=0
+        )
+        assert r["rel"] == rel and r["max_sim"] == msim
+        assert r["mmr"] == MMR_W_REL * rel - MMR_W_DIV * msim
+        picked.append(emb)
+        chosen.add((r["doc_id"], r["chunk_id"]))
+    assert len(chosen) == len(got)
+
+
 def test_version_diff_oracle_and_bucket_pruning(spark, sf_dir):
     """diff_versions: (a) the changelog hash-matches the declarative delta
     (driver oracle twin), (b) file-identity pruning leaves untouched buckets
@@ -549,6 +602,36 @@ def test_bm25_oracle_and_ranking_semantics(spark, sf_dir):
         # no hitless doc may outrank a doc with hits
         first_hitless = hits.index(False) if False in hits else len(hits)
         assert all(hits[:first_hitless]) and not any(hits[first_hitless:])
+
+
+def test_sample_quantiles_accuracy_and_contract(spark, sf_dir):
+    """Bottom-k quantile sketch: k is exactly min(BK_K, n), the exact stats
+    are genuinely the ⌈p·n⌉-th order statistics (recomputed via a driver
+    sort of the full dl list), and the k=256 sample lands within 10 rank
+    percentiles of truth (DKW at k=256, δ≈1e-3 → ε≈0.12)."""
+    from vers_spark.functions import text as TX2
+    from vers_spark.operators.text_analysis import BK_K, BK_PCTS
+    from vers_spark.operators.text_analysis import QUERIES as TAQ
+
+    rows = {r["pct"]: r for r in TAQ["doc_sample_quantiles"](spark, sf_dir).collect()}
+    assert set(rows) == {p for p, _, _ in BK_PCTS}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dls = sorted(
+        r["dl"]
+        for r in docs.select(
+            F.size(TX2.ws_tokens(F.col("text"))).cast("long").alias("dl")
+        ).collect()
+    )
+    n = len(dls)
+    for pct, num, den in BK_PCTS:
+        r = rows[pct]
+        assert r["n_docs"] == n and r["k"] == min(BK_K, n)
+        assert r["exact_stat"] == dls[(num * n + den - 1) // den - 1]
+        # rank-space accuracy: est must be the true quantile of SOME
+        # p' within ±0.10 of p (value-space error can be 0 on ties)
+        lo = max((num * n) // den - n // 10, 1)
+        hi = min((num * n + den - 1) // den + n // 10, n)
+        assert dls[lo - 1] <= r["sample_est"] <= dls[hi - 1], (pct, r)
 
 
 def test_rag_xxhash_backend_shape_and_determinism(spark, sf_dir):

@@ -91,6 +91,105 @@ def connected_components(
     return labels.select("node", F.col("lbl").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — the deep-graph
+    alternative to :func:`connected_components`' min-label propagation.
+    Propagation needs DIAMETER rounds (each label moves one hop per round);
+    the star alternation contracts paths doubly-exponentially and converges
+    in O(log² n) rounds regardless of diameter, so it is the right variant
+    when components are path-shaped (chained near-dups, linked sessions)
+    rather than clique-like.
+
+    Per round, two halvings of the edge set, each ONE shuffle:
+    - large-star: group BOTH edge directions by u; with m = min(N(u) ∪ {u}),
+      rewire every strictly-larger neighbour to m — emit (v, m) for
+      v ∈ N(u), v > u.
+    - small-star: orient edges child=max, parent=min and group by child;
+      with m = min(N(u) ∪ {u}) over the smaller neighbours, emit (v, m)
+      for v ∈ N(u) ∪ {u}, v ≠ m.
+    Both keep edges strictly (larger → smaller), never disconnect, and at
+    the fixpoint the edge set is exactly the star forest child → component
+    minimum (the paper's Theorem 1), so the output is BIT-IDENTICAL to the
+    other two regimes — one oracle certifies all three.
+
+    Convergence probe: the small-star edge set only loses total child+parent
+    mass (every rewire lowers the parent, ids are non-negative), so a 1-row
+    (count, Σsrc+Σdst) aggregate detects the fixpoint exactly — the same
+    monotone-probe trick as the propagation variant, no row-diff join.
+    Lineage is truncated per round with localCheckpoint; the distinct() per
+    star phase is the dedup the paper's reduce does for free."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    probe = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("src") + F.col("dst")).cast("decimal(38,0)")).alias("mass"),
+    ).collect()[0]
+    prev = (probe["n"], probe["mass"])
+    for _ in range(max_rounds):
+        # large-star: both directions, rewire larger neighbours to the min.
+        # min-per-node is an aggregate (map-side combine), then a join back
+        # on the SAME key — co-partitioned, no per-group neighbour list in
+        # memory (hub nodes never materialize their adjacency).
+        both = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        lmin = (
+            both.groupBy("src")
+            .agg(F.min("dst").alias("m_n"))
+            .select("src", F.least("m_n", "src").alias("m"))
+        )
+        ls = (
+            both.join(lmin, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star: edges are (child=larger → parent=smaller) after
+        # large-star; rewire every parent AND the child to the child's
+        # minimum parent: (v, m) for v ∈ parents(u) ∪ {u}, v ≠ m.
+        smin = ls.groupBy("src").agg(F.min("dst").alias("m"))
+        ss = (
+            ls.join(smin, "src")
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionAll(smin.select("src", F.col("m").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = ss
+        p = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("src") + F.col("dst")).cast("decimal(38,0)")).alias("mass"),
+        ).collect()[0]
+        cur = (p["n"], p["mass"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components_star: no fixpoint in {max_rounds} rounds")
+    roots = (
+        e.select(F.col("dst").alias("node"))
+        .distinct()
+        .join(e.select(F.col("src").alias("node")).distinct(), "node", "left_anti")
+    )
+    return e.select(F.col("src").alias("node"), F.col("dst").alias("component")).unionAll(
+        roots.select("node", F.col("node").alias("component"))
+    )
+
+
 def dedup_survivors(components: DataFrame) -> DataFrame:
     """Per node: its component, the component size, and whether it is the
     surviving row (node == component == min id of the group)."""

@@ -274,6 +274,179 @@ def _rag_maxsim_sql() -> str:
     """
 
 
+# ----------------------------------------------------------------- MMR
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+# diversified selection from the first-stage shortlist —
+#   next = argmax_{c ∈ C\S} [ λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) ]
+# λ = 0.7 as the integer weights 7 and 3 (the ×10-scaled objective is the
+# same argmax), rel = the first-stage query dot product, sim = the raw
+# chunk⋅chunk integer inner product — every score is a BIGINT, so the
+# greedy trajectory is bit-identical across engines and the k unrolled
+# selection rounds can be stated exactly in DuckDB SQL.
+MMR_K = 10
+MMR_W_REL = 7  # λ·10
+MMR_W_DIV = 3  # (1−λ)·10
+
+
+def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-stage top-20 shortlist WITH its pooled integer embeddings —
+    the same corpus scan / broadcast-query / TakeOrdered shape as
+    rag_retrieve_chunks, keeping e0..e15 for the rerank's chunk-chunk
+    similarities."""
+    toks = F.split(F.trim(F.lower("chunk")), r"\s+")
+    ct = (
+        _chunks(spark, sf_dir)
+        .select("doc_id", "chunk_id", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    ce = _embed(ct, ["doc_id", "chunk_id"])
+    qt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(3)
+        .withColumn("_g", F.lit(1))
+    )
+    qe = _embed(qt, ["_g"]).select(
+        *[F.col(f"e{d}").alias(f"q{d}") for d in range(EMB_DIMS)]
+    )
+    score = sum(F.col(f"e{d}") * F.col(f"q{d}") for d in range(EMB_DIMS))
+    scored = ce.crossJoin(F.broadcast(qe)).select(
+        "doc_id",
+        "chunk_id",
+        *[F.col(f"e{d}") for d in range(EMB_DIMS)],
+        score.cast("long").alias("rel"),
+    )
+    return scored.orderBy(
+        F.desc("rel"), F.asc("doc_id"), F.asc("chunk_id")
+    ).limit(TOP_K)
+
+
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 over the first-stage top-20. Scale shape:
+    candidate generation is the distributed stage (one corpus scan,
+    TakeOrderedAndProject top-20); the greedy selection itself is
+    O(k·|C|·dims) on TWENTY rows — driver-local BY DESIGN, exactly like the
+    k-center seeding loop (a shortlist never grows with the corpus, only
+    with k). Returns (doc_id, chunk_id, rel, max_sim, mmr, sel_rank):
+    max_sim is the selected item's similarity to the already-picked set at
+    the moment of ITS selection (0 for the first pick), mmr its winning
+    objective value. The DuckDB twin states the identical k greedy rounds
+    as unrolled single-row CTEs — a FULL trajectory hash oracle, not just a
+    membership check."""
+    cand = _mmr_candidates(spark, sf_dir).collect()
+    rows = [
+        (
+            r["doc_id"],
+            r["chunk_id"],
+            [r[f"e{d}"] for d in range(EMB_DIMS)],
+            r["rel"],
+        )
+        for r in cand
+    ]
+    selected: list[tuple] = []
+    chosen: set[tuple] = set()
+    out: list[tuple] = []
+    for step in range(1, min(MMR_K, len(rows)) + 1):
+        best = None
+        for doc_id, chunk_id, emb, rel in rows:
+            if (doc_id, chunk_id) in chosen:
+                continue
+            msim = max(
+                (sum(a * b for a, b in zip(emb, s_emb)) for _, _, s_emb, _ in selected),
+                default=0,
+            )
+            mmr = MMR_W_REL * rel - MMR_W_DIV * msim
+            key = (-mmr, doc_id, chunk_id)
+            if best is None or key < best[0]:
+                best = (key, (doc_id, chunk_id, emb, rel), msim, mmr)
+        _, pick, msim, mmr = best
+        selected.append(pick)
+        chosen.add((pick[0], pick[1]))
+        out.append((pick[0], pick[1], pick[3], msim, mmr, step))
+    return spark.createDataFrame(
+        out,
+        "doc_id long, chunk_id long, rel long, max_sim long, mmr long, sel_rank int",
+    )
+
+
+def _mmr_sql() -> str:
+    feats = _d_features("h")
+    toks = D_TOKENS.format(t="chunk")
+    dtoks = D_TOKENS.format(t="text")
+    ce_sums = ", ".join(
+        f"CAST(sum({feats[d]}) AS BIGINT) AS e{d}" for d in range(EMB_DIMS)
+    )
+    qe_sums = ", ".join(
+        f"CAST(sum({feats[d]}) AS BIGINT) AS q{d}" for d in range(EMB_DIMS)
+    )
+    dot_q = " + ".join(f"ce.e{d} * qe.q{d}" for d in range(EMB_DIMS))
+    parts = [
+        f"""
+        ct AS MATERIALIZED (
+            SELECT doc_id, chunk_id, {D_HASH60.format(x="token")} AS h
+            FROM (SELECT doc_id, chunk_id, unnest({toks}) AS token FROM {_D_CHUNKS})
+            WHERE token <> ''
+        ), ce AS MATERIALIZED (
+            SELECT doc_id, chunk_id, {ce_sums} FROM ct GROUP BY doc_id, chunk_id
+        ), qt AS MATERIALIZED (
+            SELECT {D_HASH60.format(x="token")} AS h FROM (
+                SELECT token, count(*) AS c
+                FROM (SELECT unnest({dtoks}) AS token FROM documents)
+                WHERE token <> '' GROUP BY token
+            ) ORDER BY c DESC, token ASC LIMIT 3
+        ), qe AS MATERIALIZED (
+            SELECT {qe_sums} FROM qt
+        ), cand AS MATERIALIZED (
+            SELECT ce.*, CAST({dot_q} AS BIGINT) AS rel
+            FROM ce CROSS JOIN qe
+            ORDER BY rel DESC, doc_id ASC, chunk_id ASC LIMIT {TOP_K}
+        )"""
+    ]
+    for n in range(1, MMR_K + 1):
+        prev = [f"s{j}" for j in range(1, n)]
+        if not prev:
+            parts.append(
+                f"""s1 AS MATERIALIZED (
+                SELECT c.*, CAST(0 AS BIGINT) AS max_sim,
+                       CAST({MMR_W_REL} * c.rel AS BIGINT) AS mmr
+                FROM cand c
+                ORDER BY mmr DESC, c.doc_id ASC, c.chunk_id ASC LIMIT 1
+            )"""
+            )
+            continue
+        dots = [
+            "(" + " + ".join(f"c.e{d} * {p}.e{d}" for d in range(EMB_DIMS)) + ")"
+            for p in prev
+        ]
+        msim = dots[0] if len(dots) == 1 else f"greatest({', '.join(dots)})"
+        excl = " AND ".join(
+            f"NOT (c.doc_id = {p}.doc_id AND c.chunk_id = {p}.chunk_id)" for p in prev
+        )
+        parts.append(
+            f"""s{n} AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT c.*, CAST({msim} AS BIGINT) AS max_sim,
+                       CAST({MMR_W_REL} * c.rel - {MMR_W_DIV} * ({msim}) AS BIGINT) AS mmr
+                FROM cand c, {', '.join(prev)}
+                WHERE {excl}
+            ) ORDER BY mmr DESC, doc_id ASC, chunk_id ASC LIMIT 1
+        )"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, chunk_id, rel, max_sim, mmr, {n} AS n FROM s{n}"
+        for n in range(1, MMR_K + 1)
+    )
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT doc_id, chunk_id, rel, max_sim, mmr, CAST(n AS INT) AS sel_rank
+        FROM ({union}) ORDER BY n
+    """
+
+
 # ---------------------------------------------------------------- BM25
 # Okapi BM25 (Robertson & Walker 1994) lexical retrieval, engine-exact.
 # ln() is not correctly-rounded across engines, so the idf is the RAW
@@ -386,10 +559,12 @@ def _bm25_sql() -> str:
 QUERIES = {
     "rag_retrieve_chunks": rag_retrieve_chunks,
     "rag_maxsim_rerank": rag_maxsim_rerank,
+    "rag_mmr_rerank": rag_mmr_rerank,
     "doc_bm25_topk": doc_bm25_topk,
 }
 ORACLE_SQL = {
     "rag_retrieve_chunks": _rag_sql(),
     "rag_maxsim_rerank": _rag_maxsim_sql(),
+    "rag_mmr_rerank": _mmr_sql(),
     "doc_bm25_topk": _bm25_sql(),
 }

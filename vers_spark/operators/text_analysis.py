@@ -387,6 +387,78 @@ def doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BK_K = 256  # bottom-k sample size
+# (pct label, numerator, denominator) — ceil(p·n) as exact integer arithmetic
+BK_PCTS = ((50, 1, 2), (90, 9, 10), (99, 99, 100))
+
+
+def doc_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a BOTTOM-K HASH SAMPLE (the k smallest
+    md5-60bit values of the doc key — a deterministic uniform sample,
+    Cohen & Kaplan 2007), certified against the EXACT order statistics:
+    the 100 TB pattern for order statistics without a global sort. Why this
+    sketch: the bottom-k set is MERGEABLE (bottom-k of a union = bottom-k
+    of the per-shard bottom-ks), one TakeOrderedAndProject pass (per-
+    partition partial bottom-k, only k rows merge), and — unlike
+    approx_percentile's t-digest — every byte of it is deterministic, so a
+    DuckDB twin certifies estimate AND truth in one hash-matched row set.
+    The exact side needs no global sort either: token-count cardinality is
+    tiny (≤ max doc length), so a histogram + cumulative sum over the
+    DISTINCT values (a bounded table; the window is over distinct dl only)
+    yields the true ⌈p·n⌉-th order statistic. Estimates are type-1 order
+    statistics of the sample (⌈p·k⌉-th smallest — pure integers, no
+    interpolation floats); ⌈p·n⌉ is computed as (num·n + den − 1) div den,
+    exact in both engines. Output per pct: sample estimate, exact stat,
+    absolute error (gated relatively in tests)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "doc_id", F.size(TX.ws_tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    pcts = spark.createDataFrame(list(BK_PCTS), "pct int, num int, den int")
+    # exact: cumulative histogram over DISTINCT dl values (bounded table)
+    hist = per.groupBy("dl").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(W.orderBy("dl").rowsBetween(W.unboundedPreceding, 0))
+    )
+    tgt_n = F.expr("(num * n_docs + den - 1) div den")
+    exact = (
+        F.broadcast(pcts)
+        .crossJoin(F.broadcast(tot))
+        .join(cum, cum["cum"] >= tgt_n)
+        .groupBy("pct", "n_docs")
+        .agg(F.min("dl").alias("exact_stat"))
+    )
+    # estimate: k smallest hash values — TakeOrderedAndProject, k rows total
+    h = TX.stable_hash60(F.concat(F.lit("dq:"), F.col("doc_id").cast("string")))
+    samp = per.select("dl", h.alias("h")).orderBy("h").limit(BK_K)
+    ranked = samp.select(
+        "dl",
+        F.row_number().over(W.orderBy("dl", "h")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("k"),
+    )
+    tgt_k = F.expr("(num * k + den - 1) div den")
+    est = (
+        F.broadcast(pcts)
+        .join(ranked, ranked["rn"] == tgt_k)
+        .select("pct", "k", F.col("dl").alias("sample_est"))
+    )
+    return (
+        exact.join(est, "pct")
+        .select(
+            "pct",
+            "n_docs",
+            "k",
+            "sample_est",
+            "exact_stat",
+            F.abs(F.col("sample_est") - F.col("exact_stat")).cast("long").alias("abs_err"),
+        )
+        .orderBy("pct")
+    )
+
+
 def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): unique
     token ratio, adjacent-duplicate-token fraction, fraction of characters in
@@ -1452,6 +1524,37 @@ ORACLE_SQL["doc_hll_distinct"] = f"""
     ORDER BY register
 """
 QUERIES["doc_hll_distinct"] = doc_hll_distinct
+
+_D_BK_HASH = D_HASH60.format(x="'dq:' || CAST(doc_id AS VARCHAR)")
+_BK_PCT_VALUES = ", ".join(f"({p}, {n}, {d})" for p, n, d in BK_PCTS)
+ORACLE_SQL["doc_sample_quantiles"] = f"""
+    WITH per AS (
+        SELECT doc_id, CAST(len({D_TOKENS.format(t="text")}) AS BIGINT) AS dl
+        FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM per),
+    pcts(pct, num, den) AS (VALUES {_BK_PCT_VALUES}),
+    hist AS (SELECT dl, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY dl),
+    cum AS (SELECT dl, CAST(sum(c) OVER (ORDER BY dl
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM hist),
+    exact AS (
+        SELECT pct, n_docs, min(dl) AS exact_stat
+        FROM pcts, tot, cum
+        WHERE cum >= (num * n_docs + den - 1) // den
+        GROUP BY pct, n_docs),
+    samp AS (SELECT dl, ({_D_BK_HASH}) AS h FROM per ORDER BY h LIMIT {BK_K}),
+    ranked AS (SELECT dl,
+                      CAST(row_number() OVER (ORDER BY dl, h) AS BIGINT) AS rn,
+                      CAST(count(*) OVER () AS BIGINT) AS k
+               FROM samp),
+    est AS (SELECT pct, k, dl AS sample_est
+            FROM pcts JOIN ranked ON rn = (num * k + den - 1) // den)
+    SELECT pct, n_docs, k, sample_est, exact_stat,
+           CAST(abs(sample_est - exact_stat) AS BIGINT) AS abs_err
+    FROM exact JOIN est USING (pct)
+    ORDER BY pct
+"""
+QUERIES["doc_sample_quantiles"] = doc_sample_quantiles
 
 ORACLE_SQL["doc_window_dups"] = rf"""
     WITH corpus AS (

@@ -296,6 +296,27 @@ ORACLE_SQL["neardup_components"] = f"""
     ORDER BY doc_id
 """
 
+def neardup_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-group assignment as neardup_components, computed by
+    the large-star/small-star alternation (Kiveris et al. 2014) instead of
+    min-label propagation — the O(log² n)-round variant whose cost does NOT
+    grow with component diameter, i.e. the regime for path-shaped dup
+    chains (A≈B≈C≈… transitive near-dups) where propagation needs
+    diameter rounds. Both algorithms provably converge to the identical
+    min-id-rooted star forest, so the recursive-CTE oracle that certifies
+    neardup_components certifies this plan too — one oracle, three
+    implementations (union-find / propagation / star), which is itself the
+    correctness argument for swapping regimes by graph shape at 100 TB."""
+    from vers_spark.operators.graph import connected_components_star, dedup_survivors
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    comp = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    return dedup_survivors(comp).orderBy("doc_id")
+
+
+ORACLE_SQL["neardup_components_star"] = ORACLE_SQL["neardup_components"]
+
+
 def neardup_best_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivorship: same duplicate components as
     neardup_components, but the survivor of each group is the member with
@@ -392,6 +413,7 @@ QUERIES = {
     "simhash_docs": simhash_q,
     "simhash_neardup": simhash_neardup_q,
     "neardup_components": neardup_components_q,
+    "neardup_components_star": neardup_components_star_q,
     "neardup_best_quality": neardup_best_quality_q,
     "neardup_triangles": neardup_triangles_q,
 }
