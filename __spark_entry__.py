@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components_star",
         "rag_mmr_rerank",
         "doc_sample_quantiles",
+        "lsh_search_multiprobe",
         # -- re-certification: code paths changed AFTER the r4 sweep
         #    (fc36334: search_blocked tie-break, search_frontier parent-aware
         #    routing, stream_cms_merge empty-store guard) --

@@ -391,6 +391,7 @@ class LSHForestIndex:
         query_vec: str = "embedding",
         allowed_ids: DataFrame | None = None,
         backup_fill: bool = True,
+        probe_mode: str = "dfs",
     ) -> DataFrame:
         """Descend every tree, union leaf candidates, exact re-rank top-k.
 
@@ -414,7 +415,19 @@ class LSHForestIndex:
         operate on the filtered corpus ≡ an index built on the subset) —
         with the degenerate 1-tree/unbounded-leaf config this is provably
         the exact filtered KNN, the same pre-filter contract as IVF's
-        candidate_ids."""
+        candidate_ids.
+
+        ``probe_mode`` orders the budgeted visit of non-main leaves:
+        - ``"dfs"`` (default): deviation-string lexicographic order — the
+          reference recursion's exact visit order (lsh.rs:203-215).
+        - ``"margin"``: multi-probe order (Lv et al. 2007, "Multi-Probe
+          LSH"): leaves sort by the TOTAL QUERY MARGIN of their disagreeing
+          ancestor planes, Σ |coeffs·q + const| over levels where the leaf
+          took the opposite side. A small margin means the query sat near
+          that hyperplane, so the sibling subtree is the likeliest to hold
+          true neighbours — the same candidate budget buys higher recall
+          than blind DFS order. The main leaf costs 0 and still sorts
+          first; the deviation string is the deterministic tie-break."""
         qp = self.assign_paths(queries, query_id, query_vec)
         leaves = self.leaves
         if allowed_ids is not None:
@@ -456,7 +469,7 @@ class LSHForestIndex:
                     ["query_id", "tree_id"],
                     "left_anti",
                 )
-                fill = self._backup_fill_candidates(under, leaves, k)
+                fill = self._backup_fill_candidates(under, leaves, k, probe_mode)
                 cands = (
                     filled.select("query_id", "q_vec", "id", "embedding")
                     .unionByName(fill)
@@ -479,25 +492,32 @@ class LSHForestIndex:
             )
         )
 
-    def _backup_fill_candidates(
-        self, under: DataFrame, leaves: DataFrame, k: int
+    def _leaf_order(
+        self, pairs: DataFrame, leaves: DataFrame, probe_mode: str
     ) -> DataFrame:
-        """Budgeted whole-tree visit for underfilled (query, tree) pairs.
-
-        The reference's recursion (lsh.rs:203-215) visits leaves in
-        lexicographic order of their deviation string and takes
-        min(leaf_size, remaining_budget) nearest members from each, where
-        Σ taken over earlier leaves = min(k, Σ their sizes) — so a member is
-        admitted iff its within-leaf distance rank ≤ k − cum_size_before.
-        Cost is bounded by (underfilled pairs) × (planes per tree); filled
-        pairs never reach here, and at production max_node_size ≥ k
-        underflow is the rare edge, not the norm."""
-        # the query's side at EVERY inner node of its tree
-        sides = under.join(self.hyperplanes, "tree_id").select(
+        """Per (query, tree): EVERY leaf of the tree with its two visit keys
+        — ``dev`` (deviation string: bit i = 1 iff the leaf disagrees with
+        the query's plane side at ancestor level i; lexicographic order IS
+        the reference recursion's DFS order) and ``cost`` (Σ query margins
+        |coeffs·q + const| over the disagreeing levels — the multi-probe
+        visit order of Lv et al. 2007). ``pairs``: (query_id, tree_id,
+        q_vec)."""
+        if probe_mode not in ("dfs", "margin"):
+            raise ValueError(f"unknown probe_mode {probe_mode!r}")
+        # the query's side (and its distance-to-plane proxy) at EVERY inner
+        # node of its tree
+        sides = pairs.join(self.hyperplanes, "tree_id").select(
             "query_id",
             "tree_id",
             F.col("path").alias("prefix"),
             _plane_side(F.col("q_vec"), F.col("coeffs"), F.col("constant")).alias("q_bit"),
+            # TRUE distance to the plane: |coeffs·q + const| / ‖coeffs‖ —
+            # planes are annoy-style b−a splits, so raw dots carry the
+            # arbitrary ‖b−a‖ scale and are not comparable across levels
+            (
+                F.abs(V.dot(F.col("q_vec"), F.col("coeffs")) + F.col("constant"))
+                / V.magnitude(F.col("coeffs"))
+            ).alias("q_margin"),
         )
         # leaf paths decomposed into (ancestor prefix, branch bit) per level
         paths = leaves.select("tree_id", "path").distinct()
@@ -513,7 +533,7 @@ class LSHForestIndex:
             )
         )
         dev = (
-            under.select("query_id", "tree_id")
+            pairs.select("query_id", "tree_id")
             .join(lp, "tree_id")
             .join(sides, ["query_id", "tree_id", "prefix"])
             .withColumn(
@@ -523,19 +543,92 @@ class LSHForestIndex:
             .agg(
                 F.expr(
                     "array_join(transform(array_sort(collect_list(struct(level, bit))), x -> x.bit), '')"
-                ).alias("dev")
+                ).alias("dev"),
+                F.sum(
+                    F.when(F.col("bit") == "1", F.col("q_margin")).otherwise(F.lit(0.0))
+                ).alias("cost"),
             )
         )
         # single-leaf trees (empty path, no planes) sort first with dev = ''
         root_leaves = (
-            under.select("query_id", "tree_id")
+            pairs.select("query_id", "tree_id")
             .join(paths.filter(F.length("path") == 0), "tree_id")
             .withColumn("dev", F.lit(""))
+            .withColumn("cost", F.lit(0.0))
         )
+        return dev.unionByName(root_leaves)
+
+    def search_multiprobe(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probes: int = 2,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+        probe_mode: str = "margin",
+    ) -> DataFrame:
+        """True multi-probe search (Lv et al. 2007): per (query, tree) visit
+        the best ``n_probes`` leaves by the probe order — margin-ascending
+        by default, deviation-string DFS with ``probe_mode="dfs"`` — and
+        exact-rerank the union. Unlike :meth:`search`'s backup fill (which
+        probes extra leaves only on UNDERFLOW), this always pays
+        n_probes·max_node_size candidates per tree for recall beyond the
+        main leaf: the standard recall-vs-work dial when adding trees is
+        too expensive (T trees × P probes ≈ the recall of T·P trees at the
+        memory of T). Scale shape identical to search(): one descent fold,
+        leaf ranking is a bounded window per (query, tree) over the tree's
+        leaf COUNT (not members), candidates join only the probed
+        (tree, path) posting lists, final top-k is a per-query window over
+        ≤ T·P·max_node rows."""
+        qp = self.assign_paths(queries, query_id, query_vec).localCheckpoint(
+            eager=False
+        )
+        pairs = qp.select("query_id", "tree_id", "q_vec")
+        order = self._leaf_order(pairs, self.leaves, probe_mode)
+        key = [F.asc("dev")] if probe_mode == "dfs" else [F.asc("cost"), F.asc("dev")]
+        wv = W.partitionBy("query_id", "tree_id").orderBy(*key)
+        probed = (
+            order.withColumn("_pr", F.row_number().over(wv))
+            .filter(F.col("_pr") <= n_probes)
+            .select("query_id", "tree_id", "path")
+        )
+        cands = (
+            probed.join(qp, ["query_id", "tree_id"])
+            .join(self.leaves, ["tree_id", "path"])
+            .select("query_id", "q_vec", "id", "embedding")
+            .dropDuplicates(["query_id", "id"])
+        )
+        w = W.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("id"))
+        return (
+            cands.withColumn("_dist", V.sq_euclidean(F.col("q_vec"), F.col("embedding")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(
+                "query_id",
+                F.col("id").alias("neighbour_id"),
+                F.col("_dist").alias("distance"),
+                F.col("rn").alias("rank"),
+            )
+        )
+
+    def _backup_fill_candidates(
+        self, under: DataFrame, leaves: DataFrame, k: int, probe_mode: str = "dfs"
+    ) -> DataFrame:
+        """Budgeted whole-tree visit for underfilled (query, tree) pairs.
+
+        The reference's recursion (lsh.rs:203-215) visits leaves in
+        lexicographic order of their deviation string and takes
+        min(leaf_size, remaining_budget) nearest members from each, where
+        Σ taken over earlier leaves = min(k, Σ their sizes) — so a member is
+        admitted iff its within-leaf distance rank ≤ k − cum_size_before.
+        Cost is bounded by (underfilled pairs) × (planes per tree); filled
+        pairs never reach here, and at production max_node_size ≥ k
+        underflow is the rare edge, not the norm."""
         sizes = leaves.groupBy("tree_id", "path").agg(F.count(F.lit(1)).alias("leaf_n"))
-        wdev = W.partitionBy("query_id", "tree_id").orderBy("dev")
+        order = [F.asc("dev")] if probe_mode == "dfs" else [F.asc("cost"), F.asc("dev")]
+        wdev = W.partitionBy("query_id", "tree_id").orderBy(*order)
         adm = (
-            dev.unionByName(root_leaves)
+            self._leaf_order(under, leaves, probe_mode)
             .join(sizes, ["tree_id", "path"])
             .withColumn(
                 "cum_before",

@@ -483,6 +483,23 @@ def lsh_search_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def lsh_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-ordered multi-probe LSH (Lv et al. 2007): per (query, tree)
+    the best 2 leaves by ascending total query-margin of their disagreeing
+    ancestor planes are probed (nearest-hyperplane siblings first), their
+    members exact-reranked — the recall-vs-work dial that buys ~2-tree
+    recall at 1-tree memory. Rows-only here (probe order is geometry, not
+    SQL); bit-parity with a local replay of the margin-ordered visit plus
+    the recall-vs-DFS-order comparison are gated in
+    tests/test_lsh_backup.py. The same probe_mode also upgrades search()'s
+    underflow backup fill."""
+    idx = _lsh(spark, sf_dir, trees=2, max_node=8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return idx.search_multiprobe(
+        emb.filter(F.col("vec_id") < 5), k=10, n_probes=2, probe_mode="margin"
+    )
+
+
 # Registered HNSW config, shared by BOTH the build site (_hnsw) and the
 # layer-stats oracle (_hnsw_layer_sql) — one constant per knob so tuning
 # either side cannot silently break the hnsw_layer_stats hash gate.
@@ -1053,6 +1070,7 @@ QUERIES = {
     "ivf_build_ref": ivf_build_ref,
     "lsh_search_forest": lsh_search_forest,
     "lsh_search_backup": lsh_search_backup,
+    "lsh_search_multiprobe": lsh_search_multiprobe,
     "hnsw_search": hnsw_search,
     "hnsw_search_filtered": hnsw_search_filtered,
     "ivfpq_search": ivfpq_search_q,
