@@ -182,6 +182,43 @@ def test_connected_components_star_parity(spark):
     assert star == prop
 
 
+def test_kcore_hand_graph_and_fixpoint(spark, sf_dir):
+    """kcore(): (a) on a hand graph (4-clique + pendant chain + triangle
+    with a tail) the 2-core keeps exactly the clique and triangle with full
+    inside-degrees and peels every tail node — including the cascade where
+    removing a leaf drops its parent below k; (b) on the real near-dup
+    graph the registered KCORE_ROUNDS peel has CONVERGED (one extra round
+    changes nothing), so the fixed-round oracle states the true k-core."""
+    from vers_spark.operators.graph import kcore
+    from vers_spark.operators.text_dedup_queries import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        _minhash_pairs,
+    )
+
+    # 4-clique {0,1,2,3}; chain 3-10-11 (peels in two cascading rounds);
+    # triangle {20,21,22} with tail 22-23
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(3, 10), (10, 11)]
+        + [(20, 21), (20, 22), (21, 22), (22, 23)]
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["core_degree"] for r in kcore(df, k=2, rounds=4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 20: 2, 21: 2, 22: 2}
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    at_n = {
+        (r["node"], r["core_degree"])
+        for r in kcore(pairs, KCORE_K, KCORE_ROUNDS, "doc_a", "doc_b").collect()
+    }
+    extra = {
+        (r["node"], r["core_degree"])
+        for r in kcore(pairs, KCORE_K, KCORE_ROUNDS + 1, "doc_a", "doc_b").collect()
+    }
+    assert at_n == extra and at_n  # converged, and the core is non-trivial
+
+
 def test_stratified_sample_rates(spark, sf_dir):
     """Hash-bucket stratified sampling hits each language's configured rate
     within binomial tolerance, and is exactly reproducible run-to-run."""

@@ -190,6 +190,60 @@ def connected_components_star(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core of an undirected graph given as ordered pairs (src < dst):
+    iteratively peel nodes of degree < k until the fixpoint; the survivors
+    are the maximal subgraph where every node keeps ≥ k neighbours — the
+    dense-cluster extractor (near-dup: template/boilerplate families; link
+    graphs: spam farms) that degree alone can't find, since a node's
+    neighbours must THEMSELVES be well-connected to count.
+
+    Runs exactly ``rounds`` peel iterations (a FIXED round count, like
+    pagerank_fixed's unrolled loop) so a DuckDB twin can state the
+    identical rounds as unrolled CTEs — convergence within ``rounds`` at
+    the tested SF is gated separately in pytest (peeling removes ≥1 node
+    per non-converged round, so diameter-ish bounds are loose; dup graphs
+    peel in 2-3 rounds). Per round: ONE degree aggregate + two semi-joins
+    of the edge list against the survivor set (all on node keys — shuffle
+    partitioning is reused across the chain); lineage localCheckpointed
+    every 3 rounds. Returns (node, core_degree) for surviving nodes —
+    core_degree is the node's degree INSIDE the k-core."""
+    # EAGER checkpoint per round: each round's plan references the edge set
+    # three times (two degree branches + the filter base), and Catalyst does
+    # not CSE whole subtrees — lazy lineage would re-expand the upstream
+    # pair-generation pipeline ~3x per round (measured 48 s -> ~5 s at
+    # sf0.01 on the banded near-dup graph). The edge list is tiny (only
+    # dup-pair members), so the per-round materialization is cheap.
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+
+
 def dedup_survivors(components: DataFrame) -> DataFrame:
     """Per node: its component, the component size, and whether it is the
     surviving row (node == component == min id of the group)."""

@@ -317,6 +317,66 @@ def neardup_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["neardup_components_star"] = ORACLE_SQL["neardup_components"]
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def neardup_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=2) of the MinHash-banded near-dup graph: documents whose
+    near-dup neighbours are THEMSELVES multiply-duplicated — the dense
+    template/boilerplate families, separated from incidental pairwise
+    matches (which a degree filter alone cannot do: a hub with 10
+    one-off partners dies in the peel, a 3-clique member survives).
+    Fixed 6-round peel so the DuckDB twin states the identical rounds as
+    unrolled CTEs (full hash oracle); convergence within 6 rounds at this
+    SF is gated in pytest. Output: surviving doc_id with its degree inside
+    the core."""
+    from vers_spark.operators.graph import kcore
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    return (
+        kcore(pairs, k=KCORE_K, rounds=KCORE_ROUNDS, src="doc_a", dst="doc_b")
+        .select(F.col("node").alias("doc_id"), "core_degree")
+        .orderBy("doc_id")
+    )
+
+
+def _kcore_sql() -> str:
+    # every CTE is MATERIALIZED: each round references the previous edge
+    # set three times, so inlining would re-expand the banded-pair plan
+    # exponentially across the unrolled rounds
+    parts = [
+        f"""pairs AS MATERIALIZED (
+        WITH {_jaccard_tail_sql(_d_augmented(7, NEAR_TAIL), _D_MINHASH_CAND, 0.8)}
+    ),
+    e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs)"""
+    ]
+    for i in range(KCORE_ROUNDS):
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT a AS node FROM e{i} UNION ALL SELECT b AS node FROM e{i}
+                ) GROUP BY node
+            ) WHERE deg >= {KCORE_K}
+        ), e{i + 1} AS MATERIALIZED (
+            SELECT a, b FROM e{i}
+            WHERE a IN (SELECT node FROM k{i}) AND b IN (SELECT node FROM k{i})
+        )"""
+        )
+    last = f"e{KCORE_ROUNDS}"
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM (SELECT a AS node FROM {last} UNION ALL SELECT b AS node FROM {last})
+        GROUP BY node
+        ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["neardup_kcore"] = _kcore_sql()
+
+
 def neardup_best_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivorship: same duplicate components as
     neardup_components, but the survivor of each group is the member with
@@ -414,6 +474,7 @@ QUERIES = {
     "simhash_neardup": simhash_neardup_q,
     "neardup_components": neardup_components_q,
     "neardup_components_star": neardup_components_star_q,
+    "neardup_kcore": neardup_kcore_q,
     "neardup_best_quality": neardup_best_quality_q,
     "neardup_triangles": neardup_triangles_q,
 }
