@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_quantiles",
         "lsh_search_multiprobe",
         "neardup_kcore",
+        "graph_hits_topk",
         # -- re-certification: code paths changed AFTER the r4 sweep
         #    (fc36334: search_blocked tie-break, search_frontier parent-aware
         #    routing, stream_cms_merge empty-store guard) --

@@ -219,6 +219,30 @@ def test_kcore_hand_graph_and_fixpoint(spark, sf_dir):
     assert at_n == extra and at_n  # converged, and the core is non-trivial
 
 
+def test_hits_hand_graph_semantics(spark):
+    """hits_fixed on a hand bipartite graph: the supplier with more (and
+    better-connected) customers out-hubs the other; the shared customer
+    out-authorities the exclusive ones; off-side scores are exactly 0; and
+    each L1 normalization sums to HITS_UNIT within the floor-division loss
+    (< one unit per node)."""
+    from vers_spark.operators.graph import HITS_UNIT, hits_fixed
+
+    edges = [("s1", "c1"), ("s1", "c2"), ("s1", "c3"), ("s2", "c1")]
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits_fixed(spark.createDataFrame(edges, ["src", "dst"])).collect()
+    }
+    assert set(got) == {"s1", "s2", "c1", "c2", "c3"}
+    assert got["s1"][0] > got["s2"][0] > 0
+    assert got["c1"][1] > got["c2"][1] > 0
+    assert got["c2"][1] == got["c3"][1]
+    assert got["s1"][1] == got["s2"][1] == 0  # suppliers have no in-edges
+    assert got["c1"][0] == got["c2"][0] == 0  # customers have no out-edges
+    n = len(got)
+    assert HITS_UNIT - n <= sum(v[0] for v in got.values()) <= HITS_UNIT
+    assert HITS_UNIT - n <= sum(v[1] for v in got.values()) <= HITS_UNIT
+
+
 def test_stratified_sample_rates(spark, sf_dir):
     """Hash-bucket stratified sampling hits each language's configured rate
     within binomial tolerance, and is exactly reproducible run-to-run."""

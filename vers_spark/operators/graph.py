@@ -386,6 +386,71 @@ def triangle_stats(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> 
     )
 
 
+HITS_UNIT = 1_000_000  # 1.0 in HITS fixed-point (smaller than PR_UNIT: the
+# normalize step's intermediate product raw·UNIT must fit a BIGINT; raw ≤
+# tot ≤ UNIT·|E|, so UNIT²·|E| ≤ 9.2e18 keeps |E| safe to ~9e6 edges per
+# normalization — document/raise UNIT only with a tree-aggregated bigdecimal)
+HITS_ITERS = 4
+
+
+def hits_fixed(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities, JACM 1999) in integer
+    fixed-point: auth_{i+1}(v) = Σ_{u→v} hub_i(u), hub_{i+1}(u) =
+    Σ_{u→v} auth_{i+1}(v), each L1-normalized to HITS_UNIT by integer floor
+    division — every operation is order-free BIGINT arithmetic, so the K
+    unrolled rounds are bit-identical across engines/partitionings and a
+    DuckDB CTE twin states them exactly (the float-power-iteration
+    formulation has neither property). Same shuffle discipline as
+    pagerank_fixed: per half-round ONE join of scores to edges + ONE
+    aggregate on the opposite endpoint. Returns (node, hub, auth) for every
+    node; on bipartite graphs the off-side scores are simply 0."""
+    edges = edges.select("src", "dst").distinct().cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    h = nodes.select("node", F.lit(HITS_UNIT // n).cast("long").alias("score"))
+
+    def _push(scores: DataFrame, key: str, other: str) -> DataFrame:
+        """Σ scores over edges from `key` onto `other`, L1-renormalized."""
+        raw = (
+            edges.join(scores, edges[key] == scores["node"])
+            .groupBy(edges[other].alias("node"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        full = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce(F.col("raw"), F.lit(0)).cast("long").alias("raw")
+        )
+        # EAGER checkpoint: each half-round references `full` twice (the
+        # total + the renormalized scores) and feeds the next half-round —
+        # lazy lineage re-expands the whole chain multiplicatively per
+        # round (the kcore lesson; measured 35 s -> ~8 s at sf0.01). The
+        # score table is |nodes| rows, so materializing is cheap.
+        full = full.localCheckpoint(eager=True)
+        tot = full.agg(F.sum("raw").cast("long").alias("tot"))
+        return full.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.expr(f"(raw * {HITS_UNIT}) div tot").cast("long").alias("score"),
+        )
+
+    a = None
+    for _ in range(iters):
+        a = _push(h, "src", "dst")
+        h = _push(a, "dst", "src")
+    return (
+        nodes.join(h.withColumnRenamed("score", "hub"), "node", "left")
+        .join(a.withColumnRenamed("score", "auth"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+
+
 def pagerank_fixed(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """Fixed-point PageRank over a directed edge list (src, dst) where every
     node has ≥1 out-edge (feed symmetric edges for undirected graphs).

@@ -1524,6 +1524,93 @@ def _pagerank_oracle() -> str:
 ORACLE_SQL["graph_pagerank_topk"] = _pagerank_oracle()
 
 
+def graph_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.hits_fixed) over the
+    DIRECTED supplier→customer purchase graph: hub suppliers are those
+    selling to well-connected customers, authority customers those buying
+    from hub suppliers — the mutually-recursive centrality PageRank's
+    single score can't express (and on this bipartite graph symmetric
+    PageRank degenerates to degree counting). Integer fixed-point with L1
+    renormalization each half-round, so the 4 unrolled rounds hash-match
+    the DuckDB CTE twin exactly. Output: top-10 per role."""
+    from vers_spark.operators.graph import hits_fixed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    hits = hits_fixed(edges).localCheckpoint(eager=False)
+    hubs = (
+        hits.orderBy(F.desc("hub"), F.asc("node"))
+        .limit(10)
+        .select("node", F.lit("hub").alias("role"), F.col("hub").alias("score"))
+    )
+    auths = (
+        hits.orderBy(F.desc("auth"), F.asc("node"))
+        .limit(10)
+        .select("node", F.lit("authority").alias("role"), F.col("auth").alias("score"))
+    )
+    return hubs.unionByName(auths).orderBy("role", F.desc("score"), F.asc("node"))
+
+
+def _hits_oracle() -> str:
+    from vers_spark.operators.graph import HITS_ITERS, HITS_UNIT
+
+    sql = f"""
+        WITH edges AS MATERIALIZED (
+            SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                            'c' || CAST(o_custkey AS VARCHAR) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS MATERIALIZED (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        meta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        h0 AS MATERIALIZED (
+            SELECT node, CAST({HITS_UNIT} // (SELECT n FROM meta) AS BIGINT) AS score
+            FROM nodes)
+    """
+    for i in range(1, HITS_ITERS + 1):
+        for tag, prev, key, other in (
+            (f"a{i}", f"h{i - 1}", "src", "dst"),
+            (f"h{i}", f"a{i}", "dst", "src"),
+        ):
+            sql += f"""
+        , {tag}_raw AS MATERIALIZED (
+            SELECT nd.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+            FROM nodes nd LEFT JOIN (
+                SELECT e.{other} AS node, CAST(sum(p.score) AS BIGINT) AS raw
+                FROM edges e JOIN {prev} p ON p.node = e.{key}
+                GROUP BY e.{other}
+            ) s ON s.node = nd.node)
+        , {tag} AS MATERIALIZED (
+            SELECT node, CAST((raw * {HITS_UNIT})
+                // (SELECT CAST(sum(raw) AS BIGINT) FROM {tag}_raw) AS BIGINT) AS score
+            FROM {tag}_raw)
+            """
+    last_a, last_h = f"a{HITS_ITERS}", f"h{HITS_ITERS}"
+    sql += f"""
+        SELECT node, role, score FROM (
+            SELECT node, 'hub' AS role, score,
+                   row_number() OVER (ORDER BY score DESC, node ASC) AS rn
+            FROM {last_h}
+            UNION ALL
+            SELECT node, 'authority' AS role, score,
+                   row_number() OVER (ORDER BY score DESC, node ASC) AS rn
+            FROM {last_a}
+        ) WHERE rn <= 10
+        ORDER BY role, score DESC, node
+    """
+    return sql
+
+
+ORACLE_SQL["graph_hits_topk"] = _hits_oracle()
+
+
 def graph_ppr_customer_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSONALIZED PageRank (operators/graph.pagerank_personalized_fixed)
     over the same supplier⇄customer graph: teleport mass restricted to the
@@ -1609,6 +1696,7 @@ ORACLE_SQL["graph_ppr_customer_affinity"] = _ppr_oracle()
 
 QUERIES = {
     "graph_pagerank_topk": graph_pagerank_topk,
+    "graph_hits_topk": graph_hits_topk,
     "graph_ppr_customer_affinity": graph_ppr_customer_affinity,
     "q1_pricing_summary": q1_pricing_summary,
     "q2_cheapest_supplier": q2_cheapest_supplier,
