@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_search_multiprobe",
         "neardup_kcore",
         "graph_hits_topk",
+        "evt_hll_hourly",
+        "stream_hll_merge",
         # -- re-certification: code paths changed AFTER the r4 sweep
         #    (fc36334: search_blocked tie-break, search_frontier parent-aware
         #    routing, stream_cms_merge empty-store guard) --

@@ -49,6 +49,13 @@ HEADLINE = [
     # and the Z-order-clustered store range scan (layout-certifying oracle)
     "neardup_triangles",
     "evt_zorder_range_scan",
+    # round-5 additions: lexical retrieval, exact pruned radius search,
+    # star-contraction components, multi-probe LSH, dup-graph k-core
+    "doc_bm25_topk",
+    "ivf_range_search",
+    "neardup_components_star",
+    "lsh_search_multiprobe",
+    "neardup_kcore",
 ]
 
 

@@ -135,3 +135,18 @@ def test_stream_dedup_ingest_rejects_later_copies(spark, sf_dir):
     assert len(rows) == n_docs  # one survivor per distinct document
     assert all(r["doc_id"] < 10000 for r in rows)  # no injected copy won
     assert len({r["fp"] for r in rows}) == len(rows)  # store is fp-unique
+
+
+def test_stream_sketch_merge_oracles(spark, sf_dir):
+    """The two streaming sketch-maintenance queries hash-match their batch
+    DuckDB twins: count-min (sum-merge of per-batch partial counters) and
+    HyperLogLog (max-merge of per-batch partial registers). The end-state
+    equivalence IS the mergeability property each sketch claims."""
+    assert_oracle_match(
+        spark, sf_dir, "stream_cms_merge",
+        SQ.QUERIES["stream_cms_merge"], SQ.ORACLE_SQL["stream_cms_merge"],
+    )
+    assert_oracle_match(
+        spark, sf_dir, "stream_hll_merge",
+        SQ.QUERIES["stream_hll_merge"], SQ.ORACLE_SQL["stream_hll_merge"],
+    )

@@ -581,6 +581,25 @@ def test_hll_distinct_accuracy_and_register_partition(spark, sf_oracle_dir):
     assert abs(est - exact) / exact < 0.1, (est, exact)
 
 
+def test_evt_hll_hourly_merge_contract(spark, sf_dir):
+    """Per-hour HLL + merged 'ALL' row: the merged register count dominates
+    every hour's (max-merge can only add nonzero buckets), n_nonzero never
+    exceeds the hour's exact distinct count or m, and the global estimate
+    is within 10% of truth (raw-estimate regime gate)."""
+    from vers_spark.operators.relational import QUERIES as RQ
+    from vers_spark.operators.text_analysis import HLL_M
+
+    rows = {r["hour"]: r for r in RQ["evt_hll_hourly"](spark, sf_dir).collect()}
+    g = rows.pop("ALL")
+    assert rows  # at least one real hour
+    for r in rows.values():
+        assert 0 < r["n_nonzero"] <= min(r["exact_users"], HLL_M)
+        assert r["n_nonzero"] <= g["n_nonzero"]
+    assert g["exact_users"] > 0
+    if g["exact_users"] > 2.5 * HLL_M:  # raw regime — gate accuracy
+        assert abs(g["hll_users"] - g["exact_users"]) / g["exact_users"] < 0.1
+
+
 def test_bm25_oracle_and_ranking_semantics(spark, sf_dir):
     """BM25 hash-matches its DuckDB twin, and the scores behave like BM25:
     ranks are 1..20 with nonincreasing scores, and any returned document

@@ -239,6 +239,127 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour HyperLogLog distinct-user estimates PLUS the max-merged
+    global sketch ('ALL' row) — the mergeability contract certified
+    cross-engine: Spark derives the global registers by max-merging the
+    per-hour register tables, while the DuckDB twin computes them directly
+    from the raw cells; the hash match of the 'ALL' row IS the proof that
+    max-merge of partials equals the sketch of the union (what lets hourly
+    sketches roll up to day/month/total without re-scanning events at
+    100 TB, and what the streaming twin stream_hll_merge relies on).
+    Register machinery shared with doc_hll_distinct (md5-60bit base,
+    bit_count trailing-zero rho — no ln/log2 anywhere); empty buckets enter
+    the fixed-point sum via the closed form (m − n_nonzero)·2^SCALE instead
+    of a per-hour 1024-row spine. Hourly rows can sit below the raw-
+    estimate regime (small hours are biased — documented HLL behavior, the
+    linear-counting branch needs ln); only the 'ALL' row is accuracy-gated
+    in tests."""
+    from vers_spark.functions.text import stable_hash60
+    from vers_spark.operators.text_analysis import (
+        _HLL_CONST,
+        _HLL_RHO_MAX,
+        _HLL_SCALE,
+        HLL_M,
+        HLL_P,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    h = stable_hash60(F.concat(F.lit("hu:"), F.col("user_id").cast("string")))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == F.lit(0), F.lit(_HLL_RHO_MAX)).otherwise(
+        F.bit_count(w.bitwiseAND(-w) - F.lit(1)) + F.lit(1)
+    )
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    cells = ev.select(
+        hour.alias("hour"),
+        "user_id",
+        (h % HLL_M).cast("int").alias("bucket"),
+        rho.cast("int").alias("rho"),
+    )
+    regs = cells.groupBy("hour", "bucket").agg(F.max("rho").alias("register"))
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .select(F.lit("ALL").alias("hour"), "bucket", "register")
+    )
+    sum_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - register)")
+    zero_fill = (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << _HLL_SCALE)
+    sums = (
+        regs.unionByName(merged)
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nonzero"),
+            (F.sum(sum_term) + zero_fill).cast("long").alias("sum_fp"),
+        )
+    )
+    ex = (
+        cells.groupBy("hour")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .unionByName(
+            cells.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+            .select(F.lit("ALL").alias("hour"), "exact_users")
+        )
+    )
+    return (
+        sums.join(ex, "hour")
+        .select(
+            "hour",
+            "n_nonzero",
+            "sum_fp",
+            (F.lit(_HLL_CONST) / F.col("sum_fp").cast("double")).alias("hll_users"),
+            "exact_users",
+        )
+        .orderBy("hour")
+    )
+
+
+def _evt_hll_oracle() -> str:
+    from vers_spark.operators.text_analysis import (
+        _HLL_CONST,
+        _HLL_RHO_MAX,
+        _HLL_SCALE,
+        D_HASH60,
+        HLL_M,
+        HLL_P,
+    )
+
+    hash60 = D_HASH60.format(x="'hu:' || CAST(user_id AS VARCHAR)")
+    # the global registers come straight from the raw cells — NOT from the
+    # per-hour tables Spark merges — so the 'ALL' hash match certifies
+    # max-mergeability, it doesn't just re-run the same dataflow
+    return f"""
+        WITH cells AS MATERIALIZED (
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   user_id,
+                   CAST(h % {HLL_M} AS INT) AS bucket,
+                   CAST(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+                        ELSE bit_count(((h >> {HLL_P}) & -(h >> {HLL_P})) - 1) + 1
+                        END AS INT) AS rho
+            FROM (SELECT ts, user_id, ({hash60}) AS h FROM events)),
+        regs AS (
+            SELECT hour, bucket, max(rho) AS register FROM cells GROUP BY hour, bucket
+            UNION ALL
+            SELECT 'ALL' AS hour, bucket, max(rho) AS register FROM cells GROUP BY bucket),
+        sums AS (
+            SELECT hour, CAST(count(*) AS BIGINT) AS n_nonzero,
+                   CAST(sum(CAST(1 AS BIGINT) << ({_HLL_SCALE} - register))
+                        + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {_HLL_SCALE})
+                        AS BIGINT) AS sum_fp
+            FROM regs GROUP BY hour),
+        ex AS (
+            SELECT hour, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM cells GROUP BY hour
+            UNION ALL
+            SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM cells)
+        SELECT s.hour, n_nonzero, sum_fp,
+               {_HLL_CONST!r} / CAST(sum_fp AS DOUBLE) AS hll_users,
+               exact_users
+        FROM sums s JOIN ex USING (hour)
+        ORDER BY hour
+    """
+
+
 _ZSTORE: dict[str, str] = {}
 
 
@@ -1609,6 +1730,7 @@ def _hits_oracle() -> str:
 
 
 ORACLE_SQL["graph_hits_topk"] = _hits_oracle()
+ORACLE_SQL["evt_hll_hourly"] = _evt_hll_oracle()
 
 
 def graph_ppr_customer_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1697,6 +1819,7 @@ ORACLE_SQL["graph_ppr_customer_affinity"] = _ppr_oracle()
 QUERIES = {
     "graph_pagerank_topk": graph_pagerank_topk,
     "graph_hits_topk": graph_hits_topk,
+    "evt_hll_hourly": evt_hll_hourly,
     "graph_ppr_customer_affinity": graph_ppr_customer_affinity,
     "q1_pricing_summary": q1_pricing_summary,
     "q2_cheapest_supplier": q2_cheapest_supplier,

@@ -446,6 +446,90 @@ def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MAINTENANCE of a HyperLogLog sketch — the max-merge twin
+    of stream_cms_merge's sum-merge: each event micro-batch reduces to its
+    OWN ≤1024-row (bucket, max rho) partial register table and blind-
+    appends it; no keyed state, no cross-batch shuffle — registers are
+    max-mergeable, so serving is one max aggregate over the log. End state
+    ≡ the batch registers over all events (max is order-insensitive), so
+    the streamed sketch carries the same FULL DuckDB hash oracle as
+    evt_hll_hourly's 'ALL' row — distinct-user cardinality maintained
+    incrementally at fixed memory. Output: the register histogram (the
+    doc_hll_distinct shape) with exact count and estimate."""
+    from vers_spark.functions.text import stable_hash60
+    from vers_spark.operators.text_analysis import (
+        _HLL_CONST,
+        _HLL_RHO_MAX,
+        _HLL_SCALE,
+        HLL_M,
+        HLL_P,
+    )
+    from vers_spark.sources.tables import load_table
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    store = scratch_dir("vs_hll_stream_") + "/registers"
+    ckpt = scratch_dir("vs_hll_stream_ck_")
+    h = stable_hash60(F.concat(F.lit("hu:"), F.col("uid")))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == F.lit(0), F.lit(_HLL_RHO_MAX)).otherwise(
+        F.bit_count(w.bitwiseAND(-w) - F.lit(1)) + F.lit(1)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                (h % HLL_M).cast("int").alias("bucket"), rho.cast("int").alias("rho")
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("rho"))
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if os.path.exists(store):
+        partials = spark.read.parquet(store)
+    else:
+        partials = spark.createDataFrame([], "bucket int, rho int")
+    regs = partials.groupBy("bucket").agg(F.max("rho").alias("register"))
+    spine = spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    full = spine.join(F.broadcast(regs), "bucket", "left").select(
+        "bucket", F.coalesce(F.col("register"), F.lit(0)).cast("int").alias("register")
+    )
+    stats = full.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - register)"))
+        .cast("long")
+        .alias("sum_fp")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_n"))
+    )
+    hist = full.groupBy("register").agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    return (
+        hist.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("register").cast("int").alias("register"),
+            "n_buckets",
+            "exact_n",
+            "sum_fp",
+            (F.lit(_HLL_CONST) / F.col("sum_fp").cast("double")).alias("hll_est"),
+        )
+        .orderBy("register")
+    )
+
+
 def stream_ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same streaming ingest against the fixed-point build's frozen
     centroids: end state ≡ the batch build's posting lists, hash-matched
@@ -603,6 +687,7 @@ QUERIES = {
     "stream_ivf_assign_fixed": stream_ivf_assign_fixed,
     "stream_rollup_serve": stream_rollup_serve,
     "stream_cms_merge": stream_cms_merge,
+    "stream_hll_merge": stream_hll_merge,
 }
 
 # streaming ingest end state ≡ the fixed-point batch build's posting lists:
@@ -691,3 +776,40 @@ def _stream_cms_oracle() -> str:
 
 
 ORACLE_SQL["stream_cms_merge"] = _stream_cms_oracle()
+
+
+def _stream_hll_oracle() -> str:
+    from vers_spark.operators.text_analysis import (
+        _HLL_CONST,
+        _HLL_RHO_MAX,
+        _HLL_SCALE,
+        D_HASH60,
+        HLL_M,
+        HLL_P,
+    )
+
+    hash60 = D_HASH60.format(x="'hu:' || CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH cells AS MATERIALIZED (
+            SELECT CAST(h % {HLL_M} AS INT) AS bucket,
+                   CAST(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+                        ELSE bit_count(((h >> {HLL_P}) & -(h >> {HLL_P})) - 1) + 1
+                        END AS INT) AS rho
+            FROM (SELECT ({hash60}) AS h FROM events)),
+        regs AS (SELECT bucket, max(rho) AS register FROM cells GROUP BY bucket),
+        spine AS (SELECT CAST(range AS INT) AS bucket FROM range({HLL_M})),
+        full_regs AS (
+            SELECT s.bucket, CAST(coalesce(r.register, 0) AS INT) AS register
+            FROM spine s LEFT JOIN regs r ON r.bucket = s.bucket),
+        stats AS (SELECT CAST(sum(CAST(1 AS BIGINT) << ({_HLL_SCALE} - register))
+                          AS BIGINT) AS sum_fp FROM full_regs),
+        exact AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n FROM events)
+        SELECT register, CAST(count(*) AS BIGINT) AS n_buckets, exact_n, sum_fp,
+               {_HLL_CONST!r} / CAST(sum_fp AS DOUBLE) AS hll_est
+        FROM full_regs, stats, exact
+        GROUP BY register, exact_n, sum_fp
+        ORDER BY register
+    """
+
+
+ORACLE_SQL["stream_hll_merge"] = _stream_hll_oracle()
