@@ -600,6 +600,21 @@ def test_evt_hll_hourly_merge_contract(spark, sf_dir):
         assert abs(g["hll_users"] - g["exact_users"]) / g["exact_users"] < 0.1
 
 
+def test_evt_hll_sliding_dominates_hourly(spark, sf_dir):
+    """Each 3-hour sliding window contains its end hour, so both its
+    register population and its exact distinct count must dominate the
+    hourly row's, and every anchor hour must produce exactly one window."""
+    from vers_spark.operators.relational import QUERIES as RQ
+
+    hourly = {r["hour"]: r for r in RQ["evt_hll_hourly"](spark, sf_dir).collect()}
+    hourly.pop("ALL")
+    sliding = {r["win_end"]: r for r in RQ["evt_hll_sliding"](spark, sf_dir).collect()}
+    assert set(sliding) == set(hourly)
+    for hr, s in sliding.items():
+        assert s["n_nonzero"] >= hourly[hr]["n_nonzero"]
+        assert s["exact_users"] >= hourly[hr]["exact_users"]
+
+
 def test_bm25_oracle_and_ranking_semantics(spark, sf_dir):
     """BM25 hash-matches its DuckDB twin, and the scores behave like BM25:
     ranks are 1..20 with nonincreasing scores, and any returned document

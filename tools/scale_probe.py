@@ -190,7 +190,24 @@ def _probes():
         "lloyd_fixed_build": lloyd_fixed_build,
         "bpe_train_merges": bpe_merges,
         "rag_retrieve_chunks": rag_retrieve,
+        # round-5: BM25 is one scan + a 1-row stats frame (expect ~linear);
+        # HLL rides the md5-per-shingle floor (linear, same as rag); the two
+        # CC variants and k-core run on the banded dup graph (pairs x10 by
+        # construction, so ~linear — the iterative round count must NOT grow)
+        "doc_bm25_topk": _q("doc_bm25_topk"),
+        "doc_hll_distinct": _q("doc_hll_distinct"),
+        "neardup_components_star": _q("neardup_components_star"),
+        "neardup_kcore": _q("neardup_kcore"),
     }
+
+
+def _q(name):
+    def run(spark, sf_dir):
+        import __spark_entry__ as entry
+
+        return entry.queries()[name](spark, sf_dir)
+
+    return run
 
 
 def main() -> None:

@@ -314,6 +314,124 @@ def evt_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hour SLIDING distinct-user estimates served from the hourly HLL
+    register tables — the sketch-reuse contract: arbitrary window extents
+    are answered by max-merging the per-hour partials (≤ 1024 rows each),
+    never by re-scanning events; the exact twin must go back to the raw
+    rows for every window (the count-distinct-over-sliding-windows problem
+    HLL exists to solve — distinct counts don't decompose, sketches do).
+    Windows are labeled by their END hour and span [end − 2h, end]; only
+    hours present in the data anchor a window. Same closed-form
+    fixed-point estimate as evt_hll_hourly; the DuckDB twin recomputes
+    every window's registers from raw cells, so the hash match again
+    certifies merge-equals-union rather than replaying Spark's dataflow."""
+    from vers_spark.functions.text import stable_hash60
+    from vers_spark.operators.text_analysis import (
+        _HLL_CONST,
+        _HLL_RHO_MAX,
+        _HLL_SCALE,
+        HLL_M,
+        HLL_P,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    h = stable_hash60(F.concat(F.lit("hu:"), F.col("user_id").cast("string")))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == F.lit(0), F.lit(_HLL_RHO_MAX)).otherwise(
+        F.bit_count(w.bitwiseAND(-w) - F.lit(1)) + F.lit(1)
+    )
+    cells = ev.select(
+        F.date_trunc("hour", "ts").alias("hr"),
+        "user_id",
+        (h % HLL_M).cast("int").alias("bucket"),
+        rho.cast("int").alias("rho"),
+    )
+    regs = cells.groupBy("hr", "bucket").agg(F.max("rho").alias("register"))
+    hours = regs.select("hr").distinct()
+    # every present hour anchors a window; member hours join by range —
+    # the window spine is tiny (distinct hours), so it broadcasts
+    win = hours.select(F.col("hr").alias("win_end")).join(
+        regs,
+        (F.col("hr") <= F.col("win_end"))
+        & (F.col("hr") >= F.col("win_end") - F.expr("INTERVAL 2 HOURS")),
+    )
+    merged = win.groupBy("win_end", "bucket").agg(F.max("register").alias("register"))
+    sum_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - register)")
+    zero_fill = (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << _HLL_SCALE)
+    sums = merged.groupBy("win_end").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonzero"),
+        (F.sum(sum_term) + zero_fill).cast("long").alias("sum_fp"),
+    )
+    ex = (
+        cells.select(F.col("hr").alias("win_end"))
+        .distinct()
+        .join(
+            cells.select(F.col("hr").alias("m_hr"), "user_id"),
+            (F.col("m_hr") <= F.col("win_end"))
+            & (F.col("m_hr") >= F.col("win_end") - F.expr("INTERVAL 2 HOURS")),
+        )
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return (
+        sums.join(ex, "win_end")
+        .select(
+            F.date_format("win_end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+            "n_nonzero",
+            "sum_fp",
+            (F.lit(_HLL_CONST) / F.col("sum_fp").cast("double")).alias("hll_users"),
+            "exact_users",
+        )
+        .orderBy("win_end")
+    )
+
+
+def _evt_hll_sliding_oracle() -> str:
+    from vers_spark.operators.text_analysis import (
+        _HLL_CONST,
+        _HLL_RHO_MAX,
+        _HLL_SCALE,
+        D_HASH60,
+        HLL_M,
+        HLL_P,
+    )
+
+    hash60 = D_HASH60.format(x="'hu:' || CAST(user_id AS VARCHAR)")
+    # windows' registers recomputed from RAW cells per window — not from
+    # per-hour partials — so the hash match certifies merge ≡ union
+    return f"""
+        WITH cells AS MATERIALIZED (
+            SELECT date_trunc('hour', ts) AS hr, user_id,
+                   CAST(h % {HLL_M} AS INT) AS bucket,
+                   CAST(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+                        ELSE bit_count(((h >> {HLL_P}) & -(h >> {HLL_P})) - 1) + 1
+                        END AS INT) AS rho
+            FROM (SELECT ts, user_id, ({hash60}) AS h FROM events)),
+        hours AS (SELECT DISTINCT hr AS win_end FROM cells),
+        win AS MATERIALIZED (
+            SELECT w.win_end, c.user_id, c.bucket, c.rho
+            FROM hours w JOIN cells c
+              ON c.hr <= w.win_end AND c.hr >= w.win_end - INTERVAL 2 HOUR),
+        regs AS (SELECT win_end, bucket, max(rho) AS register
+                 FROM win GROUP BY win_end, bucket),
+        sums AS (
+            SELECT win_end, CAST(count(*) AS BIGINT) AS n_nonzero,
+                   CAST(sum(CAST(1 AS BIGINT) << ({_HLL_SCALE} - register))
+                        + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {_HLL_SCALE})
+                        AS BIGINT) AS sum_fp
+            FROM regs GROUP BY win_end),
+        ex AS (SELECT win_end, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+               FROM win GROUP BY win_end)
+        SELECT strftime(s.win_end, '%Y-%m-%d %H:%M:%S') AS win_end,
+               n_nonzero, sum_fp,
+               {_HLL_CONST!r} / CAST(sum_fp AS DOUBLE) AS hll_users,
+               exact_users
+        FROM sums s JOIN ex USING (win_end)
+        ORDER BY win_end
+    """
+
+
 def _evt_hll_oracle() -> str:
     from vers_spark.operators.text_analysis import (
         _HLL_CONST,
@@ -1731,6 +1849,7 @@ def _hits_oracle() -> str:
 
 ORACLE_SQL["graph_hits_topk"] = _hits_oracle()
 ORACLE_SQL["evt_hll_hourly"] = _evt_hll_oracle()
+ORACLE_SQL["evt_hll_sliding"] = _evt_hll_sliding_oracle()
 
 
 def graph_ppr_customer_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1820,6 +1939,7 @@ QUERIES = {
     "graph_pagerank_topk": graph_pagerank_topk,
     "graph_hits_topk": graph_hits_topk,
     "evt_hll_hourly": evt_hll_hourly,
+    "evt_hll_sliding": evt_hll_sliding,
     "graph_ppr_customer_affinity": graph_ppr_customer_affinity,
     "q1_pricing_summary": q1_pricing_summary,
     "q2_cheapest_supplier": q2_cheapest_supplier,
