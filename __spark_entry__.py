@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits_topk",
         "evt_hll_hourly",
         "evt_hll_sliding",
+        "evt_hll_setops",
         "stream_hll_merge",
         # -- re-certification: code paths changed AFTER the r4 sweep
         #    (fc36334: search_blocked tie-break, search_frontier parent-aware

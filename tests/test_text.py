@@ -600,6 +600,24 @@ def test_evt_hll_hourly_merge_contract(spark, sf_dir):
         assert abs(g["hll_users"] - g["exact_users"]) / g["exact_users"] < 0.1
 
 
+def test_evt_hll_setops_algebra(spark, sf_dir):
+    """Sketch set algebra sanity: the union estimate dominates each side's
+    and never exceeds A+B; the intersect row is exactly (A + B) − union of
+    the emitted estimates; exact counts obey the same inclusion–exclusion
+    identity exactly."""
+    from vers_spark.operators.relational import QUERIES as RQ
+
+    rows = {r["set_expr"]: r for r in RQ["evt_hll_setops"](spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "union", "intersect"}
+    ea, eb = rows["A"]["est"], rows["B"]["est"]
+    eu, ei = rows["union"]["est"], rows["intersect"]["est"]
+    assert max(ea, eb) <= eu <= ea + eb  # union registers dominate per side
+    assert ei == (ea + eb) - eu
+    xa, xb = rows["A"]["exact_users"], rows["B"]["exact_users"]
+    xu, xi = rows["union"]["exact_users"], rows["intersect"]["exact_users"]
+    assert xa + xb - xu == xi
+
+
 def test_evt_hll_sliding_dominates_hourly(spark, sf_dir):
     """Each 3-hour sliding window contains its end hour, so both its
     register population and its exact distinct count must dominate the

@@ -387,6 +387,143 @@ def evt_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA over per-cohort sketches: distinct users split by an
+    event-type cohort (purchases vs the rest), with the union estimated by
+    max-merge (the exact sketch contract) and the intersection by
+    inclusion–exclusion est(A) + est(B) − est(A∪B) — the overlap/audience
+    arithmetic sketches are deployed for (registers don't intersect;
+    IE error grows as the true overlap shrinks, documented). One cells
+    pass, two register tables + their merge, every estimate a single
+    division of exact integers; exact counts alongside. Output: one row
+    per set expression (A, B, union, intersect). The DuckDB twin builds
+    A∪B's registers from the raw cell union, so the union row's hash match
+    again certifies merge ≡ union; the intersect row is pure arithmetic on
+    the other three (exact in both engines)."""
+    from vers_spark.functions.text import stable_hash60
+    from vers_spark.operators.text_analysis import (
+        _HLL_CONST,
+        _HLL_RHO_MAX,
+        _HLL_SCALE,
+        HLL_M,
+        HLL_P,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    h = stable_hash60(F.concat(F.lit("hu:"), F.col("user_id").cast("string")))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == F.lit(0), F.lit(_HLL_RHO_MAX)).otherwise(
+        F.bit_count(w.bitwiseAND(-w) - F.lit(1)) + F.lit(1)
+    )
+    cells = ev.select(
+        F.when(F.col("event_type") == "purchase", "A").otherwise("B").alias("cohort"),
+        "user_id",
+        (h % HLL_M).cast("int").alias("bucket"),
+        rho.cast("int").alias("rho"),
+    )
+    regs = cells.groupBy("cohort", "bucket").agg(F.max("rho").alias("register"))
+    union_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .select(F.lit("union").alias("cohort"), "bucket", "register")
+    )
+    sum_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - register)")
+    zero_fill = (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << _HLL_SCALE)
+    sums = (
+        regs.unionByName(union_regs)
+        .groupBy("cohort")
+        .agg((F.sum(sum_term) + zero_fill).cast("long").alias("sum_fp"))
+        .select(
+            "cohort", (F.lit(_HLL_CONST) / F.col("sum_fp").cast("double")).alias("est")
+        )
+    )
+    ex = (
+        cells.groupBy("cohort")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .unionByName(
+            cells.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+            .select(F.lit("union").alias("cohort"), "exact_users")
+        )
+        .unionByName(
+            cells.filter(F.col("cohort") == "A")
+            .select("user_id")
+            .intersect(cells.filter(F.col("cohort") == "B").select("user_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_users"))
+            .select(F.lit("intersect").alias("cohort"), "exact_users")
+        )
+    )
+    # intersect estimate: one fixed-order expression over the three pivoted
+    # estimates (inclusion–exclusion), exact double arithmetic both engines
+    p = sums.groupBy().pivot("cohort", ["A", "B", "union"]).sum("est")
+    inter = p.select(
+        F.lit("intersect").alias("cohort"),
+        (F.col("A") + F.col("B") - F.col("union")).alias("est"),
+    )
+    return (
+        sums.unionByName(inter)
+        .join(ex, "cohort")
+        .select(F.col("cohort").alias("set_expr"), "est", "exact_users")
+        .orderBy("set_expr")
+    )
+
+
+def _evt_hll_setops_oracle() -> str:
+    from vers_spark.operators.text_analysis import (
+        _HLL_CONST,
+        _HLL_RHO_MAX,
+        _HLL_SCALE,
+        D_HASH60,
+        HLL_M,
+        HLL_P,
+    )
+
+    hash60 = D_HASH60.format(x="'hu:' || CAST(user_id AS VARCHAR)")
+    est = f"{_HLL_CONST!r} / CAST(sum_fp AS DOUBLE)"
+    return f"""
+        WITH cells AS MATERIALIZED (
+            SELECT CASE WHEN event_type = 'purchase' THEN 'A' ELSE 'B' END AS cohort,
+                   user_id,
+                   CAST(h % {HLL_M} AS INT) AS bucket,
+                   CAST(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+                        ELSE bit_count(((h >> {HLL_P}) & -(h >> {HLL_P})) - 1) + 1
+                        END AS INT) AS rho
+            FROM (SELECT event_type, user_id, ({hash60}) AS h FROM events)),
+        regs AS (
+            SELECT cohort, bucket, max(rho) AS register FROM cells GROUP BY cohort, bucket
+            UNION ALL
+            SELECT 'union', bucket, max(rho) FROM cells GROUP BY bucket),
+        sums AS (
+            SELECT cohort,
+                   CAST(sum(CAST(1 AS BIGINT) << ({_HLL_SCALE} - register))
+                        + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {_HLL_SCALE})
+                        AS BIGINT) AS sum_fp
+            FROM regs GROUP BY cohort),
+        ests AS (SELECT cohort, {est} AS est FROM sums),
+        piv AS (SELECT
+                    max(CASE WHEN cohort = 'A' THEN est END) AS ea,
+                    max(CASE WHEN cohort = 'B' THEN est END) AS eb,
+                    max(CASE WHEN cohort = 'union' THEN est END) AS eu
+                FROM ests),
+        all_ests AS (
+            SELECT cohort, est FROM ests
+            UNION ALL
+            SELECT 'intersect', (ea + eb) - eu FROM piv),
+        ex AS (
+            SELECT cohort, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM cells GROUP BY cohort
+            UNION ALL
+            SELECT 'union', CAST(count(DISTINCT user_id) AS BIGINT) FROM cells
+            UNION ALL
+            SELECT 'intersect', CAST(count(*) AS BIGINT) FROM (
+                SELECT DISTINCT user_id FROM cells WHERE cohort = 'A'
+                INTERSECT
+                SELECT DISTINCT user_id FROM cells WHERE cohort = 'B'))
+        SELECT e.cohort AS set_expr, e.est, x.exact_users
+        FROM all_ests e JOIN ex x ON x.cohort = e.cohort
+        ORDER BY set_expr
+    """
+
+
 def _evt_hll_sliding_oracle() -> str:
     from vers_spark.operators.text_analysis import (
         _HLL_CONST,
@@ -1850,6 +1987,7 @@ def _hits_oracle() -> str:
 ORACLE_SQL["graph_hits_topk"] = _hits_oracle()
 ORACLE_SQL["evt_hll_hourly"] = _evt_hll_oracle()
 ORACLE_SQL["evt_hll_sliding"] = _evt_hll_sliding_oracle()
+ORACLE_SQL["evt_hll_setops"] = _evt_hll_setops_oracle()
 
 
 def graph_ppr_customer_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1940,6 +2078,7 @@ QUERIES = {
     "graph_hits_topk": graph_hits_topk,
     "evt_hll_hourly": evt_hll_hourly,
     "evt_hll_sliding": evt_hll_sliding,
+    "evt_hll_setops": evt_hll_setops,
     "graph_ppr_customer_affinity": graph_ppr_customer_affinity,
     "q1_pricing_summary": q1_pricing_summary,
     "q2_cheapest_supplier": q2_cheapest_supplier,
