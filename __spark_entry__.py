@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_hll_sliding",
         "evt_hll_setops",
         "stream_hll_merge",
+        "stream_neardup_pairs",
         # -- re-certification: code paths changed AFTER the r4 sweep
         #    (fc36334: search_blocked tie-break, search_frontier parent-aware
         #    routing, stream_cms_merge empty-store guard) --

@@ -150,3 +150,20 @@ def test_stream_sketch_merge_oracles(spark, sf_dir):
         spark, sf_dir, "stream_hll_merge",
         SQ.QUERIES["stream_hll_merge"], SQ.ORACLE_SQL["stream_hll_merge"],
     )
+
+
+def test_stream_neardup_pairs_equals_batch_pipeline(spark, sf_dir):
+    """The streamed band-store candidate graph, after exact-Jaccard
+    verification, is EXACTLY the batch MinHash pipeline's pair set — pair
+    discovery at later-member arrival loses nothing and invents nothing."""
+    from vers_spark.operators.text_dedup_queries import minhash_neardup_q
+
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in SQ.QUERIES["stream_neardup_pairs"](spark, sf_dir).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in minhash_neardup_q(spark, sf_dir).collect()
+    }
+    assert got == want and got

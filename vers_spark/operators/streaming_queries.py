@@ -530,6 +530,86 @@ def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MAINTENANCE of the near-dup candidate graph — the
+    incremental form of the MinHash-LSH dedup pipeline: documents arrive in
+    micro-batches; each batch computes its OWN banded signatures, joins
+    them against the ACCUMULATED band store (so a pair is discovered
+    exactly when its LATER member arrives — new-vs-old via the store,
+    new-vs-new within the batch join since the batch appends first), and
+    appends the new candidate edges to a pair log. No pair is ever
+    re-derived for old-old combinations, which is what keeps per-batch
+    cost proportional to batch × collision rate instead of corpus².
+    Serving verifies the logged candidates with exact Jaccard against the
+    corpus shingle sets (verification only ever touches candidate pairs).
+    End state ≡ the batch pipeline's band-collision set, so the streamed
+    graph hash-matches the SAME DuckDB oracle as minhash_neardup. At
+    100 TB the band store is bucketed by (band_id, band_key) and each
+    micro-batch's join partition-prunes to its own keys."""
+    from vers_spark.operators.text_dedup import (
+        band_candidates,
+        jaccard_verify,
+        minhash_bands,
+        minhash_signatures_from_shingles,
+        shingle_sets,
+    )
+    from vers_spark.operators.text_dedup_queries import NEAR_TAIL, _augmented
+
+    corpus = _augmented(spark, sf_dir, 7, NEAR_TAIL).select("doc_id", "text")
+    src_dir = scratch_dir("vs_ndstream_src_")
+    corpus.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src_dir)
+    import glob as _glob
+    import time as _time
+
+    base = _time.time() - 3600
+    for i, f in enumerate(sorted(_glob.glob(f"{src_dir}/part-*.parquet"))):
+        os.utime(f, (base + i, base + i))
+
+    band_store = scratch_dir("vs_ndstream_bands_") + "/bands"
+    pair_log = scratch_dir("vs_ndstream_pairs_") + "/pairs"
+    ckpt = scratch_dir("vs_ndstream_ck_")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sh = shingle_sets(batch_df, 3)
+        bands = minhash_bands(minhash_signatures_from_shingles(sh))
+        bands.write.mode("append").parquet(band_store)
+        store = spark.read.parquet(band_store)
+        new = bands.select(F.col("doc_id").alias("doc_n"), "band_id", "band_key")
+        pairs = (
+            new.join(store, ["band_id", "band_key"])
+            .filter(F.col("doc_id") != F.col("doc_n"))
+            .select(
+                F.least("doc_id", "doc_n").alias("doc_a"),
+                F.greatest("doc_id", "doc_n").alias("doc_b"),
+            )
+            .dropDuplicates()
+        )
+        pairs.write.mode("append").parquet(pair_log)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if os.path.exists(pair_log):
+        cands = spark.read.parquet(pair_log).dropDuplicates()
+    else:
+        cands = spark.createDataFrame([], "doc_a long, doc_b long")
+    sh_full = shingle_sets(corpus, 3)
+    return (
+        jaccard_verify(cands, sh_full, threshold=0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def stream_ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same streaming ingest against the fixed-point build's frozen
     centroids: end state ≡ the batch build's posting lists, hash-matched
@@ -688,6 +768,7 @@ QUERIES = {
     "stream_rollup_serve": stream_rollup_serve,
     "stream_cms_merge": stream_cms_merge,
     "stream_hll_merge": stream_hll_merge,
+    "stream_neardup_pairs": stream_neardup_pairs,
 }
 
 # streaming ingest end state ≡ the fixed-point batch build's posting lists:
@@ -813,3 +894,14 @@ def _stream_hll_oracle() -> str:
 
 
 ORACLE_SQL["stream_hll_merge"] = _stream_hll_oracle()
+
+
+def _stream_neardup_oracle() -> str:
+    # end state ≡ the batch MinHash pipeline — the streamed band store only
+    # changes WHEN a collision is discovered, never WHICH collisions exist
+    from vers_spark.operators.text_dedup_queries import ORACLE_SQL as _TD_ORACLE
+
+    return _TD_ORACLE["minhash_neardup"]
+
+
+ORACLE_SQL["stream_neardup_pairs"] = _stream_neardup_oracle()
