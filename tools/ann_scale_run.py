@@ -69,6 +69,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--skip-hnsw", action="store_true")
     ap.add_argument("--skip-ivf", action="store_true")
+    ap.add_argument("--skip-lsh", action="store_true")
     # 128 random shards at 1M: ~7.8k vectors/shard keeps the 32 concurrent
     # applyInPandas workers at ~0.5 GB each (the 64-way K-MEANS sharding OOMed
     # the box: the synthetic corpus has 50 latent clusters, so k-means shards
@@ -180,6 +181,31 @@ def main() -> None:
             out["hnsw_search_batch_sec"] * 1000 / N_QUERIES, 1
         )
         print(f"# hnsw: {json.dumps({k: v for k, v in out.items() if k.startswith('hnsw')})}", flush=True)
+
+    if not args.skip_lsh:
+        # reference harness config (main.rs:81): 8 trees, max_node_size=100.
+        # 1M rows exceeds the whole-corpus-per-task local build cap, so this
+        # exercises the level-synchronous distributed build (~13 split levels)
+        from vers_spark.indexes.lsh import LSHForestIndex
+
+        t0 = time.perf_counter()
+        lsh = LSHForestIndex.build(corpus, num_trees=8, max_node_size=100, seed=42)
+        lsh.leaves.count()  # materialize
+        out["lsh_build_sec"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        res = lsh.search(queries, k=10)
+        out["lsh_recall_at_10"] = recall(res)
+        out["lsh_search_batch_sec"] = round(time.perf_counter() - t0, 1)
+        out["lsh_search_per_query_ms"] = round(
+            out["lsh_search_batch_sec"] * 1000 / N_QUERIES, 1
+        )
+        # margin-ordered multi-probe: the recall-vs-work dial at fixed trees
+        for p in (2, 4):
+            t0 = time.perf_counter()
+            res = lsh.search_multiprobe(queries, k=10, n_probes=p)
+            out[f"lsh_mp{p}_recall_at_10"] = recall(res)
+            out[f"lsh_mp{p}_search_batch_sec"] = round(time.perf_counter() - t0, 1)
+        print(f"# lsh: {json.dumps({k: v for k, v in out.items() if k.startswith('lsh')})}", flush=True)
 
     print(json.dumps(out))
 

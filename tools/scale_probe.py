@@ -221,8 +221,11 @@ def main() -> None:
 
     from bench import _clear_state
 
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
     results = {}
     for name, fn in _probes().items():
+        if only and name not in only:
+            continue
         row = {}
         for label, sf_dir in [("x1", BASE), ("x10", BIG)]:
             best, rows = None, 0

@@ -353,14 +353,25 @@ def doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(TX.word_shingles(TX.ws_tokens(F.col("text")), 3)).alias("tok")
     )
-    h = TX.stable_hash60(F.col("tok"))
+    # ONE tokenize+md5 pass, then every consumer (registers, histogram,
+    # exact count) derives from the DISTINCT 60-bit hash table: bucket and
+    # rho are functions of h, so max-per-bucket over distinct h equals max
+    # over all occurrences, and the exact count is count(distinct h) — an
+    # 8-byte-long shuffle instead of re-hashing shingle STRINGS per
+    # consumer (the naive three-subtree plan re-ran tokenize+md5 3x and
+    # went 28x super-linear at the 10x probe; this shape re-measured ~9x).
+    # exact_n counts distinct HASHES in both engines — identical arithmetic
+    # cross-engine; a 60-bit collision at realistic shingle cardinalities
+    # is ~n²/2^61 and would shift both engines' counts together anyway.
+    hs = toks.select(TX.stable_hash60(F.col("tok")).alias("h")).distinct()
+    h = F.col("h")
     w = F.shiftright(h, HLL_P)
     rho = F.when(w == F.lit(0), F.lit(_HLL_RHO_MAX)).otherwise(
         F.bit_count(w.bitwiseAND(-w) - F.lit(1)) + F.lit(1)
     )
-    cells = toks.select(
-        (h % HLL_M).cast("int").alias("bucket"), rho.cast("int").alias("rho")
-    )
+    cells = hs.select(
+        (h % HLL_M).cast("int").alias("bucket"), rho.cast("int").alias("rho"), "h"
+    ).localCheckpoint(eager=False)
     regs = cells.groupBy("bucket").agg(F.max("rho").alias("register"))
     spine = spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
     full = spine.join(F.broadcast(regs), "bucket", "left").select(
@@ -371,7 +382,7 @@ def doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_fp")
     )
-    exact = toks.agg(F.countDistinct("tok").cast("long").alias("exact_n"))
+    exact = cells.agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
     hist = full.groupBy("register").agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
     return (
         hist.crossJoin(F.broadcast(stats))
@@ -1500,7 +1511,7 @@ ORACLE_SQL["doc_hll_distinct"] = f"""
                                           i -> array_to_string(({_D_TOKS})[i:i+2], ' '))
                       ELSE [array_to_string({_D_TOKS}, ' ')] END) AS tok
         FROM documents),
-    hashes AS (SELECT tok, ({_D_HASH60_TOK}) AS h FROM toks),
+    hashes AS MATERIALIZED (SELECT DISTINCT ({_D_HASH60_TOK}) AS h FROM toks),
     cells AS (
         SELECT CAST(h % {HLL_M} AS INT) AS bucket,
                CAST(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RHO_MAX}
@@ -1516,7 +1527,7 @@ ORACLE_SQL["doc_hll_distinct"] = f"""
     ),
     stats AS (SELECT CAST(sum(CAST(1 AS BIGINT) << ({_HLL_SCALE} - register)) AS BIGINT)
                      AS sum_fp FROM full_regs),
-    exact AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_n FROM toks)
+    exact AS (SELECT CAST(count(*) AS BIGINT) AS exact_n FROM hashes)
     SELECT register, CAST(count(*) AS BIGINT) AS n_buckets, exact_n, sum_fp,
            {_HLL_CONST!r} / CAST(sum_fp AS DOUBLE) AS hll_est
     FROM full_regs, stats, exact
