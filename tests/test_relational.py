@@ -56,3 +56,36 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_skew_salted_agg_plan_and_parity(spark, sf_dir):
+    """The salted two-phase aggregate: (a) its physical plan really carries
+    the salt key into the first exchange (the fan-out is in the PLAN, not
+    just the algebra), and (b) the result is row-identical to the direct
+    single-phase GROUP BY computed in-engine."""
+    from pyspark.sql import functions as F
+
+    from vers_spark.operators.relational import QUERIES as RQ
+    from vers_spark.sources.tables import load_table
+
+    df = RQ["q_skew_salted_agg"](spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    assert "xxhash64" in plan and "salt" in plan  # phase-1 salt key in plan
+    got = {r["event_type"]: r.asDict() for r in df.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: r.asDict()
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            (
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == direct

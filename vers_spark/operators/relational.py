@@ -387,6 +387,61 @@ def evt_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED two-phase aggregation certified result-identical to the
+    direct GROUP BY: events aggregate by event_type — a 5-value key, the
+    textbook hot-key shape where a single-phase shuffle lands each key's
+    ENTIRE volume on one reducer. Phase 1 groups by (event_type, salt) with
+    salt = xxhash64(event_id) mod 32, spreading every hot key over 32
+    reducers; phase 2 reduces the ≤ 5×32 partials. Every aggregate is
+    salt-decomposable ARITHMETIC that stays exact: counts and DECIMAL sums
+    add, min/max compose, the average is computed ONCE from the final
+    (sum, count) — so the plan differs, the result provably doesn't, and
+    the plain-GROUP-BY DuckDB twin is a full hash oracle FOR THE TECHNIQUE
+    (what AQE skew handling does for joins, hand-rolled for aggregation;
+    float sums would NOT survive this regrouping — the DECIMAL cast is
+    what makes the two-phase sum legal, the same money-sum discipline as
+    q1). Partial aggregation (map-side combine) already does this
+    transparently per partition; explicit salting is the 100 TB tool for
+    when the REDUCE side itself must fan out (e.g. high-cardinality state
+    per key downstream of the combine)."""
+    ev = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(32)).alias("salt")
+    p1 = ev.groupBy(F.col("event_type"), salt).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(_DEC)).alias("sum_dec"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        p1.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            (F.sum("sum_dec").cast("double") / F.sum("n").cast("double")).alias(
+                "avg_value"
+            ),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SQL_SKEW = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 def evt_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL SET ALGEBRA over per-cohort sketches: distinct users split by an
     event-type cohort (purchases vs the rest), with the union estimated by
@@ -1986,6 +2041,7 @@ def _hits_oracle() -> str:
 
 ORACLE_SQL["graph_hits_topk"] = _hits_oracle()
 ORACLE_SQL["evt_hll_hourly"] = _evt_hll_oracle()
+ORACLE_SQL["q_skew_salted_agg"] = ORACLE_SQL_SKEW
 ORACLE_SQL["evt_hll_sliding"] = _evt_hll_sliding_oracle()
 ORACLE_SQL["evt_hll_setops"] = _evt_hll_setops_oracle()
 
@@ -2079,6 +2135,7 @@ QUERIES = {
     "evt_hll_hourly": evt_hll_hourly,
     "evt_hll_sliding": evt_hll_sliding,
     "evt_hll_setops": evt_hll_setops,
+    "q_skew_salted_agg": q_skew_salted_agg,
     "graph_ppr_customer_affinity": graph_ppr_customer_affinity,
     "q1_pricing_summary": q1_pricing_summary,
     "q2_cheapest_supplier": q2_cheapest_supplier,
