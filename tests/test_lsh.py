@@ -119,3 +119,44 @@ def test_add_defer_mode_keeps_old_behavior(spark, emb):
     idx = LSHForestIndex.build(base, num_trees=1, max_node_size=16, seed=3)
     grown = idx.add(extra, split_overflow=False)
     assert grown.hyperplanes.count() == idx.hyperplanes.count()
+
+
+def test_distributed_build_invariants_and_search(spark, sf_dir):
+    """The level-synchronous distributed build (the 100 TB path, normally
+    auto-selected only above the local-build row cap): every leaf respects
+    max_node_size, each tree's leaves exactly partition the deduped corpus,
+    every member agrees with ALL its ancestor plane sides (the descent
+    invariant), and search over the distributed-built forest returns k
+    ranked results."""
+    from vers_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = LSHForestIndex.build(
+        emb, num_trees=2, max_node_size=64, seed=13, backend="distributed"
+    )
+    leaves = idx.leaves.collect()
+    n_corpus = emb.dropDuplicates(["embedding"]).count()
+    per_tree = {}
+    sizes = {}
+    for r in leaves:
+        per_tree.setdefault(r["tree_id"], set()).add(r["id"])
+        sizes[(r["tree_id"], r["path"])] = sizes.get((r["tree_id"], r["path"]), 0) + 1
+    for t, ids in per_tree.items():
+        assert len(ids) == n_corpus  # partition: every (deduped) row in a leaf
+    assert max(sizes.values()) <= 64
+    planes = {
+        (r["tree_id"], r["path"]): (r["coeffs"], r["constant"])
+        for r in idx.hyperplanes.collect()
+    }
+    import random
+
+    rng = random.Random(0)
+    for r in rng.sample(leaves, min(200, len(leaves))):
+        v = r["embedding"]
+        for lvl in range(len(r["path"])):
+            coeffs, const = planes[(r["tree_id"], r["path"][:lvl])]
+            side = "1" if sum(c * x for c, x in zip(coeffs, v)) + const >= 0 else "0"
+            assert r["path"][lvl] == side
+    q = emb.filter(F.col("vec_id") < 5)
+    got = idx.search(q, k=10).groupBy("query_id").count().collect()
+    assert len(got) == 5 and all(r["count"] == 10 for r in got)

@@ -252,11 +252,21 @@ class LSHForestIndex:
             # oversized: their rows have path length == depth (a node that
             # once fit max_node_size is a final leaf). The filter is
             # shuffle-free, so each level's window shrinks with the frontier.
-            sampled = (
-                assign.filter(F.length("path") == depth)
+            # the window runs over SLIM (tree, path, id) rows — carrying the
+            # embedding through WindowExec buffers the whole node's vectors
+            # in each window partition (~2.4 GB/node at 1M×300 depth 0, the
+            # OOM observed on the 1M build); the ≤2 winners per node then
+            # broadcast-join back to fetch just their embeddings
+            frontier = assign.filter(F.length("path") == depth)
+            picked = (
+                frontier.select("tree_id", "path", "id")
                 .withColumn("_n", F.count(F.lit(1)).over(node_w))
                 .withColumn("_rn", F.row_number().over(pick))
                 .filter((F.col("_rn") <= 2) & (F.col("_n") > max_node_size))
+                .select("tree_id", "path", "_rn", "id")
+            )
+            sampled = (
+                frontier.join(F.broadcast(picked), ["tree_id", "path", "id"])
                 .select("tree_id", "path", "_rn", "embedding")
                 .collect()
             )
