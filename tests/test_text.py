@@ -699,3 +699,24 @@ def test_rag_xxhash_backend_shape_and_determinism(spark, sf_dir):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == TOP_K
     assert sorted(r["rank"] for r in a) == list(range(1, TOP_K + 1))
+
+
+def test_quality_budget_curve_monotone_and_anchored(spark, sf_dir):
+    """The budget curve is a valid survival function: monotone nonincreasing
+    in the threshold, anchored at threshold 0 (everything kept — quality
+    components are nonnegative), and consistent with a direct filter count
+    at one interior threshold."""
+    from vers_spark.operators.text_analysis import QUERIES as TAQ
+    from vers_spark.operators.text_analysis import quality_score
+
+    rows = TAQ["doc_quality_budget_curve"](spark, sf_dir).collect()
+    assert [r["threshold"] for r in rows] == [k / 20 for k in range(21)]
+    kept = [r["n_docs_kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = docs.count()
+    assert kept[0] == total and rows[0]["doc_frac"] == 1.0
+    t = 0.55
+    direct = docs.filter(quality_score(F.col("text")) >= t).count()
+    at_t = next(r for r in rows if abs(r["threshold"] - t) < 1e-9)
+    assert at_t["n_docs_kept"] == direct

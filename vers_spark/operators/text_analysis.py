@@ -470,6 +470,71 @@ def doc_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QC_GRID = 20  # quality histogram granularity: thresholds at k/20
+
+
+def doc_quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold BUDGET CURVE: for every threshold k/20, how many
+    documents and tokens survive `quality_score >= t` — the calibration
+    table a curation pipeline reads to pick the cut that hits its token
+    budget (doc_curation_pipeline applies ONE such threshold; this emits
+    the whole frontier). Scale shape: ONE corpus scan reduces to a ≤
+    QC_GRID+1-row (bucket, n_docs, n_tokens) histogram — the per-threshold
+    sums are cumulative sums over that tiny table, never per-threshold
+    rescans (the naive grid crossJoin reads the corpus once per
+    threshold). Thresholds align with bucket edges (floor(q·20) ≥ k ⟺
+    q ≥ k/20), so the bucketed cumsum is EXACT, not approximate; fractions
+    are single divisions of exact counts. Engine-exact end to end."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        F.floor(quality_score(F.col("text")) * QC_GRID).cast("int").alias("qb"),
+        F.size(TX.ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    hist = per.groupBy("qb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_toks"),
+    )
+    # cumulative-from-above over the bounded histogram (window over ≤ 21
+    # rows) + the grand totals broadcast back for the fractions
+    w = W.orderBy(F.desc("qb")).rowsBetween(W.unboundedPreceding, 0)
+    tot = hist.agg(
+        F.sum("n_docs").cast("long").alias("t_docs"),
+        F.sum("n_toks").cast("long").alias("t_toks"),
+    )
+    cum = hist.select(
+        "qb",
+        F.sum("n_docs").over(w).cast("long").alias("docs_kept"),
+        F.sum("n_toks").over(w).cast("long").alias("toks_kept"),
+    )
+    grid = spark.range(QC_GRID + 1).select(F.col("id").cast("int").alias("k"))
+    joined = (
+        F.broadcast(grid)
+        .join(cum, cum["qb"] >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.max("docs_kept"), F.lit(0)).cast("long").alias("n_docs_kept"),
+            F.coalesce(F.max("toks_kept"), F.lit(0)).cast("long").alias("n_tokens_kept"),
+        )
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("k").cast("double") / QC_GRID).alias("threshold"),
+            "n_docs_kept",
+            "n_tokens_kept",
+            (F.col("n_docs_kept").cast("double") / F.col("t_docs").cast("double")).alias(
+                "doc_frac"
+            ),
+            (
+                F.col("n_tokens_kept").cast("double") / F.col("t_toks").cast("double")
+            ).alias("token_frac"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): unique
     token ratio, adjacent-duplicate-token fraction, fraction of characters in
@@ -1566,6 +1631,53 @@ ORACLE_SQL["doc_sample_quantiles"] = f"""
     ORDER BY pct
 """
 QUERIES["doc_sample_quantiles"] = doc_sample_quantiles
+
+_D_QTOKS = D_TOKENS.format(t="text")
+ORACLE_SQL["doc_quality_budget_curve"] = f"""
+    WITH f AS (
+        SELECT CAST({d_count_in_set(_D_QTOKS, TX.STOPWORDS_EN)} AS DOUBLE)
+                   / CAST(greatest(len({_D_QTOKS}), 1) AS DOUBLE) AS stop_r,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:()\\[\\]{{}}''"]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_r,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_r,
+               CAST(greatest(length(text), 1) AS DOUBLE)
+                   / CAST(greatest(len({_D_QTOKS}), 1) AS DOUBLE) AS mwl,
+               CAST(len({_D_QTOKS}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    per AS (
+        SELECT CAST(floor((0.4 * stop_r + 0.3 * (1.0 - punct_r) + 0.2 * (1.0 - digit_r)
+                   + 0.1 * least(mwl / 10.0, 1.0)) * {QC_GRID}) AS INT) AS qb,
+               n_tok
+        FROM f
+    ),
+    hist AS (SELECT qb, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_tok) AS BIGINT) AS n_toks
+             FROM per GROUP BY qb),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS t_toks FROM hist),
+    cum AS (SELECT qb,
+                   CAST(sum(n_docs) OVER (ORDER BY qb DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_kept,
+                   CAST(sum(n_toks) OVER (ORDER BY qb DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS toks_kept
+            FROM hist),
+    grid AS (SELECT CAST(range AS INT) AS k FROM range({QC_GRID} + 1)),
+    joined AS (
+        SELECT k, CAST(coalesce(max(docs_kept), 0) AS BIGINT) AS n_docs_kept,
+               CAST(coalesce(max(toks_kept), 0) AS BIGINT) AS n_tokens_kept
+        FROM grid LEFT JOIN cum ON cum.qb >= grid.k
+        GROUP BY k
+    )
+    SELECT CAST(k AS DOUBLE) / {QC_GRID} AS threshold,
+           n_docs_kept, n_tokens_kept,
+           CAST(n_docs_kept AS DOUBLE) / CAST(t_docs AS DOUBLE) AS doc_frac,
+           CAST(n_tokens_kept AS DOUBLE) / CAST(t_toks AS DOUBLE) AS token_frac
+    FROM joined, tot
+    ORDER BY threshold
+"""
+QUERIES["doc_quality_budget_curve"] = doc_quality_budget_curve
 
 ORACLE_SQL["doc_window_dups"] = rf"""
     WITH corpus AS (
