@@ -232,10 +232,24 @@ class LSHForestIndex:
             )
 
         trees = spark.range(num_trees).select(F.col("id").cast("int").alias("tree_id"))
-        assign = data.crossJoin(F.broadcast(trees)).select(
+        frontier = data.crossJoin(F.broadcast(trees)).select(
             "tree_id", F.lit("").alias("path"), "id", "embedding"
         )
-        assign = assign.localCheckpoint(eager=False)
+        frontier = frontier.localCheckpoint(eager=False)
+
+        # SETTLED rows (their node stopped splitting) leave the loop: the
+        # per-level rewrite touches only the live frontier, so level cost
+        # tracks the frontier's volume instead of the whole corpus — on the
+        # deep unbalanced tail (annoy-style 2-point splits), most rows have
+        # settled and the old whole-corpus rewrite spent ~constant full-IO
+        # per level rewriting leaves that could no longer change (measured
+        # ~5 min/level of spill IO at 1M×300 past depth ~14). Settled rows
+        # append to a scratch Parquet log — a union-of-DataFrames would
+        # grow the plan tree by one branch per level.
+        from vers_spark.streaming.events import scratch_dir as _scratch
+
+        settled_dir = _scratch("vs_lshbuild_settled_") + "/leaves"
+        any_settled = False
 
         all_planes: list[tuple[int, str, list[float], float]] = []
         depth_reached = 0
@@ -248,16 +262,11 @@ class LSHForestIndex:
             pick = node_w.orderBy(
                 F.xxhash64("id", F.lit(seed), F.lit(depth), "tree_id"), F.asc("id")
             )
-            # only nodes that split at the previous level can still be
-            # oversized: their rows have path length == depth (a node that
-            # once fit max_node_size is a final leaf). The filter is
-            # shuffle-free, so each level's window shrinks with the frontier.
             # the window runs over SLIM (tree, path, id) rows — carrying the
             # embedding through WindowExec buffers the whole node's vectors
             # in each window partition (~2.4 GB/node at 1M×300 depth 0, the
             # OOM observed on the 1M build); the ≤2 winners per node then
             # broadcast-join back to fetch just their embeddings
-            frontier = assign.filter(F.length("path") == depth)
             picked = (
                 frontier.select("tree_id", "path", "id")
                 .withColumn("_n", F.count(F.lit(1)).over(node_w))
@@ -292,22 +301,32 @@ class LSHForestIndex:
             planes_df = spark.createDataFrame(
                 level_planes, "tree_id int, path string, coeffs array<double>, constant double"
             )
-            assign = (
-                assign.join(F.broadcast(planes_df), ["tree_id", "path"], "left")
+            split = frontier.join(F.broadcast(planes_df), ["tree_id", "path"], "left")
+            # nodes WITHOUT a plane this level (fit max_node_size, or <2
+            # distinct points) are final leaves — settle them out
+            split.filter(F.col("coeffs").isNull()).select(
+                "tree_id", "path", "id", "embedding"
+            ).write.mode("append").parquet(settled_dir)
+            any_settled = True
+            frontier = (
+                split.filter(F.col("coeffs").isNotNull())
                 .withColumn(
                     "path",
-                    F.when(
-                        F.col("coeffs").isNotNull(),
-                        F.concat(
-                            "path", _plane_side(F.col("embedding"), F.col("coeffs"), F.col("constant"))
-                        ),
-                    ).otherwise(F.col("path")),
+                    F.concat(
+                        "path",
+                        _plane_side(F.col("embedding"), F.col("coeffs"), F.col("constant")),
+                    ),
                 )
                 .select("tree_id", "path", "id", "embedding")
                 # truncate lineage each level; lazy so materialization rides
-                # the NEXT level's sample-collect job (1 job/level, not 2)
+                # the NEXT level's sample-collect job
                 .localCheckpoint(eager=False)
             )
+
+        if any_settled:
+            assign = spark.read.parquet(settled_dir).unionByName(frontier)
+        else:
+            assign = frontier
 
         hyperplanes = spark.createDataFrame(
             all_planes or [(0, "__none__", [0.0], 0.0)],
