@@ -89,3 +89,36 @@ def test_skew_salted_agg_plan_and_parity(spark, sf_dir):
         .collect()
     }
     assert got == direct
+
+
+def test_mad_anomaly_semantics(spark, sf_dir):
+    """MAD anomaly detection replays exactly for a sampled user (median,
+    MAD, and flag count recomputed in Python from the raw values), and the
+    degenerate-MAD guard means zero flags whenever mad == 0."""
+    from pyspark.sql import functions as F
+
+    from vers_spark.operators.relational import QUERIES as RQ
+    from vers_spark.sources.tables import load_table
+
+    rows = {r["user_id"]: r for r in RQ["evt_anomaly_mad"](spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        if r["mad_degenerate"] == 1:
+            assert r["n_anomalies"] == 0
+    import statistics
+
+    uid = sorted(rows)[0]
+    vals = [
+        x["value"]
+        for x in load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == uid)
+        .select("value")
+        .collect()
+    ]
+    med = statistics.median(vals)
+    mad = statistics.median([abs(v - med) for v in vals])
+    r = rows[uid]
+    assert r["n_events"] == len(vals)
+    assert abs(r["med"] - med) < 1e-9 and abs(r["mad"] - mad) < 1e-9
+    want = sum(1 for v in vals if mad > 0 and abs(v - med) > 3.0 * (1.4826 * mad))
+    assert r["n_anomalies"] == want

@@ -896,6 +896,84 @@ def evt_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust anomaly detection via MEDIAN ABSOLUTE DEVIATION —
+    the breakdown-point-0.5 classic that mean/stddev z-scores can't give
+    (one large outlier inflates the stddev and hides itself; the median
+    and MAD ignore half the data going bad). Two percentile rounds: the
+    per-user median, joined back (broadcast — the threshold table is one
+    row per user) to aggregate median(|value − med|), then events with
+    |value − med| > 3·1.4826·MAD are counted as anomalies (1.4826 = the
+    normal-consistency constant, embedded as one shared literal).
+    percentile_cont interpolation, abs, and the single multiply are all
+    correctly-rounded — engine-exact where stddev-based scoring could
+    never hash-match. MAD = 0 (over half the user's values identical)
+    disables the rule for that user rather than flagging everything —
+    emitted as a separate count so the degenerate case is visible."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias("med"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    dev = ev.join(F.broadcast(med), "user_id").select(
+        "user_id", "med", "n_events", F.abs(F.col("value") - F.col("med")).alias("ad"),
+        "value",
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.max("med").alias("med"),
+        F.max("n_events").alias("n_events"),
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ad)").alias("mad"),
+    )
+    thr = F.lit(3.0) * (F.lit(1.4826) * F.col("mad"))
+    flagged = (
+        ev.join(F.broadcast(mad), "user_id")
+        .select(
+            "user_id",
+            "med",
+            "mad",
+            "n_events",
+            (
+                (F.col("mad") > 0.0)
+                & (F.abs(F.col("value") - F.col("med")) > thr)
+            ).cast("long").alias("is_anom"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.max("n_events").alias("n_events"),
+            F.sum("is_anom").cast("long").alias("n_anomalies"),
+            F.max((F.col("mad") == 0.0).cast("int")).alias("mad_degenerate"),
+        )
+    )
+    return flagged.orderBy("user_id")
+
+
+ORACLE_SQL_MAD = """
+    WITH med AS (
+        SELECT user_id,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    mad AS (
+        SELECT e.user_id, max(m.med) AS med, max(m.n_events) AS n_events,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (user_id)
+        GROUP BY e.user_id
+    )
+    SELECT e.user_id, max(m.med) AS med, max(m.mad) AS mad,
+           CAST(max(m.n_events) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN m.mad > 0.0
+                         AND abs(e.value - m.med) > 3.0 * (1.4826 * m.mad)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(max(CASE WHEN m.mad = 0.0 THEN 1 ELSE 0 END) AS INT) AS mad_degenerate
+    FROM events e JOIN mad m USING (user_id)
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+"""
+
+
 def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by the ISO week of their
     first event, × the weeks they were active, with distinct-user counts —
@@ -2042,6 +2120,7 @@ def _hits_oracle() -> str:
 ORACLE_SQL["graph_hits_topk"] = _hits_oracle()
 ORACLE_SQL["evt_hll_hourly"] = _evt_hll_oracle()
 ORACLE_SQL["q_skew_salted_agg"] = ORACLE_SQL_SKEW
+ORACLE_SQL["evt_anomaly_mad"] = ORACLE_SQL_MAD
 ORACLE_SQL["evt_hll_sliding"] = _evt_hll_sliding_oracle()
 ORACLE_SQL["evt_hll_setops"] = _evt_hll_setops_oracle()
 
@@ -2136,6 +2215,7 @@ QUERIES = {
     "evt_hll_sliding": evt_hll_sliding,
     "evt_hll_setops": evt_hll_setops,
     "q_skew_salted_agg": q_skew_salted_agg,
+    "evt_anomaly_mad": evt_anomaly_mad,
     "graph_ppr_customer_affinity": graph_ppr_customer_affinity,
     "q1_pricing_summary": q1_pricing_summary,
     "q2_cheapest_supplier": q2_cheapest_supplier,
