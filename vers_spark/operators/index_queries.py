@@ -1003,6 +1003,46 @@ def _hnsw_layer_sql() -> str:
     """
 
 
+def emb_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space junk detection: vectors whose distance to their OWN
+    cluster's centroid exceeds that cluster's p95 — the per-mode robust
+    cut a global distance threshold can't express (a tight cluster's
+    outliers sit closer than a diffuse cluster's core). Composes on the
+    fixed-point Lloyd build (memoized — sweeps reuse the materialized
+    assignment), so the DuckDB twin unrolls the identical k-means and then
+    takes percentile_cont over the same f64 fold distances — an ITERATIVE
+    build feeding a robust-statistics filter, hash-certified end to end.
+    At 100 TB the threshold table is k rows (broadcast) and the filter is
+    one assignment-table scan."""
+    _, assigned = _lloyd_fixed(spark, sf_dir)
+    p = assigned.groupBy("cluster_id").agg(
+        F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY dist)").alias("p95"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return (
+        assigned.join(F.broadcast(p), "cluster_id")
+        .filter(F.col("dist") > F.col("p95"))
+        .select(F.col("id").alias("vec_id"), "cluster_id", "dist", "p95", "n_members")
+        .orderBy("vec_id")
+    )
+
+
+def _emb_cluster_outliers_sql() -> str:
+    with_clause, _ = _lloyd_fixed_ctes(_FIXED_K, _FIXED_ITERS, _FIXED_SEED)
+    fin = f"a{_FIXED_ITERS + 1}"  # the unrolled run's final per-id assignment
+    return f"""{with_clause},
+        p AS (
+            SELECT cluster_id,
+                   percentile_cont(0.95) WITHIN GROUP (ORDER BY dist) AS p95,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM {fin} GROUP BY cluster_id)
+        SELECT a.id AS vec_id, a.cluster_id, a.dist, p.p95, p.n_members
+        FROM {fin} a JOIN p USING (cluster_id)
+        WHERE a.dist > p.p95
+        ORDER BY vec_id
+    """
+
+
 IVF_RANGE_R2 = 1.4  # ≈ the 1% pair-distance quantile of the synthetic embeddings
 
 
@@ -1038,6 +1078,7 @@ def _ivf_range_sql() -> str:
 
 ORACLE_SQL: dict[str, str] = {
     "ivf_range_search": _ivf_range_sql(),
+    "emb_cluster_outliers": _emb_cluster_outliers_sql(),
     "ivf_build_fixed": _ivf_build_fixed_sql(),
     "ivf_search_fixed_p4": _ivf_search_fixed_sql(),
     "emb_similarity_join_fixed": _emb_simjoin_fixed_sql(),
@@ -1056,6 +1097,7 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     # exact-oracle entries first (hard hash-match signal), rows-only after
     "ivf_range_search": ivf_range_search,
+    "emb_cluster_outliers": emb_cluster_outliers,
     "ivf_search_all": ivf_search_all,
     "ivf_search_filtered": ivf_search_filtered,
     "lsh_search_degenerate": lsh_search_degenerate,
