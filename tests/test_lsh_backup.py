@@ -150,6 +150,27 @@ def test_multiprobe_margin_parity_with_local_replay(spark, emb, small_forest):
         assert mine == ranked, f"query {qid}: {mine} != {ranked}"
 
 
+def test_multiprobe_blocked_compute_parity(spark, emb, small_forest):
+    """The GEMM serving twin (compute="blocked", _sides_blocked) must
+    reproduce the declarative fold's results EXACTLY on this corpus: same
+    probed leaves (margins differ only in the last ulp; ties break on the
+    deviation string) → same candidates → identical (neighbour, distance,
+    rank) rows. Both probe orders gated."""
+    k, n_probes = 10, 2
+    queries = emb.filter(F.col("vec_id") < 15)
+    for mode in ("margin", "dfs"):
+        fold = sorted(
+            map(tuple, small_forest.search_multiprobe(
+                queries, k=k, n_probes=n_probes, probe_mode=mode).collect())
+        )
+        blocked = sorted(
+            map(tuple, small_forest.search_multiprobe(
+                queries, k=k, n_probes=n_probes, probe_mode=mode, compute="blocked"
+            ).collect())
+        )
+        assert fold == blocked, mode
+
+
 def test_multiprobe_recall_gains(spark, emb):
     """The two dials the multi-probe paper claims, on this fixed corpus:
     (a) 2 probes strictly beat 1 probe at the same tree count; (b) at equal

@@ -463,3 +463,37 @@ def test_knn_pq_fixed_serves_from_code_store(spark, sf_dir):
     code_scans = [s for s in scans if {"c0", "c1", "c2", "c3"} <= s]
     assert code_scans, f"no code-store scan found in {scans}"
     assert all("embedding" not in s for s in code_scans)
+
+
+def test_iterative_lineage_bounded(spark, sf_dir):
+    """SURVEY §12's eager-checkpoint lesson as a failing-on-revert guard:
+    an iterative loop whose round references its own output >1× must
+    localCheckpoint per round, or lazy lineage re-expands the upstream
+    pipeline multiplicatively (k-core measured 48→14 s, HITS 35→13 s at
+    sf0.01 when this landed in r5). The returned DataFrame's FINAL plan
+    must therefore be the last round on top of checkpointed RDD roots:
+    it scans ExistingRDDs (the checkpoint manifests) and its size does not
+    grow with the round count. Removing the per-round localCheckpoint makes
+    the plan the full unrolled loop — orders of magnitude larger — and
+    fails both assertions."""
+    from vers_spark.operators.graph import connected_components_star, kcore
+
+    edges = spark.createDataFrame(
+        # one 40-node path (deep diameter — star CC's raison d'être) plus a
+        # 6-clique (k-core survivor at k=3)
+        [(i, i + 1) for i in range(40)]
+        + [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)],
+        "src long, dst long",
+    )
+    cc = connected_components_star(edges)
+    cc_plan = audit.executed_plan(cc)
+    assert "ExistingRDD" in cc_plan
+    assert len(cc_plan) < 20_000, len(cc_plan)
+
+    kc = kcore(edges, k=3, rounds=6)
+    kc_plan = audit.executed_plan(kc)
+    assert "ExistingRDD" in kc_plan
+    assert len(kc_plan) < 20_000, len(kc_plan)
+    # the plan must not contain the unrolled rounds: one final degree
+    # aggregate = ≤ 2 aggregate markers (partial + final), not 6 rounds' worth
+    assert audit.count(kc, "HashAggregate") <= 4, audit.count(kc, "HashAggregate")

@@ -720,3 +720,91 @@ def test_quality_budget_curve_monotone_and_anchored(spark, sf_dir):
     direct = docs.filter(quality_score(F.col("text")) >= t).count()
     at_t = next(r for r in rows if abs(r["threshold"] - t) < 1e-9)
     assert at_t["n_docs_kept"] == direct
+
+
+# ---------------------------------------------------------------------------
+# xxhash64 deployment-backend parity gates (VERDICT r5 item #2): the md5
+# path stays the DuckDB-certified default; the xxhash64 swap must preserve
+# every EQUALITY-derived quantity exactly (hashes only ever stand in for
+# string equality there) and every hash-VALUE-derived quantity in shape.
+# ---------------------------------------------------------------------------
+
+
+def test_window_dups_backend_invariant(spark, sf_dir):
+    """doc_window_dups counts duplicated WINDOW POSITIONS — a pure
+    string-equality quantity, so md5 and xxhash64 must agree EXACTLY
+    (collisions aside, p ≈ n²/2^61)."""
+    from vers_spark.operators.text_analysis import doc_window_dups
+
+    md5 = {r["doc_id"]: tuple(r)[1:] for r in doc_window_dups(spark, sf_dir).collect()}
+    xx = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in doc_window_dups(spark, sf_dir, hash_backend="xxhash64").collect()
+    }
+    assert md5 == xx
+
+
+def test_hll_exact_n_backend_invariant_and_est_sane(spark, sf_dir):
+    """doc_hll_distinct's exact_n is count(distinct shingle) under any
+    injective-enough hash → backend-invariant; the xxhash64 HLL estimate
+    must still land within the raw-regime error band (~3σ at m=1024 is
+    ~10%; gate at 15%)."""
+    from vers_spark.operators.text_analysis import doc_hll_distinct
+
+    md5 = doc_hll_distinct(spark, sf_dir).collect()
+    xx = doc_hll_distinct(spark, sf_dir, hash_backend="xxhash64").collect()
+    assert md5[0]["exact_n"] == xx[0]["exact_n"]
+    n = xx[0]["exact_n"]
+    est = xx[0]["hll_est"]
+    assert abs(est - n) / n < 0.15
+    # register histogram still covers all m buckets
+    assert sum(r["n_buckets"] for r in xx) == sum(r["n_buckets"] for r in md5)
+
+
+def test_minhash_neardup_backend_parity(spark, sf_dir):
+    """minhash_neardup_pairs verifies candidates with EXACT Jaccard, so both
+    backends have precision 1 by construction (gate: ⊆ the exact inverted-
+    index join); banding RECALL is hash-seed-dependent (measured here: md5
+    27/28, xxhash64 28/28) — gate both at ≥ 0.9 against the exact pair set
+    so a semantic break in the swap (not seed luck) fails loudly."""
+    from vers_spark.operators.text_dedup import minhash_neardup_pairs, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs).collect()}
+    for backend in ("md5", "xxhash64"):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_neardup_pairs(docs, hash_backend=backend).collect()
+        }
+        assert got <= exact, backend
+        assert len(got & exact) >= 0.9 * len(exact), (backend, len(got), len(exact))
+
+
+def test_simhash_backend_shape(spark, sf_dir):
+    """SimHash bit values are hash-VALUE-derived (differ across backends by
+    design); gate the xxhash64 path on shape + contract: 32-bit range,
+    deterministic, one row per doc, and the banded near-dup pairs all
+    satisfy the hamming bound."""
+    from vers_spark.operators.text_dedup import simhash, simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = simhash(docs, hash_backend="xxhash64").collect()
+    b = simhash(docs, hash_backend="xxhash64").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == docs.count()
+    assert all(0 <= r["simhash"] < (1 << 32) for r in a)
+    pairs = simhash_neardup_pairs(docs, hash_backend="xxhash64").collect()
+    assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_fingerprint_backend_distinctness(spark, sf_dir):
+    """fp_hash60 under xxhash64: per-doc values differ from md5 by design,
+    but the fingerprint's JOB — distinguishing distinct texts — is backend-
+    invariant: the number of distinct fingerprints must match the number of
+    distinct texts under both backends."""
+    from vers_spark.operators.text_analysis import doc_fingerprint
+
+    md5 = doc_fingerprint(spark, sf_dir).collect()
+    xx = doc_fingerprint(spark, sf_dir, hash_backend="xxhash64").collect()
+    assert len(md5) == len(xx)
+    assert len({r["fp_hash60"] for r in md5}) == len({r["fp_hash60"] for r in xx})

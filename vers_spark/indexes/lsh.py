@@ -521,8 +521,69 @@ class LSHForestIndex:
             )
         )
 
+    def _sides_blocked(self, pairs: DataFrame) -> DataFrame:
+        """Blocked-BLAS twin of the declarative per-plane fold (the
+        search_blocked pattern, ivfflat.py): q_bit and q_margin for every
+        (query, inner node) via ONE GEMM per Arrow batch of hyperplanes
+        against the collected query batch. At 1M×300 the declarative fold
+        costs ~µs per element — 100 queries × 163k inner nodes ≈ 16M folds
+        ≈ 6 s/query (BASELINE.md); the GEMM does the same work in one BLAS
+        call per batch. Queries ride the bounded-batch serving contract
+        (driver-collect + broadcast, same as IVF's search_blocked); the
+        hyperplane table never leaves the executors. Same summation caveat
+        as every blocked twin: BLAS pairwise sums differ from the fold in
+        the last ulp, so probe ORDER parity (not margin-value parity) is
+        the gated contract — ties still break on the deviation string."""
+        import pandas as pd
+
+        from vers_spark.functions.validate import bounded_collect
+
+        q_rows = bounded_collect(
+            pairs.select("query_id", "q_vec").dropDuplicates(["query_id"]),
+            "lsh_sides_blocked",
+        )
+        if not q_rows:
+            return self.spark.createDataFrame(
+                [], "query_id long, tree_id int, prefix string, q_bit string, q_margin double"
+            )
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_mat = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+        bc = self.spark.sparkContext.broadcast((q_ids, q_mat))
+
+        def score(batches):
+            ids, mat = bc.value
+            nq = len(ids)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cmat = np.array(pdf["coeffs"].tolist(), dtype=np.float64)  # (B, d)
+                const = pdf["constant"].to_numpy(dtype=np.float64)
+                dots = mat @ cmat.T + const  # (Q, B)
+                margins = np.abs(dots) / np.sqrt((cmat * cmat).sum(axis=1))
+                nb = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids, nb),
+                        "tree_id": np.tile(pdf["tree_id"].to_numpy(), nq),
+                        "prefix": np.tile(pdf["path"].to_numpy(), nq),
+                        "q_bit": np.where(dots >= 0, "1", "0").reshape(-1),
+                        "q_margin": margins.reshape(-1),
+                    }
+                )
+
+        sides = self.hyperplanes.mapInPandas(
+            score, "query_id long, tree_id int, prefix string, q_bit string, q_margin double"
+        )
+        # restrict to the requested (query, tree) pairs so subset callers
+        # (e.g. underflow fill) keep identical semantics
+        return sides.join(
+            F.broadcast(pairs.select("query_id", "tree_id").dropDuplicates()),
+            ["query_id", "tree_id"],
+            "left_semi",
+        )
+
     def _leaf_order(
-        self, pairs: DataFrame, leaves: DataFrame, probe_mode: str
+        self, pairs: DataFrame, leaves: DataFrame, probe_mode: str, compute: str = "fold"
     ) -> DataFrame:
         """Per (query, tree): EVERY leaf of the tree with its two visit keys
         — ``dev`` (deviation string: bit i = 1 iff the leaf disagrees with
@@ -530,24 +591,30 @@ class LSHForestIndex:
         the reference recursion's DFS order) and ``cost`` (Σ query margins
         |coeffs·q + const| over the disagreeing levels — the multi-probe
         visit order of Lv et al. 2007). ``pairs``: (query_id, tree_id,
-        q_vec)."""
+        q_vec). ``compute``: "fold" (declarative, the oracle/replay path) |
+        "blocked" (GEMM twin, the serving path — see _sides_blocked)."""
         if probe_mode not in ("dfs", "margin"):
             raise ValueError(f"unknown probe_mode {probe_mode!r}")
+        if compute not in ("fold", "blocked"):
+            raise ValueError(f"unknown compute {compute!r}")
         # the query's side (and its distance-to-plane proxy) at EVERY inner
         # node of its tree
-        sides = pairs.join(self.hyperplanes, "tree_id").select(
-            "query_id",
-            "tree_id",
-            F.col("path").alias("prefix"),
-            _plane_side(F.col("q_vec"), F.col("coeffs"), F.col("constant")).alias("q_bit"),
-            # TRUE distance to the plane: |coeffs·q + const| / ‖coeffs‖ —
-            # planes are annoy-style b−a splits, so raw dots carry the
-            # arbitrary ‖b−a‖ scale and are not comparable across levels
-            (
-                F.abs(V.dot(F.col("q_vec"), F.col("coeffs")) + F.col("constant"))
-                / V.magnitude(F.col("coeffs"))
-            ).alias("q_margin"),
-        )
+        if compute == "blocked":
+            sides = self._sides_blocked(pairs)
+        else:
+            sides = pairs.join(self.hyperplanes, "tree_id").select(
+                "query_id",
+                "tree_id",
+                F.col("path").alias("prefix"),
+                _plane_side(F.col("q_vec"), F.col("coeffs"), F.col("constant")).alias("q_bit"),
+                # TRUE distance to the plane: |coeffs·q + const| / ‖coeffs‖ —
+                # planes are annoy-style b−a splits, so raw dots carry the
+                # arbitrary ‖b−a‖ scale and are not comparable across levels
+                (
+                    F.abs(V.dot(F.col("q_vec"), F.col("coeffs")) + F.col("constant"))
+                    / V.magnitude(F.col("coeffs"))
+                ).alias("q_margin"),
+            )
         # leaf paths decomposed into (ancestor prefix, branch bit) per level
         paths = leaves.select("tree_id", "path").distinct()
         lp = (
@@ -595,6 +662,7 @@ class LSHForestIndex:
         query_id: str = "vec_id",
         query_vec: str = "embedding",
         probe_mode: str = "margin",
+        compute: str = "fold",
     ) -> DataFrame:
         """True multi-probe search (Lv et al. 2007): per (query, tree) visit
         the best ``n_probes`` leaves by the probe order — margin-ascending
@@ -608,12 +676,17 @@ class LSHForestIndex:
         leaf ranking is a bounded window per (query, tree) over the tree's
         leaf COUNT (not members), candidates join only the probed
         (tree, path) posting lists, final top-k is a per-query window over
-        ≤ T·P·max_node rows."""
+        ≤ T·P·max_node rows.
+
+        ``compute="blocked"`` swaps the margin scoring onto the GEMM twin
+        (_sides_blocked) — the 1M-serving path; "fold" (default) keeps the
+        declarative kernel. Probe-order parity between the two is replay-
+        gated in tests (margins differ only in the last ulp)."""
         qp = self.assign_paths(queries, query_id, query_vec).localCheckpoint(
             eager=False
         )
         pairs = qp.select("query_id", "tree_id", "q_vec")
-        order = self._leaf_order(pairs, self.leaves, probe_mode)
+        order = self._leaf_order(pairs, self.leaves, probe_mode, compute)
         key = [F.asc("dev")] if probe_mode == "dfs" else [F.asc("cost"), F.asc("dev")]
         wv = W.partitionBy("query_id", "tree_id").orderBy(*key)
         probed = (

@@ -191,14 +191,18 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two deterministic fingerprints: md5 prefix + rolling polynomial hash."""
+def doc_fingerprint(
+    spark: SparkSession, sf_dir: str, hash_backend: str = "md5"
+) -> DataFrame:
+    """Two deterministic fingerprints: md5 prefix + rolling polynomial hash.
+    ``hash_backend`` switches the fp_hash60 column's base hash (md5 = oracle
+    path, xxhash64 = deployment; see functions.text.base_hash)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.substring(F.md5("text"), 1, 16).alias("fp_md5"),
         TX.poly_fingerprint(F.col("text")).alias("fp_poly"),
-        TX.stable_hash60(F.col("text")).alias("fp_hash60"),
+        TX.base_hash(F.col("text"), hash_backend).alias("fp_hash60"),
     )
 
 
@@ -326,7 +330,9 @@ _HLL_CONST = 0.7213 / (1.0 + 1.079 / float(HLL_M)) * float(HLL_M) * float(HLL_M)
 )
 
 
-def doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_hll_distinct(
+    spark: SparkSession, sf_dir: str, hash_backend: str = "md5"
+) -> DataFrame:
     """HyperLogLog distinct-token estimate (Flajolet et al. 2007),
     cross-engine EXACT — the cardinality companion to
     :func:`doc_cms_heavy_hitters` (frequency) for vocabularies too large to
@@ -348,7 +354,14 @@ def doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is not correctly-rounded across engines; raw-regime accuracy is
     gated in tests at the oracle SF. Output: the register histogram
     (certifies the whole register table) with the exact distinct count and
-    the HLL estimate alongside."""
+    the HLL estimate alongside.
+
+    ``hash_backend``: "md5" (default) keeps the full DuckDB oracle;
+    "xxhash64" is the 100 TB deployment swap (one JVM intrinsic per shingle
+    instead of the md5 hex fold — the dominant cost at scale; the r5 10×
+    probe measured the md5 constant at 238 s on 20× shingle volume).
+    exact_n is backend-independent (distinct count under an injective-up-to-
+    collisions hash), which is the cross-backend parity gate."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(TX.word_shingles(TX.ws_tokens(F.col("text")), 3)).alias("tok")
@@ -363,7 +376,7 @@ def doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact_n counts distinct HASHES in both engines — identical arithmetic
     # cross-engine; a 60-bit collision at realistic shingle cardinalities
     # is ~n²/2^61 and would shift both engines' counts together anyway.
-    hs = toks.select(TX.stable_hash60(F.col("tok")).alias("h")).distinct()
+    hs = toks.select(TX.base_hash(F.col("tok"), hash_backend).alias("h")).distinct()
     h = F.col("h")
     w = F.shiftright(h, HLL_P)
     rho = F.when(w == F.lit(0), F.lit(_HLL_RHO_MAX)).otherwise(
@@ -885,7 +898,9 @@ def doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_DUP_W = 20  # ExactSubstr-style window width, in tokens
 
 
-def doc_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_window_dups(
+    spark: SparkSession, sf_dir: str, hash_backend: str = "md5"
+) -> DataFrame:
     """Sequence-level duplication signal (the window-granular form of Lee
     et al. 2021's ExactSubstr dedup, public algorithm): every WINDOW_DUP_W-
     token window (stride 1) is fingerprinted with the 60-bit hash; a window
@@ -910,7 +925,7 @@ def doc_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = TX.word_shingles(TX.ws_tokens(F.col("text")), WINDOW_DUP_W)
     base = docs.select(
         "doc_id", F.explode(wins).alias("w")
-    ).select("doc_id", TX.stable_hash60(F.col("w")).alias("h"))
+    ).select("doc_id", TX.base_hash(F.col("w"), hash_backend).alias("h"))
     multi = (
         base.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

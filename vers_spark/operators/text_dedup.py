@@ -53,15 +53,21 @@ def minhash_signatures(
     num_hashes: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_backend: str = "md5",
 ) -> DataFrame:
     """(doc_id, h_idx, min_hash): num_hashes affine hashes over the shingle
-    set, one shuffle (16 min-aggs in a single groupBy, then unpivot)."""
+    set, one shuffle (16 min-aggs in a single groupBy, then unpivot).
+
+    ``hash_backend``: "md5" (oracle-certified default) | "xxhash64" (the
+    100 TB deployment swap — see functions.text.base_hash)."""
     sh = shingle_sets(docs, n_shingle, id_col, text_col)
-    return minhash_signatures_from_shingles(sh, num_hashes)
+    return minhash_signatures_from_shingles(sh, num_hashes, hash_backend)
 
 
-def minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
-    base = TX.stable_hash60(F.col("shingle"))
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 16, hash_backend: str = "md5"
+) -> DataFrame:
+    base = TX.base_hash(F.col("shingle"), hash_backend)
     aggs = [
         F.min(TX.minhash_value(base, a, b)).alias(f"h{i}")
         for i, (a, b) in enumerate(TX.MINHASH_COEFFS[:num_hashes])
@@ -144,6 +150,7 @@ def minhash_neardup_pairs(
     n_shingle: int = 3,
     num_hashes: int = 16,
     max_bucket: int | None = None,
+    hash_backend: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH dedup pipeline: signatures → bands → candidate pairs →
     exact-Jaccard verification.
@@ -157,7 +164,7 @@ def minhash_neardup_pairs(
     # join — materialize it once (at 100 TB this would be a persisted Parquet
     # intermediate; in-session cache is the same plan shape)
     sh = shingle_sets(docs, n_shingle).cache()
-    base = TX.stable_hash60(F.col("shingle"))
+    base = TX.base_hash(F.col("shingle"), hash_backend)
     wide = sh.groupBy("doc_id").agg(
         *[
             F.min(TX.minhash_value(base, a, b)).alias(f"h{i}")
@@ -270,14 +277,20 @@ def mllib_minhash_exactdup_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_backend: str = "md5",
+) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over whitespace tokens WITH
     multiplicity — per-bit ±1 vote weighted by term frequency, bit set iff
-    the vote sum is strictly positive."""
+    the vote sum is strictly positive. ``hash_backend``: see
+    functions.text.base_hash (md5 = oracle path, xxhash64 = deployment)."""
     toks = _cpu_spread(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(TX.ws_tokens(F.col(text_col))).alias("t")
     )
-    hv = TX.stable_hash60(F.col("t"))
+    hv = TX.base_hash(F.col("t"), hash_backend)
     votes = [
         F.sum(
             F.when(F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -295,7 +308,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_neardup_pairs(
-    docs: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    hash_backend: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded into 4 × 8-bit
     chunks (pigeonhole-complete for hamming ≤ 3), verified exactly.
@@ -303,7 +319,7 @@ def simhash_neardup_pairs(
     ``max_bucket``: same skew guard as :func:`band_candidates` — chunk values
     shared by more than ``max_bucket`` documents are dropped before the
     self-join (default None = exact, the oracle configuration)."""
-    sim = simhash(docs)
+    sim = simhash(docs, hash_backend=hash_backend)
     chunks = sim.select(
         "doc_id",
         "simhash",
