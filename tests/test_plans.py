@@ -497,3 +497,35 @@ def test_iterative_lineage_bounded(spark, sf_dir):
     # the plan must not contain the unrolled rounds: one final degree
     # aggregate = ≤ 2 aggregate markers (partial + final), not 6 rounds' worth
     assert audit.count(kc, "HashAggregate") <= 4, audit.count(kc, "HashAggregate")
+
+
+def test_lsh_on_disk_search_partition_prunes(spark, sf_dir, tmp_path):
+    """A search against the SAVED forest must hit the (tree_id, _pp)-
+    partitioned leaf store with dynamic partition pruning — only the probed
+    path-prefix buckets are scanned, the LSH analogue of IVF's posting-list
+    pruning (test above). Results must equal the in-memory index's."""
+    from vers_spark.indexes.lsh import LSHForestIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = LSHForestIndex.build(emb, num_trees=2, max_node_size=64, seed=3)
+    idx.save(str(tmp_path / "lsh"))
+    loaded = LSHForestIndex.load(spark, str(tmp_path / "lsh"))
+    q = emb.filter(F.col("vec_id") < 3)
+    res = loaded.search(q, k=5, backup_fill=False)
+    plan = audit.executed_plan(res)
+    assert "dynamicpruning" in plan, plan[:2000]
+    a = sorted(map(tuple, res.collect()))
+    b = sorted(map(tuple, idx.search(q, k=5, backup_fill=False).collect()))
+    assert a == b
+    # multiprobe serving path prunes too
+    mp = loaded.search_multiprobe(q, k=5, n_probes=2)
+    assert "dynamicpruning" in audit.executed_plan(mp)
+    am = sorted(map(tuple, mp.collect()))
+    bm = sorted(map(tuple, idx.search_multiprobe(q, k=5, n_probes=2).collect()))
+    assert am == bm
+    # the backup-fill path checkpoints `main`, so its FINAL plan can't show
+    # the pruning expression (it fires inside the checkpoint job) — gate
+    # results parity only
+    af = sorted(map(tuple, loaded.search(q, k=5).collect()))
+    bf = sorted(map(tuple, idx.search(q, k=5).collect()))
+    assert af == bf

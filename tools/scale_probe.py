@@ -198,7 +198,26 @@ def _probes():
         "doc_hll_distinct": _q("doc_hll_distinct"),
         "neardup_components_star": _q("neardup_components_star"),
         "neardup_kcore": _q("neardup_kcore"),
+        # round-6: the xxhash64 deployment swap for the HLL sketch — same
+        # plan as doc_hll_distinct, base hash is one JVM intrinsic instead
+        # of the md5 hex fold (the dominant constant at x10 shingle volume)
+        "doc_hll_distinct_xx": _hll_xx,
+        # round-5 late additions (verdict item: nothing here may be
+        # super-linear): salted agg is two exact aggregates over events;
+        # MAD anomaly is two medians + a join per user; cluster outliers
+        # ride the fixed-point Lloyd build (driver-round bound, like
+        # lloyd_fixed_build); hourly HLL is one register aggregate per hour
+        "q_skew_salted_agg": _q("q_skew_salted_agg"),
+        "evt_anomaly_mad": _q("evt_anomaly_mad"),
+        "emb_cluster_outliers": _q("emb_cluster_outliers"),
+        "evt_hll_hourly": _q("evt_hll_hourly"),
     }
+
+
+def _hll_xx(spark, sf_dir):
+    from vers_spark.operators.text_analysis import doc_hll_distinct
+
+    return doc_hll_distinct(spark, sf_dir, hash_backend="xxhash64")
 
 
 def _q(name):

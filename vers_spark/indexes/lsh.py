@@ -55,6 +55,39 @@ def _plane_side(vec_col, coeff_col, const_col):
     return F.when(V.dot(vec_col, coeff_col) + const_col >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
+# Saved-leaf layout: leaves partition by (tree_id, _pp) where _pp is the
+# path's first _PP_LEN bits, 'z'-padded so short/root paths get their own
+# distinct value ('01' → '01zz' ≠ '0100'). Bounded directory fan-out
+# (≤ T × 2^_PP_LEN + shorter-path buckets) and the serving joins key on
+# _pp too, so Spark's dynamic partition pruning scans only the probed
+# buckets — the LSH analogue of IVF's partitionBy(cluster_id) posting
+# lists (ivfflat.py save).
+_PP_LEN = 4
+
+
+def _pp_of(path_col):
+    return F.substring(F.concat(path_col, F.lit("z" * _PP_LEN)), 1, _PP_LEN)
+
+
+def _ensure_pp(leaves: DataFrame) -> DataFrame:
+    if "_pp" in leaves.columns:
+        return leaves
+    return leaves.withColumn("_pp", _pp_of(F.col("path")))
+
+
+def _join_leaves(probed: DataFrame, leaves: DataFrame) -> DataFrame:
+    """Join a (…, tree_id, path) probe frame against the leaf table. When
+    the leaves carry the _pp partition column (file-loaded bucketed store),
+    derive _pp on the probe side and include it in the join key — the
+    equi-join on the partition column is what lets dynamic partition
+    pruning skip unprobed leaf buckets."""
+    if "_pp" not in leaves.columns:
+        return probed.join(leaves, ["tree_id", "path"])
+    return probed.withColumn("_pp", _pp_of(F.col("path"))).join(
+        leaves, ["tree_id", "_pp", "path"]
+    ).drop("_pp")
+
+
 # Above this row count the per-task whole-tree build stops being reasonable —
 # each task holds the FULL (deduped) corpus as a float64 matrix plus pandas
 # row objects, ~2-4 KB/row at typical dims, and T tree tasks run concurrently
@@ -471,7 +504,7 @@ class LSHForestIndex:
             # the final DAG computes them once, not per branch (Catalyst does
             # not CSE whole subtrees across union branches)
             qp = qp.localCheckpoint(eager=False)
-        main = qp.join(leaves, ["tree_id", "path"]).select(
+        main = _join_leaves(qp, leaves).select(
             "query_id", "tree_id", "q_vec", "id", "embedding"
         )
         if backup_fill:
@@ -695,8 +728,12 @@ class LSHForestIndex:
             .select("query_id", "tree_id", "path")
         )
         cands = (
-            probed.join(qp, ["query_id", "tree_id"])
-            .join(self.leaves, ["tree_id", "path"])
+            # qp slimmed to (query_id, tree_id, q_vec): its main-leaf path
+            # column would shadow the probed path in the leaf join
+            _join_leaves(
+                probed.join(qp.select("query_id", "tree_id", "q_vec"), ["query_id", "tree_id"]),
+                self.leaves,
+            )
             .select("query_id", "q_vec", "id", "embedding")
             .dropDuplicates(["query_id", "id"])
         )
@@ -747,8 +784,7 @@ class LSHForestIndex:
             F.asc("_d"), F.asc("id")
         )
         return (
-            adm.join(under, ["query_id", "tree_id"])
-            .join(leaves, ["tree_id", "path"])
+            _join_leaves(adm.join(under, ["query_id", "tree_id"]), leaves)
             .withColumn("_d", V.sq_euclidean(F.col("q_vec"), F.col("embedding")))
             .withColumn("_lr", F.row_number().over(wleaf))
             .filter(F.col("_lr") <= F.col("cap"))
@@ -778,7 +814,9 @@ class LSHForestIndex:
         routed = self.assign_paths(vectors, id_col, vec_col).select(
             "tree_id", "path", F.col("query_id").alias("id"), F.col("q_vec").alias("embedding")
         )
-        leaves = self.leaves.unionByName(routed)
+        # drop the saved-layout _pp partition column (if file-loaded): the
+        # post-add index is in-session lineage; save() re-derives it
+        leaves = self.leaves.drop("_pp").unionByName(routed)
         planes = self.hyperplanes
         params = self.params
         if split_overflow:
@@ -817,7 +855,14 @@ class LSHForestIndex:
     # ---------------- persistence ----------------
 
     def save(self, path: str) -> None:
-        self.leaves.write.mode("overwrite").partitionBy("tree_id").parquet(f"{path}/leaves")
+        """Persist the index. Leaves are written partitioned by
+        (tree_id, _pp) — the path's first _PP_LEN bits — so a loaded
+        index's serving joins dynamic-partition-prune to the probed leaf
+        buckets instead of scanning every tree's full leaf table (the IVF
+        partitionBy(cluster_id) discipline, ivfflat.py:save)."""
+        _ensure_pp(self.leaves).write.mode("overwrite").partitionBy(
+            "tree_id", "_pp"
+        ).parquet(f"{path}/leaves")
         self.hyperplanes.write.mode("overwrite").parquet(f"{path}/hyperplanes")
         os.makedirs(path, exist_ok=True)
         with open(f"{path}/manifest.json", "w") as f:
