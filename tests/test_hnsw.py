@@ -255,3 +255,60 @@ def test_frontier_probe_pruning_recall(spark, sf_dir, hnsw_idx):
     r_full = len(full & exact) / len(exact)
     assert r_pruned >= 0.8
     assert r_full >= r_pruned
+
+
+def test_boundary_replication_recall_and_dedup(spark, sf_dir):
+    """boundary_eps multi-assigns near-boundary points into their runner-up
+    cluster's shard graph (SURVEY §7 phase-4 boundary stitch, shipped r6).
+    Gates: (a) replicas exist (node rows > corpus rows) but bounded by the
+    2-assignment ceiling; (b) membership still covers the corpus; (c) at
+    LOW probe counts recall is ≥ the single-assignment index's on the same
+    shard layout (the whole point of the feature); (d) results carry no
+    duplicate neighbour and remain distance-sorted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    kw = dict(
+        num_layers=4, ef_construction=40, ef_search=32, m=8,
+        num_shards=8, shard_by="kmeans", seed=7,
+    )
+    base = HNSWIndex.build(emb, **kw)
+    rep = HNSWIndex.build(emb, boundary_eps=0.25, **kw)
+    n_rows = rep.nodes.count()
+    assert n < n_rows <= 2 * n
+    assert rep.nodes.select("id").distinct().count() == n
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = {(r["query_id"], r["neighbour_id"]) for r in exact_knn(q, emb, k=10).collect()}
+
+    def recall(idx, probes):
+        got = idx.search(q, k=10, n_probe_shards=probes).collect()
+        pairs = [(r["query_id"], r["neighbour_id"]) for r in got]
+        assert len(pairs) == len(set(pairs))  # no duplicate neighbours
+        return len(set(pairs) & exact) / len(exact)
+
+    for probes in (1, 2):
+        rb, rr = recall(base, probes), recall(rep, probes)
+        assert rr >= rb, (probes, rb, rr)
+
+
+def test_boundary_replication_composes_with_balanced_shards(spark, sf_dir):
+    """boundary_eps + max_shard_rows: replicas flow through the hash-salted
+    sub-shard split (sizes computed on the replicated assignment), search
+    dedups, and low-probe recall still ≥ the unreplicated balanced index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cap = max(50, n // 20)
+    kw = dict(
+        num_layers=4, ef_construction=40, ef_search=32, m=8,
+        num_shards=8, shard_by="kmeans", seed=7, max_shard_rows=cap,
+    )
+    base = HNSWIndex.build(emb, **kw)
+    rep = HNSWIndex.build(emb, boundary_eps=0.25, **kw)
+    assert rep.nodes.select("id").distinct().count() == n
+    sizes = [r["n"] for r in rep.nodes.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert max(sizes) <= 2 * cap + cap  # cap slack + replica overflow bound
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = {(r["query_id"], r["neighbour_id"]) for r in exact_knn(q, emb, k=10).collect()}
+    for probes in (2,):
+        gb = {(r["query_id"], r["neighbour_id"]) for r in base.search(q, k=10, n_probe_shards=probes).collect()}
+        gr = {(r["query_id"], r["neighbour_id"]) for r in rep.search(q, k=10, n_probe_shards=probes).collect()}
+        assert len(gr & exact) >= len(gb & exact), (len(gb & exact), len(gr & exact))

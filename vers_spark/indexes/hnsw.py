@@ -331,6 +331,48 @@ def _build_local(pdf: pd.DataFrame, params: dict) -> pd.DataFrame:
     )
 
 
+def _assign_top2(data: DataFrame, cent_mat: np.ndarray, eps: float) -> DataFrame:
+    """(cluster_id, id, embedding) with MULTI-ASSIGNMENT: every point gets
+    its nearest parent cluster, plus its runner-up cluster when
+    d₂ ≤ (1+eps)² · d₁ (squared distances) — the boundary-replication rule
+    that stitches shard-local HNSW graphs across cluster boundaries. One
+    GEMM per Arrow batch against the broadcast centroid matrix; ties rank
+    by ascending cluster id (stable argsort)."""
+    spark = data.sparkSession
+    bc = spark.sparkContext.broadcast(cent_mat)
+    scale = (1.0 + float(eps)) ** 2
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value  # (K, d)
+        cn = (cents * cents).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cents.T) + cn[None, :]
+            order = np.argsort(d, axis=1, kind="stable")[:, :2]
+            rows = np.arange(len(pdf))
+            d1 = d[rows, order[:, 0]]
+            d2 = d[rows, order[:, 1]]
+            ids = pdf["id"].to_numpy()
+            emb = pdf["embedding"]
+            primary = pd.DataFrame(
+                {"cluster_id": order[:, 0].astype("int32"), "id": ids, "embedding": emb}
+            )
+            keep = d2 <= scale * d1
+            replica = pd.DataFrame(
+                {
+                    "cluster_id": order[keep, 1].astype("int32"),
+                    "id": ids[keep],
+                    "embedding": emb[keep],
+                }
+            )
+            yield pd.concat([primary, replica], ignore_index=True)
+
+    emb_type = data.schema["embedding"].dataType.simpleString()
+    return data.mapInPandas(assign, f"cluster_id int, id long, embedding {emb_type}")
+
+
 # ---------------------------------------------------------------- index
 
 
@@ -356,8 +398,23 @@ class HNSWIndex:
         seed: int = 42,
         metric: str = "sq_euclidean",
         max_shard_rows: int | None = None,
+        boundary_eps: float = 0.0,
     ) -> "HNSWIndex":
         """Reference-default hyperparameters from `main.rs:74-78`.
+
+        ``boundary_eps`` (k-means sharding only) is the locality-shard
+        recall fix (SURVEY §7 phase-4 "merge step", shipped round 6 as
+        boundary REPLICATION rather than cross-links — the per-shard-local
+        search can only traverse nodes resident in the shard, so the
+        boundary is stitched by multi-assigning near-boundary points):
+        a point whose second-nearest parent centroid sits within
+        ``(1+eps)²`` of its nearest (squared distance) is ALSO inserted
+        into that runner-up cluster's shard graph. Queries probing either
+        side of a cluster boundary then see the points just across it —
+        the recall that single-assignment sharding loses at low probe
+        counts. Costs a replication factor of (1 + boundary fraction) in
+        build time and storage; results dedup by neighbour id at merge.
+        0.0 (default) = single assignment, the unchanged r5 behavior.
 
         ``metric="cosine"`` reproduces the reference's HNSW distance
         (hnsw.rs:258: cosine distance = 1 − dot on unit vectors): vectors are
@@ -396,8 +453,22 @@ class HNSWIndex:
             cent_rows = [
                 list(r["centroid"]) for r in ivf.centroids.orderBy("cluster_id").collect()
             ]
+            assignments = ivf.assignments
+            cluster_sizes = None
+            if boundary_eps > 0 and num_shards >= 2:
+                # top-2 assignment via one GEMM per Arrow batch (the
+                # search_blocked pattern): primary rows + boundary replicas
+                assignments = _assign_top2(
+                    data, np.array(cent_rows, dtype=np.float64), float(boundary_eps)
+                ).localCheckpoint(eager=False)
+                cluster_sizes = {
+                    int(r["cluster_id"]): int(r["n"])
+                    for r in assignments.groupBy("cluster_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
             if max_shard_rows:
-                sizes = ivf._cluster_sizes()
+                sizes = cluster_sizes if cluster_sizes is not None else ivf._cluster_sizes()
                 splits = [
                     max(1, -(-sizes.get(c, 0) // max_shard_rows))
                     for c in range(num_shards)
@@ -415,7 +486,7 @@ class HNSWIndex:
                     F.xxhash64("id", F.lit(seed)),
                     F.element_at(F.array(*[F.lit(s) for s in splits]), F.col("cluster_id") + 1),
                 )
-                nodes = ivf.assignments.select(
+                nodes = assignments.select(
                     (off_expr + salt_expr).cast("int").alias("shard_id"), "id", "embedding"
                 )
                 centroids = np.array(
@@ -429,7 +500,7 @@ class HNSWIndex:
                 shard_parent = [c for c in range(num_shards) for _ in range(splits[c])]
                 num_shards = offsets[-1] + splits[-1]
             else:
-                nodes = ivf.assignments.select(
+                nodes = assignments.select(
                     F.col("cluster_id").alias("shard_id"), "id", "embedding"
                 )
                 centroids = np.array(cent_rows, dtype=np.float64)
@@ -458,6 +529,8 @@ class HNSWIndex:
         }
         if shard_by == "kmeans" and max_shard_rows:
             params["shard_parent"] = [int(p) for p in shard_parent]
+        if boundary_eps > 0:
+            params["boundary_eps"] = float(boundary_eps)
         graph = (
             nodes.groupBy("shard_id")
             .applyInPandas(lambda pdf: _build_local(pdf, params), _GRAPH_SCHEMA)
@@ -589,6 +662,10 @@ class HNSWIndex:
             # unit vectors: sq_euclidean/2 = 1 − dot = the reference's cosine
             # distance (hnsw.rs:258)
             per_shard = per_shard.withColumn("distance", F.col("distance") / 2)
+        if self.params.get("boundary_eps"):
+            # boundary replicas: the same neighbour can surface from two
+            # shards (identical id + distance) — dedup before ranking
+            per_shard = per_shard.dropDuplicates(["query_id", "neighbour_id"])
         w = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
         return (
             per_shard.withColumn("rank", F.row_number().over(w))
@@ -822,6 +899,10 @@ class HNSWIndex:
             cand = merged
             if frontier.isEmpty():
                 break
+        if self.params.get("boundary_eps"):
+            # boundary replicas: the same node can be admitted from two
+            # shards — dedup by node id before the final ranking
+            cand = cand.dropDuplicates(["query_id", "node_id"])
         out = (
             cand.withColumn("rank", F.row_number().over(wq))
             .filter(F.col("rank") <= k)
