@@ -83,6 +83,11 @@ def main() -> None:
     # probe a subset of parent clusters (the locality win random can't give)
     ap.add_argument("--hnsw-max-shard-rows", type=int, default=12000)
     ap.add_argument("--hnsw-probes", type=int, default=None)
+    # kmeans sharding only: boundary replication factor (multi-assign points
+    # whose runner-up centroid is within (1+eps)^2 of the nearest — the r6
+    # locality-recall fix) and the serving ef
+    ap.add_argument("--hnsw-boundary-eps", type=float, default=0.0)
+    ap.add_argument("--hnsw-ef-search", type=int, default=32)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -159,7 +164,7 @@ def main() -> None:
             corpus,
             num_layers=12,
             ef_construction=100,
-            ef_search=32,
+            ef_search=args.hnsw_ef_search,
             m=24,
             num_shards=args.hnsw_shards,
             shard_by=args.hnsw_shard_by,
@@ -167,7 +172,12 @@ def main() -> None:
             max_shard_rows=(
                 args.hnsw_max_shard_rows if args.hnsw_shard_by == "kmeans" else None
             ),
+            boundary_eps=(
+                args.hnsw_boundary_eps if args.hnsw_shard_by == "kmeans" else 0.0
+            ),
         )
+        out["hnsw_ef_search"] = int(args.hnsw_ef_search)
+        out["hnsw_boundary_eps"] = float(args.hnsw_boundary_eps)
         out["hnsw_shards_effective"] = int(hnsw.params["num_shards"])
         hnsw.graph.count()  # materialize
         out["hnsw_build_sec"] = round(time.perf_counter() - t0, 1)

@@ -357,26 +357,31 @@ def doc_hll_distinct(
     the HLL estimate alongside.
 
     ``hash_backend``: "md5" (default) keeps the full DuckDB oracle;
-    "xxhash64" is the 100 TB deployment swap (one JVM intrinsic per shingle
-    instead of the md5 hex fold — the dominant cost at scale; the r5 10×
-    probe measured the md5 constant at 238 s on 20× shingle volume).
-    exact_n is backend-independent (distinct count under an injective-up-to-
-    collisions hash), which is the cross-backend parity gate."""
+    "xxhash64" swaps the per-TOKEN base hash (Spark-native intrinsic, no
+    DuckDB twin — shape/parity-gated). exact_n is backend-independent
+    (distinct count under an injective-up-to-collisions hash), which is
+    the cross-backend parity gate.
+
+    Round-6 scale rewrite (after the x10 re-probe showed the md5→xxhash64
+    swap only bought 243→223 s): the counted item is now the COMPOSED
+    per-token-hash window (functions.text.shingle_hashes — one base hash
+    per token + integer window sums; the shingle string is never built),
+    and the CPU-heavy scan fans across all cores first (file splits are
+    sized by BYTES; this corpus is small in bytes but hash-bound, the
+    text_dedup._cpu_spread trap). Combined x10 effect: 243 s → ~11 s.
+    Hash space is ~2^41 (three 31-bit token hashes × 31-weights):
+    collisions ~n²/2^42 shift both engines' counts together."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(TX.word_shingles(TX.ws_tokens(F.col("text")), 3)).alias("tok")
-    )
-    # ONE tokenize+md5 pass, then every consumer (registers, histogram,
-    # exact count) derives from the DISTINCT 60-bit hash table: bucket and
-    # rho are functions of h, so max-per-bucket over distinct h equals max
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    # ONE tokenize+hash pass, then every consumer (registers, histogram,
+    # exact count) derives from the DISTINCT hash table: bucket and rho
+    # are functions of h, so max-per-bucket over distinct h equals max
     # over all occurrences, and the exact count is count(distinct h) — an
-    # 8-byte-long shuffle instead of re-hashing shingle STRINGS per
-    # consumer (the naive three-subtree plan re-ran tokenize+md5 3x and
-    # went 28x super-linear at the 10x probe; this shape re-measured ~9x).
-    # exact_n counts distinct HASHES in both engines — identical arithmetic
-    # cross-engine; a 60-bit collision at realistic shingle cardinalities
-    # is ~n²/2^61 and would shift both engines' counts together anyway.
-    hs = toks.select(TX.base_hash(F.col("tok"), hash_backend).alias("h")).distinct()
+    # 8-byte-long shuffle per consumer (the naive three-subtree plan
+    # re-ran tokenize+hash 3x and went 28x super-linear at the 10x probe).
+    hs = spread.select(
+        F.explode(TX.shingle_hashes(TX.ws_tokens(F.col("text")), 3, hash_backend)).alias("h")
+    ).distinct()
     h = F.col("h")
     w = F.shiftright(h, HLL_P)
     rho = F.when(w == F.lit(0), F.lit(_HLL_RHO_MAX)).otherwise(
@@ -1584,14 +1589,22 @@ ORACLE_SQL["doc_decontaminate_bloom"] = rf"""
 
 _D_HASH60_TOK = D_HASH60.format(x="tok")
 _D_TOKS = D_TOKENS.format(t="text")
+# composed per-token-hash windows (functions.text.shingle_hashes): one md5
+# per TOKEN, window hash = th[i]*961 + th[i+1]*31 + th[i+2]; short docs get
+# the same polynomial fold over all tokens — pure BIGINT arithmetic, so the
+# values are engine-identical
 ORACLE_SQL["doc_hll_distinct"] = f"""
-    WITH toks AS (
-        SELECT unnest(CASE WHEN len({_D_TOKS}) >= 3
-                      THEN list_transform(generate_series(1, len({_D_TOKS}) - 2),
-                                          i -> array_to_string(({_D_TOKS})[i:i+2], ' '))
-                      ELSE [array_to_string({_D_TOKS}, ' ')] END) AS tok
+    WITH th AS (
+        SELECT list_transform({_D_TOKS},
+                              tok -> ({_D_HASH60_TOK}) % {TX.HASH_PRIME}) AS th
         FROM documents),
-    hashes AS MATERIALIZED (SELECT DISTINCT ({_D_HASH60_TOK}) AS h FROM toks),
+    hs AS (
+        SELECT unnest(CASE WHEN len(th) >= 3
+                      THEN list_transform(generate_series(1, len(th) - 2),
+                                          i -> th[i]*961 + th[i+1]*31 + th[i+2])
+                      ELSE [list_reduce(th, (a, b) -> a*31 + b)] END) AS h
+        FROM th),
+    hashes AS MATERIALIZED (SELECT DISTINCT h FROM hs),
     cells AS (
         SELECT CAST(h % {HLL_M} AS INT) AS bucket,
                CAST(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RHO_MAX}
