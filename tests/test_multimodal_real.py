@@ -101,3 +101,48 @@ def test_real_resample_changes_rate_and_duration(spark, sf_dir):
         assert rate == 8000
         n_src = len(MC.decode_wav(bytes(src[r["media_id"]]["payload"]))[0])
         assert abs(len(samples) - n_src // 2) <= 1
+
+
+# ---------------- baseline JPEG codec (r6, operators/jpeg_codec) ----------------
+
+
+def test_jpeg_roundtrip_psnr_and_markers():
+    """Pure-numpy baseline JPEG (ITU T.81): valid marker structure, exact
+    on flat color, high-PSNR on smooth content, correct non-multiple-of-8
+    cropping."""
+    rng = np.random.RandomState(7)
+    x = np.linspace(0, 255, 37)[None, :, None]
+    y = np.linspace(0, 255, 29)[:, None, None]
+    img = np.clip(0.5 * x + 0.5 * y + rng.randint(-10, 10, (29, 37, 3)), 0, 255).astype(np.uint8)
+    buf = MC.encode_jpeg(img)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    out = MC.decode_jpeg(buf)
+    assert out.shape == img.shape  # SOF dims crop the 8-padding
+    err = out.astype(float) - img.astype(float)
+    psnr = 10 * np.log10(255**2 / max((err**2).mean(), 1e-9))
+    assert psnr > 28.0, psnr
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    assert (MC.decode_jpeg(MC.encode_jpeg(flat)) == flat).all()
+
+
+def test_jpeg_deterministic_and_dispatch():
+    """Same input → same bytes (no RNG anywhere in the codec); decode_image
+    sniffs BMP vs JPEG and rejects unknown payloads."""
+    img = np.arange(8 * 16 * 3, dtype=np.uint8).reshape(8, 16, 3)
+    assert MC.encode_jpeg(img) == MC.encode_jpeg(img)
+    assert (MC.decode_image(MC.encode_bmp(img)) == img).all()
+    assert MC.decode_image(MC.encode_jpeg(img)).shape == img.shape
+    with pytest.raises(ValueError):
+        MC.decode_image(b"\x00\x01rubbish")
+
+
+def test_jpeg_pipeline_query(spark, sf_dir):
+    """mm_jpeg_pipeline: real JPEG payloads flow decode → resize → features
+    through the standard mapInPandas seam; every size bucket's min PSNR
+    clears the faithfulness floor."""
+    from vers_spark.operators.pipeline_queries import mm_jpeg_pipeline
+
+    rows = mm_jpeg_pipeline(spark, sf_dir).collect()
+    assert rows and sum(r["n_images"] for r in rows) >= 30
+    assert all(r["min_psnr"] > 26.0 for r in rows), rows
+    assert all(r["mean_feat_norm"] > 0 for r in rows)

@@ -1,0 +1,401 @@
+"""Baseline JPEG codec in pure numpy/stdlib — the production-format image
+seam for the multimodal operators (VERDICT r5 item 9; reference has no
+multimodal surface at all — this extends the BMP/WAV compatibility kernels
+in operators/media_codecs with the format real corpora actually use).
+
+Implements the baseline sequential DCT process of the PUBLIC spec
+(ITU-T T.81 / ISO 10918-1): JFIF YCbCr color, 4:4:4 sampling (one 8×8
+block per component per MCU — chosen so the whole codec fits in one
+readable file; 4:2:0 decode would add fractional-MCU bookkeeping without
+changing the Spark-side seam), Annex K.1/K.2 quantization tables and
+Annex K.3 Huffman tables, standard byte stuffing. The encoder exists so
+tests can roundtrip without PIL in the image; the decoder parses real
+markers/entropy-coded data — not a stub. On a deployment you swap
+libjpeg-turbo in at the same mapInPandas boundary.
+
+Per-pixel work happens in numpy (DCT/IDCT are two 8×8 GEMMs per block via
+einsum over all blocks at once); only the entropy coding is a Python loop,
+which is the acceptable cost at test sizes and exactly what the native
+swap-in removes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------- tables (ITU-T T.81 Annex K — public) ----------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+UNZIGZAG = np.argsort(ZIGZAG)
+
+QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+QT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+# (bits, values): bits[i] = #codes of length i+1 — canonical Huffman
+HT_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+HT_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal DCT-II matrix: coeffs = C @ block @ C.T
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = math_cos = np.cos((2 * _n + 1) * _k * np.pi / 16)
+_C *= np.sqrt(2.0 / 8.0)
+_C[0] *= np.sqrt(0.5)
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment (T.81 Annex C)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[vi]] = (code, length)
+            vi += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-serial decoder."""
+    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, values).items()}
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ],
+        axis=-1,
+    )
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).round().astype(np.uint8)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) → (nb, 8, 8), H/W multiples of 8, row-major block order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 §B.1.1.5)
+                self.out.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            self.write(0x7F, 8 - self._n)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, offset bits) — T.81 Table F.1."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline JFIF JPEG bytes (4:4:4, Annex K
+    tables). Edge-replicates to 8-pixel multiples."""
+    h, w, c = arr.shape
+    assert c == 3, "encode_jpeg expects RGB"
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded) - 128.0
+
+    dc_codes = [_canonical_codes(*HT_DC_LUM), _canonical_codes(*HT_DC_CHROM)]
+    ac_codes = [_canonical_codes(*HT_AC_LUM), _canonical_codes(*HT_AC_CHROM)]
+    qts = [QT_LUM, QT_CHROM]
+
+    # DCT + quantize all blocks of all components up front (numpy)
+    comp_q = []
+    for ci in range(3):
+        blocks = _blockify(ycc[..., ci])
+        coeffs = np.einsum("kn,bnm,lm->bkl", _C, blocks, _C)
+        q = np.round(coeffs / qts[min(ci, 1)]).astype(np.int32)
+        comp_q.append(q.reshape(-1, 64)[:, ZIGZAG])
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    n_blocks = comp_q[0].shape[0]
+    for b in range(n_blocks):  # MCU = one block per component at 4:4:4
+        for ci in range(3):
+            ti = min(ci, 1)
+            zz = comp_q[ci][b]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, ln = dc_codes[ti][size]
+            bw.write(code, ln)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[ti][0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, ln = ac_codes[ti][(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(bits, size)
+                run = 0
+            if last < 63:
+                code, ln = ac_codes[ti][0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + QT_LUM.flatten()[ZIGZAG].astype(np.uint8).tobytes())
+    out += seg(0xFFDB, b"\x01" + QT_CHROM.flatten()[ZIGZAG].astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)  # 1x1 sampling = 4:4:4
+    out += seg(0xFFC0, sof)
+    for cls, tid, (bits, vals) in (
+        (0, 0, HT_DC_LUM), (0, 1, HT_DC_CHROM), (1, 0, HT_AC_LUM), (1, 1, HT_AC_CHROM)
+    ):
+        out += seg(
+            0xFFC4,
+            bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals),
+        )
+    sos = struct.pack(">B", 3)
+    for cid, tbl in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += struct.pack(">BB", cid, tbl)
+    sos += b"\x00\x3F\x00"
+    out += seg(0xFFDA, sos)
+    out += bw.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:  # unstuff
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:  # marker: per T.81 the scan is over — pad with zeros
+                    byte = 0
+                    self.pos -= 1
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map offset bits back to the signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG bytes → (H, W, 3) uint8 RGB. Supports the
+    baseline sequential process at 4:4:4 sampling (what encode_jpeg emits;
+    subsampled files raise with a clear message — the libjpeg swap-in
+    handles those)."""
+    assert buf[:2] == b"\xFF\xD8", "not a JPEG payload"
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int]] = []  # (cid, sampling, tq)
+    scan_tables: dict[int, tuple[int, int]] = {}
+    h = w = 0
+    while pos < len(buf):
+        assert buf[pos] == 0xFF, "marker expected"
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (length,) = struct.unpack_from(">H", buf, pos)
+        payload = buf[pos + 2 : pos + length]
+        pos += length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0xF
+                assert pq == 0, "16-bit quant tables unsupported"
+                tbl = np.frombuffer(payload, dtype=np.uint8, count=64, offset=off + 1)
+                qts[tq] = tbl[UNZIGZAG].reshape(8, 8).astype(np.int32)
+                off += 65
+        elif marker == 0xC0:  # SOF0 (baseline)
+            precision, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            assert precision == 8, "only 8-bit precision supported"
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
+                assert samp == 0x11, "only 4:4:4 sampling supported (see docstring)"
+                comps.append((cid, samp, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(payload):
+                cls, tid = payload[off] >> 4, payload[off] & 0xF
+                bits = list(payload[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(payload[off + 17 : off + 17 + nvals])
+                huff[(cls, tid)] = _decode_table(bits, vals)
+                off += 17 + nvals
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            for i in range(ns):
+                cid, tbl = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan_tables[cid] = (tbl >> 4, tbl & 0xF)
+            br = _BitReader(buf[pos:])
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            nby, nbx = ph // 8, pw // 8
+            planes = [np.zeros((ph, pw)) for _ in comps]
+            prev_dc = [0] * len(comps)
+            for by in range(nby):
+                for bx in range(nbx):
+                    for ci, (cid, _s, tq) in enumerate(comps):
+                        dt, at = scan_tables[cid]
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = _read_symbol(br, huff[(0, dt)])
+                        diff = _extend(br.receive(size), size) if size else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, huff[(1, at)])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0xF
+                            zz[k] = _extend(br.receive(size), size)
+                            k += 1
+                        coeffs = (zz[UNZIGZAG].reshape(8, 8) * qts[tq]).astype(np.float64)
+                        block = np.einsum("kn,kl,lm->nm", _C, coeffs, _C) + 128.0
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            rgb = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+            return rgb[:h, :w]
+    raise ValueError("no scan found in JPEG stream")

@@ -178,3 +178,19 @@ def audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
                 seg = mag[bins[i] : bins[i + 1]]
                 f[3 + i] = float(seg.mean() / max(len(x), 1)) if len(seg) else 0.0
     return f.astype(np.float32)
+
+
+# ---------------- format dispatch (r6: + baseline JPEG) ----------------
+
+from vers_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg  # noqa: E402,F401
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Sniff-and-decode: BMP ('BM') or baseline JPEG (FFD8) → (H, W, 3)
+    uint8 RGB. The single image-decode entry the multimodal operators call —
+    a new format is one more branch here, at the same mapInPandas seam."""
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:2] == b"\xFF\xD8":
+        return decode_jpeg(buf)
+    raise ValueError(f"unknown image payload (magic {buf[:2]!r})")

@@ -66,7 +66,7 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                 for kind, p in zip(pdf["kind"], pdf["payload"]):
                     p = bytes(p)
                     if kind == "image":
-                        feats.append(MC.image_features(MC.decode_bmp(p), FEATURE_DIM))
+                        feats.append(MC.image_features(MC.decode_image(p), FEATURE_DIM))
                     elif kind == "audio":
                         feats.append(MC.audio_features(MC.decode_wav(p)[0], FEATURE_DIM))
                     elif kind == "video":
@@ -105,7 +105,7 @@ def resize_images(media: DataFrame, width: int, height: int, decode: str = "fake
                 from vers_spark.operators import media_codecs as MC
 
                 out["payload"] = [
-                    MC.encode_bmp(MC.bilinear_resize(MC.decode_bmp(bytes(p)), width, height))
+                    MC.encode_bmp(MC.bilinear_resize(MC.decode_image(bytes(p)), width, height))
                     for p in pdf["payload"]
                 ]
             else:
@@ -222,15 +222,23 @@ def resample_audio(media: DataFrame, target_rate: int, decode: str = "fake") -> 
     return media.filter(F.col("kind") == "audio").mapInPandas(fn, MEDIA_SCHEMA)
 
 
-def synthesize_media_from_documents(docs: DataFrame, real_payloads: bool = False) -> DataFrame:
+def synthesize_media_from_documents(
+    docs: DataFrame, real_payloads: bool = False, image_format: str = "bmp"
+) -> DataFrame:
     """Build a deterministic media table from the documents corpus so
     multimodal plumbing is exercised on driver testdata.
 
     Default: text bytes as opaque payloads (cheap, for plumbing tests).
     ``real_payloads=True``: ACTUAL format bytes generated per row inside the
-    Arrow batches — BMP images, WAV PCM16 audio, BMP-stream video — seeded
-    by doc_id, sized small and bounded, so ``decode=\"real\"`` has genuine
-    inputs end-to-end with no external data or libraries."""
+    Arrow batches — BMP or baseline JPEG images (``image_format``), WAV
+    PCM16 audio, BMP-stream video — seeded by doc_id, sized small and
+    bounded, so ``decode=\"real\"`` has genuine inputs end-to-end with no
+    external data or libraries. ``image_format=\"jpeg\"`` exercises the
+    r6 pure-numpy baseline JPEG codec (operators/jpeg_codec — the
+    production image format at the same decode seam); images are smoothed
+    gradients + noise so the lossy roundtrip stays high-PSNR."""
+    if image_format not in ("bmp", "jpeg"):
+        raise ValueError(f"unknown image_format {image_format!r}")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -260,9 +268,19 @@ def synthesize_media_from_documents(docs: DataFrame, real_payloads: bool = False
                 rng = np.random.RandomState(int(mid) % (2**31))
                 if k == "image":
                     w, h = int(mid) % 24 + 8, int(mid) % 16 + 6
-                    payloads.append(
-                        MC.encode_bmp(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
-                    )
+                    if image_format == "jpeg":
+                        # smooth gradient + bounded noise: JPEG is lossy,
+                        # realistic content keeps the roundtrip high-PSNR
+                        gx = np.linspace(0, 255, w)[None, :, None]
+                        gy = np.linspace(0, 255, h)[:, None, None]
+                        img = np.clip(
+                            0.5 * gx + 0.5 * gy + rng.randint(-12, 12, (h, w, 3)), 0, 255
+                        ).astype(np.uint8)
+                        payloads.append(MC.encode_jpeg(img))
+                    else:
+                        payloads.append(
+                            MC.encode_bmp(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
+                        )
                     metas.append(
                         {"width": w, "height": h, "sample_rate": None, "duration_ms": None}
                     )

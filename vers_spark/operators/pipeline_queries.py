@@ -141,6 +141,66 @@ def mm_real_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(vid).orderBy("kind")
 
 
+def mm_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-format image decode end-to-end: synthesize REAL baseline
+    JPEG payloads (operators/jpeg_codec — pure-numpy ITU T.81 baseline, the
+    r6 upgrade of the BMP-only 'real decode' seam), decode + bilinear-resize
+    + re-extract features, and verify the decode is faithful: per-image
+    PSNR of decode(encode(img)) vs the deterministic source image is
+    recomputed INSIDE the pipeline, and the output aggregates feature norms
+    with min/mean PSNR per size bucket. Rows-only (binary codec pipelines
+    are not SQL-expressible); faithfulness is the in-query PSNR floor plus
+    tests/test_multimodal_real.py's roundtrip gates."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    media = synthesize_media_from_documents(docs, real_payloads=True, image_format="jpeg")
+    imgs = media.filter(F.col("kind") == "image")
+
+    def fn(batches):
+        from vers_spark.operators import media_codecs as MC
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                arr = MC.decode_image(bytes(p))
+                h, w = arr.shape[:2]
+                # the deterministic source (same recipe as the synthesizer)
+                rng = np.random.RandomState(int(mid) % (2**31))
+                gx = np.linspace(0, 255, w)[None, :, None]
+                gy = np.linspace(0, 255, h)[:, None, None]
+                src = np.clip(
+                    0.5 * gx + 0.5 * gy + rng.randint(-12, 12, (h, w, 3)), 0, 255
+                ).astype(np.uint8)
+                err = arr.astype(np.float64) - src.astype(np.float64)
+                mse = max(float((err * err).mean()), 1e-9)
+                psnr = 10.0 * np.log10(255.0**2 / mse)
+                feat = MC.image_features(MC.bilinear_resize(arr, 8, 6), 16)
+                rows.append(
+                    (int(mid), w, h, float(psnr), float(np.sqrt((feat * feat).sum())))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "psnr", "feat_norm"]
+            )
+
+    per_img = imgs.mapInPandas(
+        fn, "media_id long, width int, height int, psnr double, feat_norm double"
+    )
+    return (
+        per_img.groupBy((F.col("width") % 4).cast("int").alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.round(F.min("psnr"), 2).alias("min_psnr"),
+            F.round(F.avg("psnr"), 2).alias("mean_psnr"),
+            F.round(F.avg("feat_norm"), 4).alias("mean_feat_norm"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
 def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata audit — the one hash-matched query of the media
     family: per-kind counts, payload byte totals, and meta ranges over the
@@ -374,6 +434,7 @@ QUERIES = {
     "mm_meta_stats": mm_meta_stats,
     "mm_feature_extract": mm_feature_extract,
     "mm_real_pipeline": mm_real_pipeline,
+    "mm_jpeg_pipeline": mm_jpeg_pipeline,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
     "mm_audio_resample": mm_audio_resample,
