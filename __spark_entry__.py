@@ -125,14 +125,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(m)
 
     priority = [
-        # -- round-5 NEW operators (never swept) --
-        "ivf_range_search",
+        # -- round-6 NEW operators (never swept) --
+        "emb_dbscan_clusters",
+        "mm_jpeg_pipeline",
+        # -- round-6 re-certification: code paths changed AFTER the r5 sweep --
+        # doc_hll_distinct: shingle_hashes rewrite (oracle restated in the
+        # composed-hash arithmetic); the LSH family: bucketed (tree_id,_pp)
+        # leaf store + _join_leaves on every serving join + multiprobe
+        # blocked twin; index_lifecycle_roundtrip: save/load layout change;
+        # hnsw_layer_stats + hnsw searches: boundary_eps plumbing (default
+        # off, but the assignment selection was refactored)
         "doc_hll_distinct",
+        "lsh_search_degenerate",
+        "lsh_search_filtered",
+        "lsh_search_forest",
+        "lsh_search_multiprobe",
+        "index_lifecycle_roundtrip",
+        "hnsw_layer_stats",
+        "hnsw_search",
+        "hnsw_search_frontier",
+        # backend threading touched these files (md5 default = same values;
+        # sweep re-certifies the default path)
+        "minhash_neardup",
+        "simhash_neardup",
+        "doc_fingerprint",
+        "doc_window_dups",
+        # -- r5 operators whose r5 row exists; keep warm near the top --
+        "ivf_range_search",
         "doc_bm25_topk",
         "neardup_components_star",
         "rag_mmr_rerank",
         "doc_sample_quantiles",
-        "lsh_search_multiprobe",
         "neardup_kcore",
         "graph_hits_topk",
         "evt_hll_hourly",
@@ -144,10 +167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_budget_curve",
         "evt_anomaly_mad",
         "emb_cluster_outliers",
-        # -- re-certification: code paths changed AFTER the r4 sweep
-        #    (fc36334: search_blocked tie-break, search_frontier parent-aware
-        #    routing, stream_cms_merge empty-store guard) --
-        "hnsw_search_frontier",
         "stream_cms_merge",
         "ivf_search_fixed_p4",
         # -- rotation: every remaining row last swept in r1 (oldest first) --

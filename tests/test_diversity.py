@@ -129,3 +129,62 @@ def test_kcenter_oracle(spark, sf_dir):
         DV.QUERIES["emb_kcenter_sample"],
         DV.ORACLE_SQL["emb_kcenter_sample"],
     )
+
+
+def test_dbscan_invariants_and_local_replay(spark, sf_dir):
+    """emb_dbscan_clusters: textbook DBSCAN invariants hold, and the full
+    (role, cluster, n_eps) assignment matches a local numpy replay of
+    Ester et al.'s definition with the same min-cluster border rule."""
+    import numpy as np
+
+    from vers_spark.operators.index_queries import (
+        DBSCAN_EPS2,
+        DBSCAN_MIN_PTS,
+        DBSCAN_MOD,
+        emb_dbscan_clusters,
+    )
+
+    got = {r["vec_id"]: r for r in emb_dbscan_clusters(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") % DBSCAN_MOD == 0
+    )
+    rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in emb.collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.array([v for _, v in rows])
+    d = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    adj = d <= DBSCAN_EPS2
+    np.fill_diagonal(adj, True)
+    deg = adj.sum(1)
+    core = deg >= DBSCAN_MIN_PTS
+    # union-find CC over core-core edges
+    lab = {ids[i]: ids[i] for i in range(len(ids)) if core[i]}
+
+    def find(x):
+        while lab[x] != x:
+            lab[x] = lab[lab[x]]
+            x = lab[x]
+        return x
+
+    for i in range(len(ids)):
+        if not core[i]:
+            continue
+        for j in range(i + 1, len(ids)):
+            if core[j] and adj[i, j]:
+                a, b = find(ids[i]), find(ids[j])
+                if a != b:
+                    lab[max(a, b)] = min(a, b)
+    expect = {}
+    for i, vid in enumerate(ids):
+        if core[i]:
+            expect[vid] = ("core", find(vid), int(deg[i]))
+        else:
+            core_nbrs = [find(ids[j]) for j in range(len(ids)) if core[j] and adj[i, j] and j != i]
+            if core_nbrs:
+                expect[vid] = ("border", min(core_nbrs), int(deg[i]))
+            else:
+                expect[vid] = ("noise", -1, int(deg[i]))
+    assert {v: (r["role"], r["cluster"], r["n_eps"]) for v, r in got.items()} == expect
+    roles = {r["role"] for r in got.values()}
+    assert roles == {"core", "border", "noise"}  # params give real structure

@@ -1043,6 +1043,155 @@ def _emb_cluster_outliers_sql() -> str:
     """
 
 
+# DBSCAN over the embedding space (Ester et al. 1996, public): constants
+# picked where the synthetic corpus has real structure (at sf0.01, the
+# vec_id%3 subset yields 41 cores / 8 clusters / 57 border / 69 noise —
+# a sharp phase transition sits at eps² ≈ 1.5, so these are load-bearing)
+DBSCAN_EPS2 = 1.42
+DBSCAN_MIN_PTS = 4
+DBSCAN_MOD = 3  # subset keeps the brute-force oracle's pair count bounded
+
+
+def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT density-based clustering (DBSCAN) over embeddings — the
+    noise-vs-cluster split a training-data pipeline uses to drop
+    low-density junk that k-means happily absorbs into the nearest
+    centroid. Fully deterministic variant: a border point tied between
+    clusters joins the MIN cluster id (textbook DBSCAN leaves this
+    order-dependent; we pin it so the result is engine-exact).
+
+    Scale shape — every stage is a bounded exact primitive this engine
+    already serves at 100 TB:
+    - ε-neighbourhoods come from IVFFlatIndex.range_search (triangle-
+      inequality cluster pruning, provably lossless, partition-pruned on
+      a bucketed store) — never an all-pairs join;
+    - core test is one count aggregate over the neighbour pairs;
+    - cluster formation is connected_components_star over CORE-CORE edges
+      (O(log² n) rounds, hub-safe aggregates, per-round checkpoints);
+    - border assignment is one aggregate-min join from non-core points to
+      their core neighbours' components.
+    The DuckDB twin states brute-force pairs + a recursive-CTE CC on the
+    same subset — a FULL hash oracle because IVF range pruning cannot
+    change the neighbour set. Output: (vec_id, role, cluster, n_eps) with
+    cluster = −1 for noise; n_eps counts the point itself (the |N_ε(p)| ≥
+    minPts convention)."""
+    from vers_spark.indexes.ivfflat import IVFFlatIndex
+    from vers_spark.operators.graph import connected_components_star
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % DBSCAN_MOD == 0
+    )
+    idx = IVFFlatIndex.build(emb, num_clusters=8, seed=11)
+    # (query_id, neighbour_id, distance), self-match included — symmetric
+    # by construction (the fold is arithmetically symmetric in a,b)
+    nbrs = idx.range_search(emb, DBSCAN_EPS2).localCheckpoint(eager=False)
+    deg = nbrs.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_eps"))
+    core = deg.filter(F.col("n_eps") >= DBSCAN_MIN_PTS).select(
+        F.col("query_id").alias("vec_id")
+    )
+    pairs = nbrs.filter(F.col("query_id") < F.col("neighbour_id")).select(
+        F.col("query_id").alias("a"), F.col("neighbour_id").alias("b")
+    )
+    core_edges = (
+        pairs.join(core.withColumnRenamed("vec_id", "a"), "a", "left_semi")
+        .join(core.withColumnRenamed("vec_id", "b"), "b", "left_semi")
+    )
+    comp = connected_components_star(core_edges, src="a", dst="b").select(
+        F.col("node").alias("vec_id"), "component"
+    )
+    # isolated cores (no core-core edge) are their own singleton cluster
+    core_comp = core.join(comp, "vec_id", "left").select(
+        "vec_id", F.coalesce("component", "vec_id").alias("cluster")
+    ).localCheckpoint(eager=False)
+    border = (
+        nbrs.filter(F.col("query_id") != F.col("neighbour_id"))
+        .join(core.withColumnRenamed("vec_id", "query_id"), "query_id", "left_anti")
+        .join(
+            core_comp.select(
+                F.col("vec_id").alias("neighbour_id"), F.col("cluster").alias("_c")
+            ),
+            "neighbour_id",
+        )
+        .groupBy("query_id")
+        .agg(F.min("_c").alias("cluster"))
+        .select(F.col("query_id").alias("vec_id"), "cluster")
+    )
+    role = (
+        F.when(F.col("core_cluster").isNotNull(), F.lit("core"))
+        .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+    )
+    return (
+        deg.withColumnRenamed("query_id", "vec_id")
+        .join(core_comp.withColumnRenamed("cluster", "core_cluster"), "vec_id", "left")
+        .join(border.withColumnRenamed("cluster", "border_cluster"), "vec_id", "left")
+        .select(
+            "vec_id",
+            role.alias("role"),
+            F.coalesce("core_cluster", "border_cluster", F.lit(-1))
+            .cast("long")
+            .alias("cluster"),
+            "n_eps",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _emb_dbscan_sql() -> str:
+    dist = _D_SQE_FOLD.format(a="p.embedding", b="q.embedding")
+    return f"""
+        WITH RECURSIVE
+        pts AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % {DBSCAN_MOD} = 0),
+        pairs AS MATERIALIZED (
+            SELECT p.vec_id AS a, q.vec_id AS b
+            FROM pts p JOIN pts q ON p.vec_id < q.vec_id
+            WHERE ({dist}) <= {DBSCAN_EPS2!r}
+        ),
+        sym AS MATERIALIZED (
+            SELECT a AS vec_id, b AS other FROM pairs
+            UNION ALL SELECT b, a FROM pairs
+        ),
+        deg AS MATERIALIZED (
+            SELECT p.vec_id, CAST(1 + count(s.other) AS BIGINT) AS n_eps
+            FROM pts p LEFT JOIN sym s USING (vec_id)
+            GROUP BY p.vec_id
+        ),
+        core AS MATERIALIZED (SELECT vec_id FROM deg WHERE n_eps >= {DBSCAN_MIN_PTS}),
+        cedge AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM pairs
+            WHERE a IN (SELECT vec_id FROM core) AND b IN (SELECT vec_id FROM core)
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM cedge UNION ALL SELECT dst, src FROM cedge
+        ),
+        reach(node, lbl) AS (
+            SELECT vec_id, vec_id FROM core
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS MATERIALIZED (
+            SELECT node AS vec_id, min(lbl) AS cluster FROM reach GROUP BY node
+        ),
+        border AS MATERIALIZED (
+            SELECT s.vec_id, min(c.cluster) AS cluster
+            FROM sym s JOIN comp c ON c.vec_id = s.other
+            WHERE s.vec_id NOT IN (SELECT vec_id FROM core)
+            GROUP BY s.vec_id
+        )
+        SELECT d.vec_id,
+               CASE WHEN cm.cluster IS NOT NULL THEN 'core'
+                    WHEN b.cluster IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               CAST(coalesce(cm.cluster, b.cluster, -1) AS BIGINT) AS cluster,
+               d.n_eps
+        FROM deg d
+        LEFT JOIN comp cm ON cm.vec_id = d.vec_id
+        LEFT JOIN border b ON b.vec_id = d.vec_id
+        ORDER BY d.vec_id
+    """
+
+
 IVF_RANGE_R2 = 1.4  # ≈ the 1% pair-distance quantile of the synthetic embeddings
 
 
@@ -1078,6 +1227,7 @@ def _ivf_range_sql() -> str:
 
 ORACLE_SQL: dict[str, str] = {
     "ivf_range_search": _ivf_range_sql(),
+    "emb_dbscan_clusters": _emb_dbscan_sql(),
     "emb_cluster_outliers": _emb_cluster_outliers_sql(),
     "ivf_build_fixed": _ivf_build_fixed_sql(),
     "ivf_search_fixed_p4": _ivf_search_fixed_sql(),
@@ -1097,6 +1247,7 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     # exact-oracle entries first (hard hash-match signal), rows-only after
     "ivf_range_search": ivf_range_search,
+    "emb_dbscan_clusters": emb_dbscan_clusters,
     "emb_cluster_outliers": emb_cluster_outliers,
     "ivf_search_all": ivf_search_all,
     "ivf_search_filtered": ivf_search_filtered,
