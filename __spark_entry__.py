@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-6 NEW operators (never swept) --
         "emb_dbscan_clusters",
         "mm_jpeg_pipeline",
+        "doc_collocation_pmi",
+        "evt_markov_transitions",
         # -- round-6 re-certification: code paths changed AFTER the r5 sweep --
         # doc_hll_distinct: shingle_hashes rewrite (oracle restated in the
         # composed-hash arithmetic); the LSH family: bucketed (tree_id,_pp)

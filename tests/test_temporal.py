@@ -275,3 +275,27 @@ def test_rollup_compaction_bounds_files_and_preserves_serve(spark, sf_dir):
     assert sorted(map(tuple, serve_hourly(spark, events, path).collect())) == served_before
     # idempotent
     assert compact_rollup(spark, path, max_files_per_day=1)["days_compacted"] == 0
+
+
+def test_markov_transitions_stochastic(spark, sf_dir):
+    """Transition matrix rows are proper distributions: per from_type the
+    probabilities sum to 1 (exact rational n/row_total), row_total equals
+    the sum of its counts, and the pair count equals total events minus
+    one per active user (each user contributes len-1 transitions)."""
+    from vers_spark.operators.temporal import evt_markov_transitions
+    from vers_spark.sources.tables import load_table
+
+    rows = evt_markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for ft, rs in by_from.items():
+        tot = rs[0]["row_total"]
+        assert all(r["row_total"] == tot for r in rs)
+        assert sum(r["n"] for r in rs) == tot
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-9, ft
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users

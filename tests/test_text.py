@@ -808,3 +808,21 @@ def test_fingerprint_backend_distinctness(spark, sf_dir):
     xx = doc_fingerprint(spark, sf_dir, hash_backend="xxhash64").collect()
     assert len(md5) == len(xx)
     assert len({r["fp_hash60"] for r in md5}) == len({r["fp_hash60"] for r in xx})
+
+
+def test_collocation_pmi_beats_raw_counts(spark, sf_dir):
+    """PMI ranking differs from raw bigram frequency (the operator's reason
+    to exist) and every invariant holds: c_xy ≥ min-count, ratio =
+    N·c(xy)/(c(x)·c(y)) recomputed exactly, descending order."""
+    from vers_spark.operators.text_analysis import PMI_MIN_COUNT, doc_collocation_pmi
+
+    rows = doc_collocation_pmi(spark, sf_dir).collect()
+    assert rows
+    assert all(r["c_xy"] >= PMI_MIN_COUNT for r in rows)
+    for r in rows:
+        assert abs(r["pmi_ratio"] - (r["c_xy"] * r["n_tokens"]) / (r["c_x"] * r["c_y"])) < 1e-12
+    ratios = [r["pmi_ratio"] for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    # PMI order is NOT raw-count order on this corpus
+    by_count = sorted(rows, key=lambda r: (-r["c_xy"], r["bigram"]))
+    assert [r["bigram"] for r in by_count] != [r["bigram"] for r in rows]

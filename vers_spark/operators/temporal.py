@@ -358,7 +358,45 @@ def evt_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences —
+    the behavioral-model summary (what follows what, per user journey) that
+    funnels can't express because they fix the step order up front. Per
+    user, events sort by (ts, event_id); each consecutive pair is one
+    (from_type, to_type) observation; the matrix row normalizes by the
+    from-state's outgoing total. One shuffle (user window) + one count
+    aggregate; the probability is ONE exact integer division per output
+    row (n/row_total — engine-identical, no transcendentals), so the whole
+    matrix carries a hash oracle. At 100 TB the aggregate key space is
+    |event_type|² — tiny; the window shuffle on user_id is the cost, and
+    it is the same partitioning every sessionize/funnel query reuses."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("row_total", F.sum("n").over(wrow).cast("long"))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "row_total",
+            (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 QUERIES = {
+    "evt_markov_transitions": evt_markov_transitions,
     "evt_user_trend": evt_user_trend,
     "evt_gapfill_locf": evt_gapfill_locf,
     "evt_purchase_asof_click": evt_purchase_asof_click,
@@ -369,6 +407,23 @@ QUERIES = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "evt_markov_transitions": """
+        WITH seq AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+            FROM events
+        ), counts AS (
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+               CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        FROM counts
+        ORDER BY from_type, to_type
+    """,
     "evt_gapfill_locf": """
         WITH hourly AS (
             SELECT user_id, date_trunc('hour', ts) AS hour,

@@ -237,6 +237,68 @@ def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def doc_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks 1990,
+    public): bigrams whose joint frequency beats the independence
+    expectation — the multi-word-expression detector (named entities,
+    idioms) raw bigram counts miss because frequent tokens dominate them.
+    PMI = log(N·c(xy)/(c(x)·c(y))), but log is monotone, so the ranking
+    runs on the exact RATIO instead — numerator N·c(xy) and denominator
+    c(x)·c(y) are BIGINT products and the score is ONE exact integer
+    division (the doc_tfidf_topk rational-idf discipline) — fully
+    hash-oracle-able, no transcendentals. Bigrams are built array-side
+    (zip_with over two slices — doc_bigram_topk's shape); unigram counts
+    broadcast-join back onto the bigram aggregate; min-count 5 prunes the
+    noise floor; top-20 by (score desc, bigram asc) via TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    )
+    total = docs.select(F.explode(toks).alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    big = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+    )
+    scored = (
+        big.join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c_x")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c_y")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            "n_tokens",
+            (
+                (F.col("c_xy") * F.col("n_tokens")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_ratio"), F.asc("bigram")).limit(PMI_TOPK)
+    )
+
+
 def doc_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters: tokens accounting for > 0.5% of all token
     occurrences. Exact two-aggregate form — per-token counts are partial/
@@ -1215,6 +1277,31 @@ def _cms_oracle() -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "doc_collocation_pmi": f"""
+        WITH toks AS (SELECT {D_TOKENS.format(t='text')} AS arr FROM documents),
+        uni AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS cw
+            FROM (SELECT unnest(arr) AS w FROM toks) GROUP BY w
+        ),
+        total AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tokens FROM uni),
+        big AS (
+            SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy
+            FROM (SELECT unnest(list_transform(range(1, len(arr)),
+                                               i -> arr[i] || ' ' || arr[i+1])) AS bigram
+                  FROM toks)
+            GROUP BY bigram
+            HAVING count(*) >= {PMI_MIN_COUNT}
+        )
+        SELECT b.bigram, b.c_xy, u1.cw AS c_x, u2.cw AS c_y, t.n_tokens,
+               CAST(b.c_xy * t.n_tokens AS DOUBLE)
+                   / CAST(u1.cw * u2.cw AS DOUBLE) AS pmi_ratio
+        FROM big b
+        JOIN uni u1 ON u1.w = split_part(b.bigram, ' ', 1)
+        JOIN uni u2 ON u2.w = split_part(b.bigram, ' ', 2)
+        CROSS JOIN total t
+        ORDER BY pmi_ratio DESC, b.bigram ASC
+        LIMIT {PMI_TOPK}
+    """,
     "doc_cms_heavy_hitters": _cms_oracle(),
     "doc_heavy_hitter_tokens": f"""
         WITH counts AS (
@@ -1523,6 +1610,7 @@ QUERIES = {
     "doc_lang_confusion": doc_lang_confusion,
     "doc_fingerprint": doc_fingerprint,
     "doc_bigram_topk": doc_bigram_topk,
+    "doc_collocation_pmi": doc_collocation_pmi,
     "doc_heavy_hitter_tokens": doc_heavy_hitter_tokens,
     "doc_cms_heavy_hitters": doc_cms_heavy_hitters,
     "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
