@@ -312,3 +312,29 @@ def test_boundary_replication_composes_with_balanced_shards(spark, sf_dir):
         gb = {(r["query_id"], r["neighbour_id"]) for r in base.search(q, k=10, n_probe_shards=probes).collect()}
         gr = {(r["query_id"], r["neighbour_id"]) for r in rep.search(q, k=10, n_probe_shards=probes).collect()}
         assert len(gr & exact) >= len(gb & exact), (len(gb & exact), len(gr & exact))
+
+
+def test_auto_ef_rule_and_search(spark, sf_dir, hnsw_idx):
+    """ef_search="auto" (the probe-aware rule promoted from BASELINE prose
+    to code in r6): ef = clamp(4k·route/probes, 4k, 128) — full-probe
+    searches keep the 4k floor, sparse probes deepen the per-shard pool up
+    to the measured 128 knee. The auto search must be at least as good as
+    the index-default ef at the same probe count."""
+    from vers_spark.operators.knn import exact_knn
+
+    assert hnsw_idx._auto_ef(k=10, probes=hnsw_idx._route_units()) == 40
+    assert hnsw_idx._auto_ef(k=10, probes=max(hnsw_idx._route_units() // 8, 1)) in range(40, 129)
+    assert hnsw_idx._auto_ef(k=10, probes=1) == 128  # clamped at the knee
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 15)
+    exact = {(r["query_id"], r["neighbour_id"]) for r in exact_knn(q, emb, k=10).collect()}
+    base = {
+        (r["query_id"], r["neighbour_id"])
+        for r in hnsw_idx.search(q, k=10, n_probe_shards=2).collect()
+    }
+    auto = {
+        (r["query_id"], r["neighbour_id"])
+        for r in hnsw_idx.search(q, k=10, n_probe_shards=2, ef_search="auto").collect()
+    }
+    assert len(auto & exact) >= len(base & exact)

@@ -87,7 +87,12 @@ def main() -> None:
     # whose runner-up centroid is within (1+eps)^2 of the nearest — the r6
     # locality-recall fix) and the serving ef
     ap.add_argument("--hnsw-boundary-eps", type=float, default=0.0)
-    ap.add_argument("--hnsw-ef-search", type=int, default=32)
+    # int, or "auto" for the probe-aware rule (HNSWIndex._auto_ef)
+    ap.add_argument(
+        "--hnsw-ef-search",
+        type=lambda s: s if s == "auto" else int(s),
+        default=32,
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -164,7 +169,7 @@ def main() -> None:
             corpus,
             num_layers=12,
             ef_construction=100,
-            ef_search=args.hnsw_ef_search,
+            ef_search=32 if args.hnsw_ef_search == "auto" else args.hnsw_ef_search,
             m=24,
             num_shards=args.hnsw_shards,
             shard_by=args.hnsw_shard_by,
@@ -176,7 +181,7 @@ def main() -> None:
                 args.hnsw_boundary_eps if args.hnsw_shard_by == "kmeans" else 0.0
             ),
         )
-        out["hnsw_ef_search"] = int(args.hnsw_ef_search)
+        out["hnsw_ef_search"] = args.hnsw_ef_search
         out["hnsw_boundary_eps"] = float(args.hnsw_boundary_eps)
         out["hnsw_shards_effective"] = int(hnsw.params["num_shards"])
         hnsw.graph.count()  # materialize
@@ -184,7 +189,9 @@ def main() -> None:
         t0 = time.perf_counter()
         probes = args.hnsw_probes or args.hnsw_shards
         out["hnsw_probes"] = probes
-        res = hnsw.search(queries, k=10, n_probe_shards=probes)
+        res = hnsw.search(
+            queries, k=10, n_probe_shards=probes, ef_search=args.hnsw_ef_search
+        )
         out["hnsw_recall_at_10"] = recall(res)
         out["hnsw_search_batch_sec"] = round(time.perf_counter() - t0, 1)
         out["hnsw_search_per_query_ms"] = round(
@@ -209,10 +216,12 @@ def main() -> None:
         out["lsh_search_per_query_ms"] = round(
             out["lsh_search_batch_sec"] * 1000 / N_QUERIES, 1
         )
-        # margin-ordered multi-probe: the recall-vs-work dial at fixed trees
+        # margin-ordered multi-probe: the recall-vs-work dial at fixed trees.
+        # compute="blocked" is the r6 GEMM margin scorer (lsh._sides_blocked)
+        # — at 1M the declarative fold was ~6 s/query of margin scoring
         for p in (2, 4):
             t0 = time.perf_counter()
-            res = lsh.search_multiprobe(queries, k=10, n_probes=p)
+            res = lsh.search_multiprobe(queries, k=10, n_probes=p, compute="blocked")
             out[f"lsh_mp{p}_recall_at_10"] = recall(res)
             out[f"lsh_mp{p}_search_batch_sec"] = round(time.perf_counter() - t0, 1)
         print(f"# lsh: {json.dumps({k: v for k, v in out.items() if k.startswith('lsh')})}", flush=True)

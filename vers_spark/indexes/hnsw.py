@@ -559,20 +559,42 @@ class HNSWIndex:
 
     # ---------------- search ----------------
 
+    def _route_units(self) -> int:
+        parents = self.params.get("shard_parent")
+        return len(set(parents)) if parents is not None else int(self.params["num_shards"])
+
+    def _auto_ef(self, k: int, probes: int) -> int:
+        """Probe-aware serving ef (the r4 BASELINE analysis promoted to
+        code in r6): each probed shard must hold a deeper candidate pool
+        when fewer shards are probed — ef ≈ 4·k / probe_fraction, clamped
+        to [4k, 128]. The 128 cap is the measured knee of the 1M×300
+        recall curve at 8/64 probes (ef 32 → 0.646, 64 → 0.818,
+        128 → 0.931; beyond 128 the curve flattens while search cost keeps
+        doubling)."""
+        route = max(self._route_units(), 1)
+        return int(min(max(4 * k * route // max(probes, 1), 4 * k), 128))
+
     def search(
         self,
         queries: DataFrame,
         k: int,
-        ef_search: int | None = None,
+        ef_search: int | str | None = None,
         n_probe_shards: int | None = None,
         query_id: str = "vec_id",
         query_vec: str = "embedding",
     ) -> DataFrame:
         """Batch search: queries broadcast to their ``n_probe_shards`` nearest
         shards (k-means sharding) or all shards (random), per-shard layered
-        greedy search, global per-query top-k merge."""
-        ef = int(ef_search or self.params["ef_search"])
+        greedy search, global per-query top-k merge.
+
+        ``ef_search="auto"`` applies the probe-aware rule (see _auto_ef):
+        probing a small fraction of the shards needs a deeper per-shard
+        pool to hold recall."""
         probes = int(n_probe_shards or (1 if self.centroids is not None else self.params["num_shards"]))
+        if ef_search == "auto":
+            ef = self._auto_ef(k, probes)
+        else:
+            ef = int(ef_search or self.params["ef_search"])
         from vers_spark.functions.validate import bounded_collect
 
         q_rows = bounded_collect(
@@ -691,7 +713,11 @@ class HNSWIndex:
         id-selectivity of s, expected recall loss is the probability that
         fewer than k of the k·overfetch neighbours pass — size overfetch
         ≈ c/s for headroom."""
-        ef = int(kwargs.pop("ef_search", 0) or self.params["ef_search"])
+        ef_arg = kwargs.pop("ef_search", 0)
+        if ef_arg == "auto":
+            probes = int(kwargs.get("n_probe_shards") or self._route_units())
+            ef_arg = self._auto_ef(k * overfetch, probes)
+        ef = int(ef_arg or self.params["ef_search"])
         raw = self.search(
             queries, k=k * overfetch, ef_search=max(ef, k * overfetch), **kwargs
         )
@@ -710,7 +736,7 @@ class HNSWIndex:
         self,
         queries: DataFrame,
         k: int,
-        ef_search: int | None = None,
+        ef_search: int | str | None = None,
         max_hops: int = 6,
         n_probe_shards: int | None = None,
         query_id: str = "vec_id",
@@ -734,7 +760,12 @@ class HNSWIndex:
         """
         from vers_spark.functions import vector as V
 
-        ef = int(ef_search or self.params["ef_search"])
+        if ef_search == "auto":
+            ef = self._auto_ef(
+                k, int(n_probe_shards or self._route_units())
+            )
+        else:
+            ef = int(ef_search or self.params["ef_search"])
         q = queries.select(
             F.col(query_id).cast("long").alias("query_id"), F.col(query_vec).alias("q_vec")
         )
