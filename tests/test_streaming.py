@@ -167,3 +167,15 @@ def test_stream_neardup_pairs_equals_batch_pipeline(spark, sf_dir):
         for r in minhash_neardup_q(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_stream_markov_equals_batch(spark, sf_dir):
+    """Streamed transition maintenance ≡ the batch matrix: the last-event
+    store carries exactly the cross-batch boundary pairs, so the end state
+    matches evt_markov_transitions row for row."""
+    from vers_spark.operators.streaming_queries import stream_markov_merge
+    from vers_spark.operators.temporal import evt_markov_transitions
+
+    streamed = sorted(map(tuple, stream_markov_merge(spark, sf_dir).collect()))
+    batch = sorted(map(tuple, evt_markov_transitions(spark, sf_dir).collect()))
+    assert streamed == batch

@@ -610,6 +610,101 @@ def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_markov_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MAINTENANCE of the Markov transition matrix
+    (evt_markov_transitions' incremental twin): events arrive in
+    time-ordered micro-batches; the only cross-batch state is a LAST-EVENT
+    STORE (one row per user — the boundary a naive per-batch count would
+    drop is exactly the carry pair last(u, batch i) → first(u, batch i+1)).
+    Per batch: union the store's rows with the batch, one lead() window per
+    user emits ONLY new pairs (the store holds one row per user, so no
+    old-old pair can form), append the pair counts, version the new last
+    rows. End state ≡ the batch matrix — counts are additive and every
+    consecutive pair is emitted exactly once — so the streamed matrix
+    hash-matches the SAME DuckDB oracle. At 100 TB the store is |users|
+    rows (bucketed by user) and each batch's window shuffles only
+    batch + store rows."""
+    from pyspark.sql import Window
+
+    from vers_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src_dir = scratch_dir("vs_mkstream_src_")
+    # range files = time order; mtimes pin the micro-batch arrival order
+    ev.repartitionByRange(4, "ts", "event_id").write.mode("overwrite").parquet(src_dir)
+    import glob as _glob
+    import time as _time
+
+    base = _time.time() - 3600
+    for i, f in enumerate(sorted(_glob.glob(f"{src_dir}/part-*.parquet"))):
+        os.utime(f, (base + i, base + i))
+
+    pair_log = scratch_dir("vs_mkstream_pairs_") + "/pairs"
+    last_root = scratch_dir("vs_mkstream_last_")
+    ckpt = scratch_dir("vs_mkstream_ck_")
+    state = {"v": None}
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        aug = batch_df
+        if state["v"] is not None:
+            aug = aug.unionByName(spark.read.parquet(f"{last_root}/v{state['v']}"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            aug.withColumn("to_type", F.lead("event_type").over(w))
+            .filter(F.col("to_type").isNotNull())
+            .groupBy(F.col("event_type").alias("from_type"), "to_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        pairs.write.mode("append").parquet(pair_log)
+        last = (
+            aug.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        last.write.mode("overwrite").parquet(f"{last_root}/v{batch_id}")
+        state["v"] = batch_id
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if os.path.exists(pair_log):
+        partials = spark.read.parquet(pair_log)
+    else:
+        partials = spark.createDataFrame([], "from_type string, to_type string, n long")
+    counts = partials.groupBy("from_type", "to_type").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("row_total", F.sum("n").over(wrow).cast("long"))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "row_total",
+            (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 def stream_ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same streaming ingest against the fixed-point build's frozen
     centroids: end state ≡ the batch build's posting lists, hash-matched
@@ -769,6 +864,7 @@ QUERIES = {
     "stream_cms_merge": stream_cms_merge,
     "stream_hll_merge": stream_hll_merge,
     "stream_neardup_pairs": stream_neardup_pairs,
+    "stream_markov_merge": stream_markov_merge,
 }
 
 # streaming ingest end state ≡ the fixed-point batch build's posting lists:
@@ -905,3 +1001,10 @@ def _stream_neardup_oracle() -> str:
 
 
 ORACLE_SQL["stream_neardup_pairs"] = _stream_neardup_oracle()
+
+# streamed transition counts are additive and every consecutive pair is
+# emitted exactly once (carry pairs via the last-event store), so the end
+# state shares evt_markov_transitions' batch oracle verbatim
+from vers_spark.operators.temporal import ORACLE_SQL as _TEMPORAL_ORACLES  # noqa: E402
+
+ORACLE_SQL["stream_markov_merge"] = _TEMPORAL_ORACLES["evt_markov_transitions"]
