@@ -193,4 +193,4 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_bmp(buf)
     if buf[:2] == b"\xFF\xD8":
         return decode_jpeg(buf)
-    raise ValueError(f"unknown image payload (magic {buf[:2]!r})")
+    raise ValueError(f"not a BMP/JPEG image payload (magic {buf[:2]!r})")
