@@ -56,6 +56,12 @@ HEADLINE = [
     "neardup_components_star",
     "lsh_search_multiprobe",
     "neardup_kcore",
+    # round-6 additions: exact DBSCAN (range search + star CC composition),
+    # log-free PMI collocations, the rewritten HLL sketch (shingle_hashes —
+    # the 243→3 s x10 fix deserves a tracked line at sf0.1)
+    "emb_dbscan_clusters",
+    "doc_collocation_pmi",
+    "doc_hll_distinct",
 ]
 
 

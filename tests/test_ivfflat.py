@@ -455,3 +455,20 @@ def test_cluster_outliers_contract(spark, sf_dir):
         n = len(per[cid])
         assert n_flags <= max(1, -(-n * 5 // 100) + 1), (cid, n_flags, n)
         assert min(per[cid]) <= sorted(per[cid])[0]  # nearest member unflagged
+
+
+def test_range_join_blocked_bit_equals_range_search(spark, sf_dir):
+    """The corpus-scale GEMM radius join (range_join_blocked) must be
+    BIT-EQUAL to range_search — same pairs, same fold-exact distances —
+    for a self-join over the whole table (the DBSCAN shape) and for a
+    small query batch. Pruning is lossless at any cluster count, and the
+    rescore re-derives every admitted distance with the declarative fold."""
+    from vers_spark.indexes.ivfflat import IVFFlatIndex
+    from vers_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    idx = IVFFlatIndex.build(emb, num_clusters=8, seed=11)
+    for queries in (emb, emb.filter(F.col("vec_id") < 40)):
+        a = sorted(map(tuple, idx.range_search(queries, 1.42).collect()))
+        b = sorted(map(tuple, idx.range_join_blocked(queries, 1.42).collect()))
+        assert a == b

@@ -211,6 +211,13 @@ def _probes():
         "evt_anomaly_mad": _q("evt_anomaly_mad"),
         "emb_cluster_outliers": _q("emb_cluster_outliers"),
         "evt_hll_hourly": _q("evt_hll_hourly"),
+        # round-6 operators: DBSCAN input is the %3 subset (output grows
+        # with corpus); PMI is two corpus-token aggregates + a broadcast
+        # join (linear, fixed output); Markov is one user-window + a tiny
+        # matrix aggregate (linear, fixed-ish output)
+        "emb_dbscan_clusters": _q("emb_dbscan_clusters"),
+        "doc_collocation_pmi": _q("doc_collocation_pmi"),
+        "evt_markov_transitions": _q("evt_markov_transitions"),
     }
 
 

@@ -1081,10 +1081,17 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % DBSCAN_MOD == 0
     )
-    idx = IVFFlatIndex.build(emb, num_clusters=8, seed=11)
+    # cluster count scales with the corpus (fixed k = pruning ratio decays
+    # with n: the 8-cluster fold path measured 56× super-linear on the x10
+    # probe; adaptive k + the GEMM range join brought it back); pruning is
+    # lossless at ANY k and the blocked join rescores with the exact fold,
+    # so the oracle is invariant to both knobs
+    n = emb.count()
+    k_clusters = max(8, min(256, n // 150))
+    idx = IVFFlatIndex.build(emb, num_clusters=k_clusters, seed=11)
     # (query_id, neighbour_id, distance), self-match included — symmetric
     # by construction (the fold is arithmetically symmetric in a,b)
-    nbrs = idx.range_search(emb, DBSCAN_EPS2).localCheckpoint(eager=False)
+    nbrs = idx.range_join_blocked(emb, DBSCAN_EPS2).localCheckpoint(eager=False)
     deg = nbrs.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_eps"))
     core = deg.filter(F.col("n_eps") >= DBSCAN_MIN_PTS).select(
         F.col("query_id").alias("vec_id")
