@@ -1029,6 +1029,49 @@ EXPECTATIONS: list[tuple[str, str]] = [
 ]
 
 
+def doc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION end-to-end — the ingest reality every
+    long-lived corpus store hits: an early batch lands without a column a
+    later batch adds (here: the quality score), and readers must see ONE
+    unified schema with nulls for pre-evolution rows. Writes two real
+    parquet batches (even doc_ids without `quality`, odd with), reads the
+    directory back with mergeSchema, and aggregates per language: row
+    counts, rows carrying the new column, and the fixed-point quality sum
+    (per-row ×10⁴ BIGINT before summing — integer addition is order-free,
+    so the float composite survives the hash gate). The oracle states the
+    merged end state declaratively over the source table. At 100 TB this
+    is the additive-column path (rename/retype go through the versioned
+    store's rewrite); mergeSchema's footer union is per-file metadata, not
+    a data scan."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="vs_schevo_") + "/docs"
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).write.mode("overwrite").parquet(f"{out}/batch=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        quality_score(F.col("text")).alias("quality"),
+    ).write.mode("overwrite").parquet(f"{out}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "quality" in merged.columns and "batch" in merged.columns
+    qfp = F.round(F.col("quality") * 10000).cast("long")
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("quality").cast("long").alias("n_with_quality"),
+            F.sum(F.coalesce(qfp, F.lit(0))).cast("long").alias("sum_quality_fp"),
+        )
+        .orderBy("lang")
+    )
+
+
 def doc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate (the Great-Expectations shape, Spark-first): every
     expectation is a violation-count aggregate over ONE scan — adding a
@@ -1611,6 +1654,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_bigram_topk": doc_bigram_topk,
     "doc_collocation_pmi": doc_collocation_pmi,
+    "doc_schema_evolution": doc_schema_evolution,
     "doc_heavy_hitter_tokens": doc_heavy_hitter_tokens,
     "doc_cms_heavy_hitters": doc_cms_heavy_hitters,
     "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
@@ -1639,6 +1683,23 @@ _BLOOM_POS = ", ".join(
 )
 _D_HASH60_SHINGLE = D_HASH60.format(x="shingle")
 _D_HASH60_W = D_HASH60.format(x="w")
+_D_QSCORE = d_quality_score("text")
+ORACLE_SQL["doc_schema_evolution"] = f"""
+    WITH merged AS (
+        SELECT lang, CAST(NULL AS DOUBLE) AS quality
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT lang, ({_D_QSCORE}) AS quality
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(quality) AS BIGINT) AS n_with_quality,
+           CAST(coalesce(sum(CAST(round(quality * 10000) AS BIGINT)), 0) AS BIGINT)
+               AS sum_quality_fp
+    FROM merged GROUP BY lang ORDER BY lang
+"""
+
 ORACLE_SQL["doc_decontaminate_bloom"] = rf"""
     WITH toks AS (
         SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
