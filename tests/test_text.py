@@ -826,3 +826,22 @@ def test_collocation_pmi_beats_raw_counts(spark, sf_dir):
     # PMI order is NOT raw-count order on this corpus
     by_count = sorted(rows, key=lambda r: (-r["c_xy"], r["bigram"]))
     assert [r["bigram"] for r in by_count] != [r["bigram"] for r in rows]
+
+
+def test_leakage_split_no_cross_pairs_and_covers_corpus(spark, sf_dir):
+    """Component-keyed splitting: zero near-dup pairs straddle splits (the
+    operator's reason to exist — a doc-keyed split provably leaks), doc
+    counts cover the corpus, and the rates land near 80/10/10."""
+    from vers_spark.operators.text_dedup_queries import (
+        NEAR_TAIL,
+        QUERIES as TDQ2,
+        _augmented,
+    )
+
+    rows = TDQ2["neardup_leakage_split"](spark, sf_dir).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert all(r["n_cross_pairs"] == 0 for r in rows)
+    total = _augmented(spark, sf_dir, 7, NEAR_TAIL).count()
+    assert sum(r["n_docs"] for r in rows) == total
+    train = next(r for r in rows if r["split"] == "train")
+    assert 0.7 <= train["n_docs"] / total <= 0.9

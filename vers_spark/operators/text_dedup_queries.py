@@ -451,6 +451,55 @@ ORACLE_SQL["neardup_best_quality"] = f"""
 """
 
 
+def neardup_leakage_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: assignment keys on the near-dup
+    COMPONENT, not the document — a doc-keyed hash split puts ~2·p·(1−p) of
+    every dup pair across the boundary, and near-dups of training docs in
+    the eval set are exactly how benchmark contamination happens inside
+    one's own corpus (the within-corpus complement of doc_decontaminate's
+    external check). Singletons are their own component (coalesce to
+    doc_id); the split hash keys on the component id, so every member of a
+    dup group lands together BY CONSTRUCTION. Output: per-split doc and
+    component counts plus the cross-split pair count recomputed from the
+    pair table — 0 by construction, and the oracle recomputes the same
+    zero from the recursive-CTE components, so a regression in either the
+    component build or the assignment breaks the hash. Scale shape: one
+    broadcast join of the component table, one hash per doc; the pair
+    audit joins the (already materialized) pair list twice on doc keys."""
+    from vers_spark.functions.text import stable_hash60
+
+    aug = _augmented(spark, sf_dir, 7, NEAR_TAIL)
+    comp = _neardup_components(spark, sf_dir)
+    pairs = _minhash_pairs(spark, sf_dir)
+    asg = (
+        aug.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
+    )
+    bucket = stable_hash60(F.concat(F.lit("split:"), F.col("component").cast("string"))) % 100
+    asg = asg.withColumn(
+        "split",
+        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise(F.lit("test")),
+    ).localCheckpoint(eager=False)
+    cross = (
+        pairs.join(
+            asg.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")), "doc_a"
+        )
+        .join(asg.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")), "doc_b")
+        .filter(F.col("_sa") != F.col("_sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross_pairs"))
+    )
+    return (
+        asg.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(cross))
+        .orderBy("split")
+    )
+
+
 def neardup_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the near-dup pair graph (operators/graph.
     triangle_stats): per-doc triangle participation + local clustering
@@ -463,6 +512,51 @@ def neardup_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return triangle_stats(_minhash_pairs(spark, sf_dir)).orderBy("doc_id")
 
+
+_D_SPLIT_HASH = D_HASH60.format(x="'split:' || CAST(component AS VARCHAR)")
+ORACLE_SQL["neardup_leakage_split"] = f"""
+    WITH RECURSIVE
+    pairs AS MATERIALIZED (
+        WITH {_jaccard_tail_sql(_d_augmented(7, NEAR_TAIL), _D_MINHASH_CAND, 0.8)}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    docs AS (SELECT doc_id FROM ({_d_augmented(7, NEAR_TAIL)})),
+    asg AS MATERIALIZED (
+        SELECT doc_id, component,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, component, ({_D_SPLIT_HASH}) % 100 AS b
+            FROM (SELECT d.doc_id,
+                         coalesce(c.component, d.doc_id) AS component
+                  FROM docs d LEFT JOIN comp c ON c.node = d.doc_id)
+        )
+    ),
+    crossed AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cross_pairs
+        FROM pairs p
+        JOIN asg a ON a.doc_id = p.doc_a
+        JOIN asg b ON b.doc_id = p.doc_b
+        WHERE a.split <> b.split
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+           n_cross_pairs
+    FROM asg, crossed
+    GROUP BY split, n_cross_pairs
+    ORDER BY split
+"""
 
 QUERIES = {
     "minhash_signatures": minhash_signatures_q,
@@ -477,6 +571,7 @@ QUERIES = {
     "neardup_kcore": neardup_kcore_q,
     "neardup_best_quality": neardup_best_quality_q,
     "neardup_triangles": neardup_triangles_q,
+    "neardup_leakage_split": neardup_leakage_split_q,
 }
 
 # the prefix-filtered join provably computes the SAME pairs (completeness of
