@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_markov_merge",
         "doc_schema_evolution",
         "neardup_leakage_split",
+        "evt_rfm_segments",
         # -- round-6 re-certification: code paths changed AFTER the r5 sweep --
         # doc_hll_distinct: shingle_hashes rewrite (oracle restated in the
         # composed-hash arithmetic); the LSH family: bucketed (tree_id,_pp)

@@ -299,3 +299,26 @@ def test_markov_transitions_stochastic(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n"] for r in rows) == n_events - n_users
+
+
+def test_rfm_segments_partition_and_balance(spark, sf_dir):
+    """RFM cells partition the user base (Σ n_users = |users|); each
+    dimension's quintiles are balanced to ±1 user (ntile contract over a
+    total order); money_fp reconciles with the events table."""
+    from vers_spark.operators.temporal import evt_rfm_segments
+    from vers_spark.sources.tables import load_table
+
+    rows = evt_rfm_segments(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for dim in ("r", "f", "m"):
+        per_q = {}
+        for r in rows:
+            per_q[r[dim]] = per_q.get(r[dim], 0) + r["n_users"]
+        assert set(per_q) == {1, 2, 3, 4, 5}
+        assert max(per_q.values()) - min(per_q.values()) <= 1
+    total_fp = ev.agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000).cast("long")
+    ).collect()[0][0]
+    assert sum(r["money_fp"] for r in rows) == total_fp

@@ -395,8 +395,61 @@ def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation (recency / frequency / monetary — the classic
+    behavioral-cohort operator): per user, last-event recency in whole
+    hours from the corpus max timestamp (integer microsecond arithmetic),
+    event count, and the DECIMAL-summed purchase value; each dimension
+    quintiles via ntile(5) with a FULL deterministic order (metric, then
+    user_id — ntile over a total order is engine-exact; bare metric order
+    would leave tied users' quintiles engine-dependent). Output: one row
+    per (r, f, m) cell with user count and the monetary total as ×10⁴
+    fixed-point BIGINT — 125 cells max, a broadcastable segment table. One
+    shuffle on user_id, three cheap full-order windows over |users| rows
+    (at 100 TB the per-user aggregate is the heavy stage; the quintile
+    windows run on the aggregate, which is users-sized, not events-sized)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("_mx"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_money"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            ((F.col("_mx") - F.col("_last")) / F.lit(3_600_000_000)).cast("long").alias(
+                "recency_h"
+            ),
+            "freq",
+            "_money",
+        )
+    )
+    wr = Window.orderBy(F.asc("recency_h"), F.asc("user_id"))  # recent = best
+    wf = Window.orderBy(F.desc("freq"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("_money"), F.asc("user_id"))
+    scored = per_user.select(
+        "user_id",
+        "_money",
+        F.ntile(5).over(wr).alias("r"),
+        F.ntile(5).over(wf).alias("f"),
+        F.ntile(5).over(wm).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (F.sum("_money") * 10000).cast("long").alias("money_fp"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
 QUERIES = {
     "evt_markov_transitions": evt_markov_transitions,
+    "evt_rfm_segments": evt_rfm_segments,
     "evt_user_trend": evt_user_trend,
     "evt_gapfill_locf": evt_gapfill_locf,
     "evt_purchase_asof_click": evt_purchase_asof_click,
@@ -407,6 +460,26 @@ QUERIES = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "evt_rfm_segments": """
+        WITH anchor AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+        per_user AS (
+            SELECT user_id,
+                   CAST((mx - max(epoch_us(ts))) // 3600000000 AS BIGINT) AS recency_h,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   sum(CAST(value AS DECIMAL(18,4))) AS money
+            FROM events, anchor GROUP BY user_id, mx
+        ),
+        scored AS (
+            SELECT money,
+                   ntile(5) OVER (ORDER BY recency_h ASC, user_id ASC) AS r,
+                   ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f,
+                   ntile(5) OVER (ORDER BY money DESC, user_id ASC) AS m
+            FROM per_user
+        )
+        SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(money) * 10000 AS BIGINT) AS money_fp
+        FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
     "evt_markov_transitions": """
         WITH seq AS (
             SELECT event_type AS from_type,
