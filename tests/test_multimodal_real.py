@@ -136,6 +136,23 @@ def test_jpeg_deterministic_and_dispatch():
         MC.decode_image(b"\x00\x01rubbish")
 
 
+def test_jpeg_rejects_unsupported_features():
+    """Guards must be explicit raises (survive python -O) with stable
+    messages; restart-interval files (DRI) are rejected rather than
+    silently decoded with a stale DC predictor."""
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    buf = bytearray(MC.encode_jpeg(img))
+    # splice a DRI segment (0xFFDD, interval=4) right after SOI
+    dri = b"\xff\xdd\x00\x04\x00\x04"
+    with_dri = bytes(buf[:2]) + dri + bytes(buf[2:])
+    with pytest.raises(ValueError, match="restart intervals"):
+        MC.decode_jpeg(with_dri)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        MC.decode_jpeg(b"\x00\x00")
+    with pytest.raises(ValueError, match="RGB"):
+        MC.encode_jpeg(np.zeros((8, 8, 1), dtype=np.uint8))
+
+
 def test_jpeg_pipeline_query(spark, sf_dir):
     """mm_jpeg_pipeline: real JPEG payloads flow decode → resize → features
     through the standard mapInPandas seam; every size bucket's min PSNR

@@ -510,6 +510,26 @@ def test_lsh_on_disk_search_partition_prunes(spark, sf_dir, tmp_path):
     idx = LSHForestIndex.build(emb, num_trees=2, max_node_size=64, seed=3)
     idx.save(str(tmp_path / "lsh"))
     loaded = LSHForestIndex.load(spark, str(tmp_path / "lsh"))
+    # the _pp partition column must survive type inference as STRING even
+    # when every leaf path is >= _PP_LEN bits (digit-only values would be
+    # inferred INT, silently defeating DPP via implicit casts and stripping
+    # leading zeros on re-save) — hence the 'p' prefix in _pp_of
+    ((pp_type, pp_vals),) = [
+        (f.dataType.simpleString(), None) for f in loaded.leaves.schema if f.name == "_pp"
+    ]
+    assert pp_type == "string", pp_type
+    pp_vals = {r[0] for r in loaded.leaves.select("_pp").distinct().collect()}
+    assert all(v.startswith("p") for v in pp_vals), sorted(pp_vals)[:5]
+    # re-save of a loaded index must preserve the partition values verbatim
+    loaded.save(str(tmp_path / "lsh2"))
+    re_vals = {
+        r[0]
+        for r in LSHForestIndex.load(spark, str(tmp_path / "lsh2"))
+        .leaves.select("_pp")
+        .distinct()
+        .collect()
+    }
+    assert re_vals == pp_vals
     q = emb.filter(F.col("vec_id") < 3)
     res = loaded.search(q, k=5, backup_fill=False)
     plan = audit.executed_plan(res)

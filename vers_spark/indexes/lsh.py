@@ -62,11 +62,21 @@ def _plane_side(vec_col, coeff_col, const_col):
 # _pp too, so Spark's dynamic partition pruning scans only the probed
 # buckets — the LSH analogue of IVF's partitionBy(cluster_id) posting
 # lists (ivfflat.py save).
+#
+# The value is prefixed with a literal 'p': deep trees make every _pp
+# digit-only ('0000'..'1111'), and spark.read's partition-type inference
+# would then type the directory column as INT — the serving equi-join
+# against the string-derived probe _pp would go through implicit casts
+# (silently defeating dynamic partition pruning) and a re-save would strip
+# leading zeros ('0010' → '10'). A non-numeric first character pins the
+# inferred partition type to STRING on every load.
 _PP_LEN = 4
 
 
 def _pp_of(path_col):
-    return F.substring(F.concat(path_col, F.lit("z" * _PP_LEN)), 1, _PP_LEN)
+    return F.concat(
+        F.lit("p"), F.substring(F.concat(path_col, F.lit("z" * _PP_LEN)), 1, _PP_LEN)
+    )
 
 
 def _ensure_pp(leaves: DataFrame) -> DataFrame:

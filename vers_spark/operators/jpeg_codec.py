@@ -187,7 +187,8 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB → baseline JFIF JPEG bytes (4:4:4, Annex K
     tables). Edge-replicates to 8-pixel multiples."""
     h, w, c = arr.shape
-    assert c == 3, "encode_jpeg expects RGB"
+    if c != 3:
+        raise ValueError("encode_jpeg expects RGB")
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(arr, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     ycc = _rgb_to_ycbcr(padded) - 128.0
@@ -318,7 +319,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     baseline sequential process at 4:4:4 sampling (what encode_jpeg emits;
     subsampled files raise with a clear message — the libjpeg swap-in
     handles those)."""
-    assert buf[:2] == b"\xFF\xD8", "not a JPEG payload"
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
@@ -326,7 +328,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     scan_tables: dict[int, tuple[int, int]] = {}
     h = w = 0
     while pos < len(buf):
-        assert buf[pos] == 0xFF, "marker expected"
+        if buf[pos] != 0xFF:
+            raise ValueError("marker expected")
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -340,19 +343,28 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             off = 0
             while off < len(payload):
                 pq, tq = payload[off] >> 4, payload[off] & 0xF
-                assert pq == 0, "16-bit quant tables unsupported"
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
                 tbl = np.frombuffer(payload, dtype=np.uint8, count=64, offset=off + 1)
                 qts[tq] = tbl[UNZIGZAG].reshape(8, 8).astype(np.int32)
                 off += 65
         elif marker == 0xC0:  # SOF0 (baseline)
             precision, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
-            assert precision == 8, "only 8-bit precision supported"
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
-                assert samp == 0x11, "only 4:4:4 sampling supported (see docstring)"
+                if samp != 0x11:
+                    raise ValueError("only 4:4:4 sampling supported (see docstring)")
                 comps.append((cid, samp, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            # DRI: restart intervals need DC-predictor resets and bit-reader
+            # re-sync at each RSTn; the entropy decoder below treats RSTn as
+            # end-of-scan zero-fill, which would silently corrupt pixels.
+            # Reject loudly (same policy as SOF1/SOF2) until implemented.
+            raise ValueError("restart intervals (DRI) unsupported")
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(payload):

@@ -1043,10 +1043,16 @@ def doc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the additive-column path (rename/retype go through the versioned
     store's rewrite); mergeSchema's footer union is per-file metadata, not
     a data scan."""
+    import hashlib
+    import os
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="vs_schevo_") + "/docs"
+    # Stable per-sf_dir path + overwrite mode: repeated sweep/bench runs
+    # reuse (not accumulate) the two corpus-sized staged copies — a fresh
+    # mkdtemp per invocation grows /tmp without bound across rounds.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"vs_schevo_{tag}", "docs")
     docs.filter(F.col("doc_id") % 2 == 0).select(
         "doc_id", "text", "lang", "source", "n_chars"
     ).write.mode("overwrite").parquet(f"{out}/batch=1")
@@ -1059,7 +1065,8 @@ def doc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(F.col("text")).alias("quality"),
     ).write.mode("overwrite").parquet(f"{out}/batch=2")
     merged = spark.read.option("mergeSchema", "true").parquet(out)
-    assert "quality" in merged.columns and "batch" in merged.columns
+    if "quality" not in merged.columns or "batch" not in merged.columns:
+        raise ValueError("mergeSchema did not surface the evolved columns")
     qfp = F.round(F.col("quality") * 10000).cast("long")
     return (
         merged.groupBy("lang")
