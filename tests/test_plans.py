@@ -7,6 +7,8 @@ test scale while regressing badly at cluster scale.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from vers_spark.operators.relational import q1_pricing_summary, q5_revenue_by_nation
@@ -549,3 +551,34 @@ def test_lsh_on_disk_search_partition_prunes(spark, sf_dir, tmp_path):
     af = sorted(map(tuple, loaded.search(q, k=5).collect()))
     bf = sorted(map(tuple, idx.search(q, k=5).collect()))
     assert af == bf
+
+
+def test_rfm_no_single_partition_window(spark, sf_dir):
+    """evt_rfm_segments' quintiles must NOT run as unpartitioned ntile
+    windows (Exchange SinglePartition moving the whole per-user aggregate
+    through ONE task, three times — the round-6 weak item). The rewrite
+    computes a distributed global rank (range partition + local row_number
+    + broadcast offsets) and derives the tile arithmetically. Allowed
+    SinglePartition exchanges are only the ≤num-partitions-row final steps
+    of global scalar aggregates (HashAggregate keys=[]) — never a Sort or
+    Window parent."""
+    from vers_spark.operators.temporal import evt_rfm_segments
+
+    df = evt_rfm_segments(spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert "ntile" not in plan, plan[:3000]
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        parents = [
+            p for p in lines[:i]
+            if re.search(r"[A-Za-z]", p) and "WholeStageCodegen" not in p
+        ]
+        parent = parents[-1] if parents else ""
+        assert "HashAggregate" in parent and "keys=[]" in parent, (
+            f"SinglePartition exchange under non-scalar-agg parent: {parent!r}"
+        )
+    # results still engine-exact ntile semantics: 5x5x5 cells, counts sum to users
+    rows = df.collect()
+    assert rows and all(1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5 for r in rows)

@@ -395,19 +395,83 @@ def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_row_number(df: DataFrame, *sort_cols, out: str = "_grn") -> DataFrame:
+    """Distributed global row_number over a TOTAL order — the scale-safe
+    replacement for ``row_number().over(Window.orderBy(...))``, which Spark
+    executes as an Exchange SinglePartition (ALL rows through ONE task).
+
+    Two-phase, the ``curation._budgeted`` discipline: range-partition on the
+    sort expressions (RangePartitioner keeps partition id monotone in the
+    sort order), rank locally within each range partition, then add
+    per-partition row-count offsets. The offset table is ≤ shuffle-partition
+    rows — collected (bounded, like _budgeted's totals) and broadcast back,
+    so no globally-ordered window ever touches the data itself. Exact iff
+    ``sort_cols`` is a total order (callers append a unique tiebreaker);
+    with ties straddling range boundaries the rank among tied rows would be
+    partitioning-dependent."""
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols))
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_c"]
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    )
+    return (
+        local.join(off, "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact BIGINT floor division for non-negative operands: the numerator
+    is made exactly divisible first (a − a%b), so the double division is
+    exact — no near-integer truncation hazard."""
+    return ((a - a % b) / b).cast("long")
+
+
+def _ntile_of_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL ntile(k) as pure arithmetic on a 1-based global rank: the first
+    n%k tiles hold n÷k+1 rows, the rest n÷k (exactly Spark's and DuckDB's
+    NTileFunction). Integer-only, so it is engine-exact wherever the rank
+    is."""
+    kk = F.lit(k).cast("long")
+    q = _idiv(n, kk)
+    r = n - q * kk
+    big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+    return (
+        F.when(rank <= big, _idiv(rank + q, q + 1))
+        .otherwise(r + _idiv(rank - big + q - 1, F.greatest(q, F.lit(1))))
+        .cast("int")
+    )
+
+
 def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM user segmentation (recency / frequency / monetary — the classic
     behavioral-cohort operator): per user, last-event recency in whole
     hours from the corpus max timestamp (integer microsecond arithmetic),
     event count, and the DECIMAL-summed purchase value; each dimension
-    quintiles via ntile(5) with a FULL deterministic order (metric, then
-    user_id — ntile over a total order is engine-exact; bare metric order
-    would leave tied users' quintiles engine-dependent). Output: one row
+    quintiles over a FULL deterministic order (metric, then user_id — a
+    total order makes tied users' quintiles engine-exact). Output: one row
     per (r, f, m) cell with user count and the monetary total as ×10⁴
-    fixed-point BIGINT — 125 cells max, a broadcastable segment table. One
-    shuffle on user_id, three cheap full-order windows over |users| rows
-    (at 100 TB the per-user aggregate is the heavy stage; the quintile
-    windows run on the aggregate, which is users-sized, not events-sized)."""
+    fixed-point BIGINT — 125 cells max, a broadcastable segment table.
+
+    Scale shape: the per-user aggregate is ONE shuffle on user_id; each
+    quintile dimension is a distributed global rank (global_row_number —
+    range-partition + local rank + broadcast offsets, NO single-partition
+    window; DuckDB's ntile oracle is reproduced arithmetically from the
+    rank by _ntile_of_rank, engine-exact). The per-user frame is
+    localCheckpointed once: three rank branches plus the final join would
+    otherwise re-run the events aggregation 4x. Gated by
+    test_plans.py::test_rfm_no_single_partition_exchange."""
     ev = load_table(spark, sf_dir, "events")
     anchor = ev.agg(F.max(F.unix_micros("ts")).alias("_mx"))
     per_user = (
@@ -426,17 +490,22 @@ def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "_money",
         )
+        .localCheckpoint()
     )
-    wr = Window.orderBy(F.asc("recency_h"), F.asc("user_id"))  # recent = best
-    wf = Window.orderBy(F.desc("freq"), F.asc("user_id"))
-    wm = Window.orderBy(F.desc("_money"), F.asc("user_id"))
-    scored = per_user.select(
-        "user_id",
-        "_money",
-        F.ntile(5).over(wr).alias("r"),
-        F.ntile(5).over(wf).alias("f"),
-        F.ntile(5).over(wm).alias("m"),
-    )
+    n = F.col("_n")
+    tot = per_user.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+    def tiles(keep: list[str], alias: str, *order) -> DataFrame:
+        ranked = global_row_number(per_user.select("user_id", *keep), *order, out="_rk")
+        return ranked.crossJoin(F.broadcast(tot)).select(
+            "user_id", *[c for c in keep if c == "_money"],
+            _ntile_of_rank(F.col("_rk"), n, 5).alias(alias),
+        )
+
+    r_t = tiles(["recency_h"], "r", F.asc("recency_h"), F.asc("user_id"))
+    f_t = tiles(["freq"], "f", F.desc("freq"), F.asc("user_id"))
+    m_t = tiles(["_money"], "m", F.desc("_money"), F.asc("user_id"))
+    scored = m_t.join(r_t, "user_id").join(f_t, "user_id")
     return (
         scored.groupBy("r", "f", "m")
         .agg(
