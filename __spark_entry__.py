@@ -125,86 +125,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(m)
 
     priority = [
-        # -- round-6 NEW operators (never swept) --
-        "emb_dbscan_clusters",
-        "mm_jpeg_pipeline",
-        "doc_collocation_pmi",
-        "evt_markov_transitions",
-        "stream_markov_merge",
-        "doc_schema_evolution",
-        "neardup_leakage_split",
+        # -- round-7 #1 (judge's top ask): the ONLY oracle-backed query
+        # whose driver row predates its oracle (r1 no_oracle; full
+        # unrolled-CTE oracle since r2, judge-verified PASS) --
+        "emb_kcenter_sample",
+        # -- round-7 re-certification: code paths changed AFTER the r6
+        # sweep. RFM: distributed-quintile rewrite (global_row_number +
+        # arithmetic ntile); PMI: semi-join-pruned unigrams, no forced
+        # broadcast; schema evolution: stable scratch path; the LSH
+        # family: 'p'-prefixed _pp store layout + frontier multiprobe
+        # descent (auto); JPEG pipeline: assert->raise + DRI rejection --
         "evt_rfm_segments",
-        # -- round-6 re-certification: code paths changed AFTER the r5 sweep --
-        # doc_hll_distinct: shingle_hashes rewrite (oracle restated in the
-        # composed-hash arithmetic); the LSH family: bucketed (tree_id,_pp)
-        # leaf store + _join_leaves on every serving join + multiprobe
-        # blocked twin; index_lifecycle_roundtrip: save/load layout change;
-        # hnsw_layer_stats + hnsw searches: boundary_eps plumbing (default
-        # off, but the assignment selection was refactored)
-        "doc_hll_distinct",
+        "doc_collocation_pmi",
+        "doc_schema_evolution",
+        "lsh_search_multiprobe",
         "lsh_search_degenerate",
         "lsh_search_filtered",
         "lsh_search_forest",
-        "lsh_search_multiprobe",
         "index_lifecycle_roundtrip",
-        "hnsw_layer_stats",
-        "hnsw_search",
-        "hnsw_search_frontier",
-        # backend threading touched these files (md5 default = same values;
-        # sweep re-certifies the default path)
-        "minhash_neardup",
-        "simhash_neardup",
-        "doc_fingerprint",
-        "doc_window_dups",
-        # -- r5 operators whose r5 row exists; keep warm near the top --
-        "ivf_range_search",
-        "doc_bm25_topk",
-        "neardup_components_star",
-        "rag_mmr_rerank",
-        "doc_sample_quantiles",
-        "neardup_kcore",
-        "graph_hits_topk",
-        "evt_hll_hourly",
-        "evt_hll_sliding",
-        "evt_hll_setops",
-        "stream_hll_merge",
-        "stream_neardup_pairs",
-        "q_skew_salted_agg",
-        "doc_quality_budget_curve",
-        "evt_anomaly_mad",
-        "emb_cluster_outliers",
-        "stream_cms_merge",
-        "ivf_search_fixed_p4",
-        # -- rotation: every remaining row last swept in r1 (oldest first) --
-        "q1_pricing_summary",
-        "q2_cheapest_supplier",
-        "q3_shipping_priority",
-        "q4_late_orders",
-        "q5_revenue_by_nation",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q11_part_value_concentration",
-        "q12_priority_classes",
-        "q13_customer_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_supplier_count",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_customers",
-        "q19_disjunctive_revenue",
-        "q20_bulk_suppliers",
-        "q21_sole_late_supplier",
-        "q22_idle_rich_customers",
-        "q_top_customers_per_nation",
-        "q_customer_value_windows",
-        "q_events_range_window",
-        "q_events_grouping_sets",
-        "q_events_user_stats",
-        "q_events_props_json",
-        "q_doc_length_percentiles",
+        "mm_jpeg_pipeline",
+        # -- rotation: the 13 remaining rows last swept in round 1 --
         "q_rollup_orders",
         "q_customer_order_activity",
         "q_nation_presence",
@@ -218,21 +158,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences_sharded",
         "doc_split_assign",
         "emb_semantic_dedup",
-        "emb_kcenter_sample",
-        # -- rotation: oldest r2 rows to fill the 50-cut --
+        # -- rotation: oldest r2 rows fill the 50-cut --
         "vk_vector_ops",
         "knn_exact_cosine",
         "knn_exact_euclidean",
         "knn_blocked_euclidean",
         "knn_int8_euclidean",
-        # -- past the 50-cut: r2/r3/r4-green spine (rotate next rounds) --
         "knn_pq_euclidean",
         "knn_binary_rerank",
         "knn_matryoshka_rerank",
         "emb_quantize_stats",
         "dedup_vectors_stats",
         "ivf_search_all",
-        "lsh_search_degenerate",
+        "dedup_docs_first_wins",
+        "ivf_search_filtered",
+        "emb_similarity_join_fixed",
+        "emb_triplet_mining",
+        "ivf_search_p4",
+        "ivf_cluster_stats",
+        "ivf_build_ref",
+        "lsh_search_backup",
+        "hnsw_search_filtered",
+        "ivfpq_search",
+        "ann_recall_report",
+        "doc_token_stats",
+        "doc_quality",
+        "doc_lang_id",
+        "doc_lang_confusion",
+        "doc_bigram_topk",
+        "doc_heavy_hitter_tokens",
+        "doc_jsonl_roundtrip",
+        "doc_csv_roundtrip",
+        "doc_orc_roundtrip",
+        "doc_avro_roundtrip",
+        "doc_repetition_quality",
+        # -- past the 50-cut: remaining r2 rows, then r3+ (rotate next rounds) --
+        "doc_decontaminate",
+        "doc_tfidf_topk",
+        "doc_vocab_coverage",
+        "doc_chunk_windows",
+        "doc_chunk_udtf",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"

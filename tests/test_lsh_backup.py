@@ -161,14 +161,39 @@ def test_multiprobe_blocked_compute_parity(spark, emb, small_forest):
     for mode in ("margin", "dfs"):
         fold = sorted(
             map(tuple, small_forest.search_multiprobe(
-                queries, k=k, n_probes=n_probes, probe_mode=mode).collect())
+                queries, k=k, n_probes=n_probes, probe_mode=mode,
+                leaf_descent="full").collect())
         )
         blocked = sorted(
             map(tuple, small_forest.search_multiprobe(
-                queries, k=k, n_probes=n_probes, probe_mode=mode, compute="blocked"
+                queries, k=k, n_probes=n_probes, probe_mode=mode,
+                compute="blocked", leaf_descent="full"
             ).collect())
         )
         assert fold == blocked, mode
+
+
+def test_multiprobe_frontier_parity_with_full(spark, emb, small_forest):
+    """The branch-and-bound frontier descent (the serving default) must
+    probe the SAME leaves as the exhaustive every-leaf ranking — identical
+    (neighbour, distance, rank) rows across probe modes and probe counts.
+    The beam cap is sized so the bound, not the cap, does the pruning on
+    any non-adversarial corpus; this pins it."""
+    k = 10
+    queries = emb.filter(F.col("vec_id") < 15)
+    for mode in ("margin", "dfs"):
+        for n_probes in (1, 2, 4):
+            full = sorted(
+                map(tuple, small_forest.search_multiprobe(
+                    queries, k=k, n_probes=n_probes, probe_mode=mode,
+                    leaf_descent="full").collect())
+            )
+            frontier = sorted(
+                map(tuple, small_forest.search_multiprobe(
+                    queries, k=k, n_probes=n_probes, probe_mode=mode,
+                    leaf_descent="frontier").collect())
+            )
+            assert frontier == full, (mode, n_probes)
 
 
 def test_multiprobe_recall_gains(spark, emb):

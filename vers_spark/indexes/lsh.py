@@ -98,6 +98,12 @@ def _join_leaves(probed: DataFrame, leaves: DataFrame) -> DataFrame:
     ).drop("_pp")
 
 
+# Below this many distinct leaf paths, multiprobe's exhaustive every-leaf
+# ranking (_leaf_order) is cheaper than the frontier descent's per-round
+# fixed overhead; above it the frontier's leaf-count-independent rounds win
+# (and at 1M+ the exhaustive ranking is the serving-scale killer).
+_FRONTIER_MIN_LEAVES = 4096
+
 # Above this row count the per-task whole-tree build stops being reasonable —
 # each task holds the FULL (deduped) corpus as a float64 matrix plus pandas
 # row objects, ~2-4 KB/row at typical dims, and T tree tasks run concurrently
@@ -697,6 +703,195 @@ class LSHForestIndex:
         )
         return dev.unionByName(root_leaves)
 
+    def _n_leaf_paths(self) -> int:
+        """Distinct leaf-path count, memoized per instance — one bounded
+        aggregate on first use; drives search_multiprobe's auto
+        leaf_descent switch."""
+        if getattr(self, "_leaf_path_count", None) is None:
+            self._leaf_path_count = (
+                self.leaves.select("tree_id", "path").distinct().count()
+            )
+        return self._leaf_path_count
+
+    def _leaf_order_frontier(
+        self,
+        pairs: DataFrame,
+        leaves: DataFrame,
+        probe_mode: str,
+        n_probes: int,
+        beam: int | None = None,
+    ) -> DataFrame:
+        """Best-first multiprobe leaf enumeration via a BOUNDED FRONTIER —
+        the serving-scale replacement for :meth:`_leaf_order`, which scores
+        and ranks EVERY leaf of every tree per query (~80k leaves × their
+        ancestor levels per (query, tree) at 1M; the ranking join is the
+        corpus-growth term). Here only visited nodes are ever scored:
+
+        Level-synchronous branch-and-bound down the path trie. The frontier
+        holds ≤ ``beam`` inner-node prefixes per (query, tree), each with
+        its accumulated (cost, dev); one round joins the frontier against
+        that level's hyperplanes (the assign_paths per-level join shape),
+        folds the query margin at ONLY those nodes, expands both children
+        (same side +0, opposite side +margin), settles children that are
+        leaf paths, and prunes: settled keeps the best ``n_probes`` per
+        pair, the frontier keeps nodes still able to beat the current
+        n_probes-th settled leaf (cost/dev is a lower bound for every
+        descendant — costs are non-negative and dev only extends), capped
+        at ``beam`` by the probe order. Exact top-``n_probes`` whenever the
+        beam cap never binds after the bound activates (branch-and-bound);
+        the cap is the documented guard against adversarial margin
+        landscapes — parity with the exhaustive ranking is replay-gated in
+        tests/test_lsh_backup.py. Work per round is O(pairs × beam) rows —
+        independent of leaf count — for ``depth`` rounds; per playbook the
+        self-referencing round state is eagerly localCheckpointed.
+
+        Returns the probed (query_id, tree_id, path) rows, ≤ n_probes per
+        pair, ordered semantics identical to _leaf_order's top-n_probes."""
+        if beam is None:
+            beam = max(4 * n_probes, 32)
+        key = (
+            [F.asc("dev")]
+            if probe_mode == "dfs"
+            else [F.asc("cost"), F.asc("dev")]
+        )
+        wpair = W.partitionBy("query_id", "tree_id").orderBy(*key)
+        paths = leaves.select("tree_id", "path").distinct()
+        inner = self.hyperplanes.select("tree_id", "path")
+        settled = (
+            pairs.select("query_id", "tree_id")
+            .join(paths.filter(F.length("path") == 0), "tree_id")
+            .select(
+                "query_id",
+                "tree_id",
+                "path",
+                F.lit("").alias("dev"),
+                F.lit(0.0).alias("cost"),
+            )
+            .localCheckpoint()
+        )
+        frontier = (
+            pairs.join(inner.filter(F.length("path") == 0), "tree_id")
+            .select(
+                "query_id",
+                "tree_id",
+                "q_vec",
+                F.col("path").alias("prefix"),
+                F.lit("").alias("dev"),
+                F.lit(0.0).alias("cost"),
+            )
+            .localCheckpoint()
+        )
+        def expand(cur: DataFrame, lvl: int) -> DataFrame:
+            planes = self.hyperplanes.filter(F.length("path") == lvl).select(
+                "tree_id", F.col("path").alias("prefix"), "coeffs", "constant"
+            )
+            fr = (
+                cur.join(planes, ["tree_id", "prefix"])
+                .withColumn(
+                    "q_bit",
+                    _plane_side(F.col("q_vec"), F.col("coeffs"), F.col("constant")),
+                )
+                .withColumn(
+                    "q_margin",
+                    F.abs(V.dot(F.col("q_vec"), F.col("coeffs")) + F.col("constant"))
+                    / V.magnitude(F.col("coeffs")),
+                )
+            )
+            return fr.select(
+                "query_id",
+                "tree_id",
+                "q_vec",
+                F.explode(F.array(F.lit("0"), F.lit("1"))).alias("cbit"),
+                "prefix",
+                "dev",
+                "cost",
+                "q_bit",
+                "q_margin",
+            ).select(
+                "query_id",
+                "tree_id",
+                "q_vec",
+                F.concat("prefix", "cbit").alias("prefix"),
+                F.concat(
+                    "dev", F.when(F.col("cbit") == F.col("q_bit"), "0").otherwise("1")
+                ).alias("dev"),
+                (
+                    F.col("cost")
+                    + F.when(F.col("cbit") == F.col("q_bit"), F.lit(0.0)).otherwise(
+                        F.col("q_margin")
+                    )
+                ).alias("cost"),
+            )
+
+        # rounds are strided: STRIDE levels expand lazily inside one round
+        # (frontier grows ≤ beam·2^STRIDE per pair in between — still tiny),
+        # then ONE prune + checkpoint. Per-round fixed overhead (shuffles,
+        # checkpoint, the isEmpty probe) dominated the per-level version at
+        # small scale; striding divides it by STRIDE without changing the
+        # settled/pruned state at stride boundaries.
+        STRIDE = 4
+        depth = int(self.params["depth"])
+        lvl = 0
+        while lvl < depth:
+            if frontier.isEmpty():
+                break
+            hi = min(lvl + STRIDE, depth)
+            cur = frontier
+            new_settled: list[DataFrame] = []
+            for L in range(lvl, hi):
+                children = expand(cur, L)
+                lvl_leaves = paths.filter(
+                    F.length("path") == L + 1
+                ).withColumnRenamed("path", "prefix")
+                lvl_inner = inner.filter(F.length("path") == L + 1).withColumnRenamed(
+                    "path", "prefix"
+                )
+                new_settled.append(
+                    children.join(lvl_leaves, ["tree_id", "prefix"], "left_semi").select(
+                        "query_id",
+                        "tree_id",
+                        F.col("prefix").alias("path"),
+                        "dev",
+                        "cost",
+                    )
+                )
+                cur = children.join(lvl_inner, ["tree_id", "prefix"], "left_semi")
+            for ns in new_settled:
+                settled = settled.unionByName(ns)
+            settled = (
+                settled.withColumn("_r", F.row_number().over(wpair))
+                .filter(F.col("_r") <= n_probes)
+                .drop("_r")
+                .localCheckpoint()
+            )
+            # bound: a pair with n_probes settled leaves only keeps frontier
+            # nodes whose (cost | dev) can still beat its worst settled one
+            thr = settled.groupBy("query_id", "tree_id").agg(
+                F.count(F.lit(1)).alias("_ns"),
+                F.max("cost").alias("_mxc"),
+                F.max("dev").alias("_mxd"),
+            )
+            viable = (
+                F.col("_ns").isNull()
+                | (F.col("_ns") < n_probes)
+                | (
+                    F.col("cost") <= F.col("_mxc")
+                    if probe_mode == "margin"
+                    else F.col("dev") <= F.col("_mxd")
+                )
+            )
+            frontier = (
+                cur.join(thr, ["query_id", "tree_id"], "left")
+                .filter(viable)
+                .drop("_ns", "_mxc", "_mxd")
+                .withColumn("_r", F.row_number().over(wpair))
+                .filter(F.col("_r") <= beam)
+                .drop("_r")
+                .localCheckpoint()
+            )
+            lvl = hi
+        return settled.select("query_id", "tree_id", "path")
+
     def search_multiprobe(
         self,
         queries: DataFrame,
@@ -706,6 +901,7 @@ class LSHForestIndex:
         query_vec: str = "embedding",
         probe_mode: str = "margin",
         compute: str = "fold",
+        leaf_descent: str = "auto",
     ) -> DataFrame:
         """True multi-probe search (Lv et al. 2007): per (query, tree) visit
         the best ``n_probes`` leaves by the probe order — margin-ascending
@@ -722,21 +918,48 @@ class LSHForestIndex:
         ≤ T·P·max_node rows.
 
         ``compute="blocked"`` swaps the margin scoring onto the GEMM twin
-        (_sides_blocked) — the 1M-serving path; "fold" (default) keeps the
-        declarative kernel. Probe-order parity between the two is replay-
-        gated in tests (margins differ only in the last ulp)."""
+        (_sides_blocked) — applies to the "full" descent; "fold" (default)
+        keeps the declarative kernel. Probe-order parity between the two is
+        replay-gated in tests (margins differ only in the last ulp).
+
+        ``leaf_descent`` picks the probe-order engine:
+        - ``"frontier"``: branch-and-bound descent scoring only visited
+          nodes (_leaf_order_frontier) — per-round work is O(queries ×
+          beam), independent of leaf count; the 1M+ serving path.
+        - ``"full"``: exhaustively score and rank every leaf per
+          (query, tree) (_leaf_order) — its cost grows with the corpus'
+          leaf count; at small leaf counts it is CHEAPER than the
+          frontier's per-round fixed overhead, and it is the parity
+          reference the frontier is gated against.
+        - ``"auto"`` (default): "full" below _FRONTIER_MIN_LEAVES distinct
+          leaf paths, "frontier" above (count memoized per instance) —
+          both sides return identical rows (parity-gated), so the switch
+          is a pure plan choice."""
         qp = self.assign_paths(queries, query_id, query_vec).localCheckpoint(
             eager=False
         )
         pairs = qp.select("query_id", "tree_id", "q_vec")
-        order = self._leaf_order(pairs, self.leaves, probe_mode, compute)
-        key = [F.asc("dev")] if probe_mode == "dfs" else [F.asc("cost"), F.asc("dev")]
-        wv = W.partitionBy("query_id", "tree_id").orderBy(*key)
-        probed = (
-            order.withColumn("_pr", F.row_number().over(wv))
-            .filter(F.col("_pr") <= n_probes)
-            .select("query_id", "tree_id", "path")
-        )
+        if leaf_descent == "auto":
+            leaf_descent = (
+                "full" if self._n_leaf_paths() < _FRONTIER_MIN_LEAVES else "frontier"
+            )
+        if leaf_descent == "frontier":
+            probed = self._leaf_order_frontier(
+                pairs, self.leaves, probe_mode, n_probes
+            )
+        elif leaf_descent == "full":
+            order = self._leaf_order(pairs, self.leaves, probe_mode, compute)
+            key = (
+                [F.asc("dev")] if probe_mode == "dfs" else [F.asc("cost"), F.asc("dev")]
+            )
+            wv = W.partitionBy("query_id", "tree_id").orderBy(*key)
+            probed = (
+                order.withColumn("_pr", F.row_number().over(wv))
+                .filter(F.col("_pr") <= n_probes)
+                .select("query_id", "tree_id", "path")
+            )
+        else:
+            raise ValueError(f"unknown leaf_descent {leaf_descent!r}")
         cands = (
             # qp slimmed to (query_id, tree_id, q_vec): its main-leaf path
             # column would shadow the probed path in the leaf join

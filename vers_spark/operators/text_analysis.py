@@ -251,9 +251,14 @@ def doc_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c(x)·c(y) are BIGINT products and the score is ONE exact integer
     division (the doc_tfidf_topk rational-idf discipline) — fully
     hash-oracle-able, no transcendentals. Bigrams are built array-side
-    (zip_with over two slices — doc_bigram_topk's shape); unigram counts
-    broadcast-join back onto the bigram aggregate; min-count 5 prunes the
-    noise floor; top-20 by (score desc, bigram asc) via TakeOrdered."""
+    (zip_with over two slices — doc_bigram_topk's shape); min-count 5
+    prunes the noise floor; top-20 by (score desc, bigram asc) via
+    TakeOrdered. The unigram table is semi-join-pruned to words that
+    appear in a min-count-surviving bigram BEFORE joining back — the full
+    vocabulary grows ~Heaps with corpus size (a forced broadcast of it is
+    a driver-OOM at 100 TB), while the pruned table is bounded by 2x the
+    surviving-bigram count; no broadcast hint — AQE picks the strategy
+    from the pruned size."""
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.ws_tokens(F.col("text"))
     n = F.size(toks)
@@ -278,9 +283,15 @@ def doc_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
     )
+    surviving = (
+        big.select(F.col("w1").alias("w"))
+        .unionByName(big.select(F.col("w2").alias("w")))
+        .distinct()
+    )
+    uni = uni.join(surviving, "w", "left_semi")
     scored = (
-        big.join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c_x")), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c_y")), "w2")
+        big.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c_x"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c_y"), "w2")
         .crossJoin(F.broadcast(total))
         .select(
             "bigram",
