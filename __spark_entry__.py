@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_search_forest",
         "index_lifecycle_roundtrip",
         "mm_jpeg_pipeline",
+        # -- round-7 NEW operator (never swept): real MJPEG container --
+        "mm_mjpeg_frames",
         # -- rotation: the 13 remaining rows last swept in round 1 --
         "q_rollup_orders",
         "q_customer_order_activity",

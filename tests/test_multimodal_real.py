@@ -136,6 +136,39 @@ def test_jpeg_deterministic_and_dispatch():
         MC.decode_image(b"\x00\x01rubbish")
 
 
+def test_mjpeg_split_and_roundtrip():
+    """MJPEG container (r7): concatenated baseline JPEGs split exactly at
+    frame boundaries by the T.81 segment walk (jpeg_size) — including
+    frames whose Huffman/quant payloads contain FF D9 as data, which a
+    naive EOI scan would mis-split — and every split frame decodes to the
+    source shape with a high-PSNR roundtrip."""
+    rng = np.random.RandomState(3)
+    gx = np.linspace(0, 255, 20)[None, :, None]
+    gy = np.linspace(0, 255, 12)[:, None, None]
+    frames = [
+        np.clip(0.5 * gx + 0.5 * gy + 15 * i + rng.randint(-10, 10, (12, 20, 3)), 0, 255)
+        .astype(np.uint8)
+        for i in range(4)
+    ]
+    stream = MC.encode_mjpeg(frames)
+    parts = MC.split_mjpeg(stream)
+    assert len(parts) == 4
+    assert all(p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9" for p in parts)
+    assert b"".join(parts) == stream
+    for src, p in zip(frames, parts):
+        out = MC.decode_image(p)
+        assert out.shape == src.shape
+        err = out.astype(float) - src.astype(float)
+        psnr = 10 * np.log10(255**2 / max((err**2).mean(), 1e-9))
+        assert psnr > 26.0, psnr
+    # sniffing dispatch: BMP streams still split through the same entry
+    bmp_stream = MC.encode_bmp_stream(frames[:2])
+    assert len(MC.split_video_stream(bmp_stream)) == 2
+    assert len(MC.split_video_stream(stream)) == 4
+    with pytest.raises(ValueError):
+        MC.split_video_stream(b"\x00\x01nope")
+
+
 def test_jpeg_rejects_unsupported_features():
     """Guards must be explicit raises (survive python -O) with stable
     messages; restart-interval files (DRI) are rejected rather than

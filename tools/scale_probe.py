@@ -218,6 +218,22 @@ def _probes():
         "emb_dbscan_clusters": _q("emb_dbscan_clusters"),
         "doc_collocation_pmi": _q("doc_collocation_pmi"),
         "evt_markov_transitions": _q("evt_markov_transitions"),
+        # round-6 late additions + the round-7 RFM rewrite (verdict item:
+        # nothing here may be super-linear): RFM is one user aggregate +
+        # three distributed ranks over |users|; the leakage split runs on
+        # the banded dup graph (pairs x10); schema evolution stages two
+        # corpus copies then one aggregate (IO-linear); streaming Markov is
+        # per-batch partials; JPEG pipeline decodes a fixed per-corpus
+        # sample of payloads through mapInPandas
+        "evt_rfm_segments": _q("evt_rfm_segments"),
+        "neardup_leakage_split": _q("neardup_leakage_split"),
+        "doc_schema_evolution": _q("doc_schema_evolution"),
+        "stream_markov_merge": _q("stream_markov_merge"),
+        "mm_jpeg_pipeline": _q("mm_jpeg_pipeline"),
+        # round-7: LSH multiprobe with the auto/frontier leaf descent — the
+        # x10 factor should track BUILD growth (~linear), not leaf-ranking
+        # growth (the pre-r7 every-leaf serving term)
+        "lsh_search_multiprobe": _q("lsh_search_multiprobe"),
     }
 
 

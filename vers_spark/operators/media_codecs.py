@@ -145,6 +145,74 @@ def split_bmp_stream(buf: bytes) -> list[bytes]:
     return frames
 
 
+# ---------------- MJPEG video (concatenated baseline JPEG frames) ----------
+
+
+def jpeg_size(buf: bytes, offset: int = 0) -> int:
+    """Total byte length of the baseline JPEG starting at ``offset`` — the
+    frame-boundary walk MJPEG splitting needs. A raw FFD9 scan would be
+    wrong: header segments (Huffman/quant payloads) may contain FF D9 as
+    data, so this walks marker segments by their length fields and skips
+    entropy-coded scan data via the T.81 stuffing rule (0xFF in entropy
+    data is followed by 0x00 or an RSTn; any other FF-pair is a marker)."""
+    if buf[offset : offset + 2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    pos = offset + 2
+    while pos + 1 < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            return pos - offset
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (length,) = struct.unpack_from(">H", buf, pos)
+        pos += length
+        if marker == 0xDA:  # SOS: skip entropy bytes to the next true marker
+            while pos + 1 < len(buf):
+                if (
+                    buf[pos] == 0xFF
+                    and buf[pos + 1] != 0x00
+                    and not (0xD0 <= buf[pos + 1] <= 0xD7)
+                ):
+                    break
+                pos += 1
+    raise ValueError("unterminated JPEG stream")
+
+
+def encode_mjpeg(frames: list[np.ndarray]) -> bytes:
+    """Concatenated baseline JPEG frames — the real MJPEG elementary
+    stream (each frame intra-coded, boundaries recoverable by the segment
+    walk in jpeg_size; no container index needed)."""
+    from vers_spark.operators.jpeg_codec import encode_jpeg
+
+    return b"".join(encode_jpeg(f) for f in frames)
+
+
+def split_mjpeg(buf: bytes) -> list[bytes]:
+    """Walk the MJPEG concatenation frame-by-frame into per-frame JPEGs."""
+    frames = []
+    pos = 0
+    while pos < len(buf):
+        n = jpeg_size(buf, pos)
+        frames.append(buf[pos : pos + n])
+        pos += n
+    return frames
+
+
+def split_video_stream(buf: bytes) -> list[bytes]:
+    """Sniff-and-split: BMP-stream ('BM' first frame) or MJPEG (FFD8) →
+    per-frame payloads. The single video-split entry the multimodal
+    operators call — decode each frame with decode_image (which sniffs per
+    frame, so mixed streams would also decode)."""
+    if buf[:2] == b"BM":
+        return split_bmp_stream(buf)
+    if buf[:2] == b"\xFF\xD8":
+        return split_mjpeg(buf)
+    raise ValueError(f"not a BMP-stream/MJPEG video payload (magic {buf[:2]!r})")
+
+
 # ---------------- real feature kernels (FEATURE_DIM floats) ----------------
 
 

@@ -70,7 +70,7 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                     elif kind == "audio":
                         feats.append(MC.audio_features(MC.decode_wav(p)[0], FEATURE_DIM))
                     elif kind == "video":
-                        fr = [MC.decode_bmp(b) for b in MC.split_bmp_stream(p)]
+                        fr = [MC.decode_image(b) for b in MC.split_video_stream(p)]
                         feats.append(
                             np.mean([MC.image_features(f, FEATURE_DIM) for f in fr], axis=0)
                             .astype(np.float32)
@@ -139,7 +139,7 @@ def sample_frames(media: DataFrame, every_ms: int, decode: str = "fake") -> Data
 
                 for mid, payload, meta in triples:
                     duration = (meta or {}).get("duration_ms") or 0
-                    frames = MC.split_bmp_stream(bytes(payload))
+                    frames = MC.split_video_stream(bytes(payload))
                     n = len(frames)
                     # sample the frame covering each every_ms tick (dedup
                     # when ticks land in the same frame)
@@ -223,7 +223,10 @@ def resample_audio(media: DataFrame, target_rate: int, decode: str = "fake") -> 
 
 
 def synthesize_media_from_documents(
-    docs: DataFrame, real_payloads: bool = False, image_format: str = "bmp"
+    docs: DataFrame,
+    real_payloads: bool = False,
+    image_format: str = "bmp",
+    video_format: str = "bmp",
 ) -> DataFrame:
     """Build a deterministic media table from the documents corpus so
     multimodal plumbing is exercised on driver testdata.
@@ -236,9 +239,15 @@ def synthesize_media_from_documents(
     external data or libraries. ``image_format=\"jpeg\"`` exercises the
     r6 pure-numpy baseline JPEG codec (operators/jpeg_codec — the
     production image format at the same decode seam); images are smoothed
-    gradients + noise so the lossy roundtrip stays high-PSNR."""
+    gradients + noise so the lossy roundtrip stays high-PSNR.
+    ``video_format=\"mjpeg\"`` emits a real MJPEG elementary stream
+    (concatenated baseline JPEGs, frame boundaries recovered by the T.81
+    segment walk — media_codecs.jpeg_size) instead of the BMP-stream toy
+    container; frames are smoothed for the same lossy-roundtrip reason."""
     if image_format not in ("bmp", "jpeg"):
         raise ValueError(f"unknown image_format {image_format!r}")
+    if video_format not in ("bmp", "mjpeg"):
+        raise ValueError(f"unknown video_format {video_format!r}")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -293,13 +302,27 @@ def synthesize_media_from_documents(
                     metas.append(
                         {"width": None, "height": None, "sample_rate": rate, "duration_ms": dur_ms}
                     )
-                else:  # video: BMP-stream of a few small frames
+                else:  # video: BMP-stream or MJPEG of a few small frames
                     n_frames = int(mid) % 3 + 2
-                    frames = [
-                        rng.randint(0, 256, (8, 12, 3), dtype=np.uint8)
-                        for _ in range(n_frames)
-                    ]
-                    payloads.append(MC.encode_bmp_stream(frames))
+                    if video_format == "mjpeg":
+                        gx = np.linspace(0, 255, 12)[None, :, None]
+                        gy = np.linspace(0, 255, 8)[:, None, None]
+                        frames = [
+                            np.clip(
+                                0.5 * gx + 0.5 * gy + 20 * fi
+                                + rng.randint(-10, 10, (8, 12, 3)),
+                                0,
+                                255,
+                            ).astype(np.uint8)
+                            for fi in range(n_frames)
+                        ]
+                        payloads.append(MC.encode_mjpeg(frames))
+                    else:
+                        frames = [
+                            rng.randint(0, 256, (8, 12, 3), dtype=np.uint8)
+                            for _ in range(n_frames)
+                        ]
+                        payloads.append(MC.encode_bmp_stream(frames))
                     metas.append(
                         {
                             "width": 12,

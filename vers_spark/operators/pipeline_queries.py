@@ -201,6 +201,83 @@ def mm_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video-container pipeline: synthesize MJPEG elementary streams
+    (concatenated baseline JPEGs — media_codecs.encode_mjpeg, the r7
+    upgrade of the BMP-stream toy container), frame-split them with the
+    T.81 segment walk (jpeg_size — no index, no naive FFD9 scan), sample
+    one frame per tick through the standard sample_frames mapInPandas
+    seam, decode each sampled frame, and verify faithfulness in-query:
+    per-frame PSNR of the decoded JPEG vs the deterministic source frame
+    (regenerated from the synthesizer's seed). Rows-only (binary codec
+    pipelines are not SQL-expressible); split/roundtrip unit gates live in
+    tests/test_multimodal_real.py."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    media = synthesize_media_from_documents(
+        docs, real_payloads=True, video_format="mjpeg"
+    )
+    frames = sample_frames(media, every_ms=1000, decode="real")
+
+    def fn(batches):
+        from vers_spark.operators import media_codecs as MC
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, fidx, p in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame_payload"]
+            ):
+                arr = MC.decode_image(bytes(p))
+                h, w = arr.shape[:2]
+                # regenerate the synthesizer's deterministic source frames
+                # (one shared RandomState draws the noise sequentially, so
+                # replay all frames up to frame_idx)
+                rng = np.random.RandomState(int(mid) % (2**31))
+                n_frames = int(mid) % 3 + 2
+                gx = np.linspace(0, 255, 12)[None, :, None]
+                gy = np.linspace(0, 255, 8)[:, None, None]
+                src = None
+                for fi in range(n_frames):
+                    cand = np.clip(
+                        0.5 * gx + 0.5 * gy + 20 * fi + rng.randint(-10, 10, (8, 12, 3)),
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                    if fi == int(fidx):
+                        src = cand
+                err = arr.astype(np.float64) - src.astype(np.float64)
+                mse = max(float((err * err).mean()), 1e-9)
+                psnr = 10.0 * np.log10(255.0**2 / mse)
+                feat = MC.image_features(arr, 16)
+                rows.append(
+                    (int(mid), int(fidx), w, h, float(psnr),
+                     float(np.sqrt((feat * feat).sum())))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "psnr", "feat_norm"],
+            )
+
+    per_frame = frames.mapInPandas(
+        fn,
+        "media_id long, frame_idx int, width int, height int, psnr double, feat_norm double",
+    )
+    return (
+        per_frame.groupBy(F.col("frame_idx"))
+        .agg(
+            F.countDistinct("media_id").cast("long").alias("n_videos"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.round(F.min("psnr"), 2).alias("min_psnr"),
+            F.round(F.avg("feat_norm"), 4).alias("mean_feat_norm"),
+        )
+        .orderBy("frame_idx")
+    )
+
+
 def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata audit — the one hash-matched query of the media
     family: per-kind counts, payload byte totals, and meta ranges over the
@@ -436,6 +513,7 @@ QUERIES = {
     "mm_real_pipeline": mm_real_pipeline,
     "mm_jpeg_pipeline": mm_jpeg_pipeline,
     "mm_frame_sample": mm_frame_sample,
+    "mm_mjpeg_frames": mm_mjpeg_frames,
     "mm_resize": mm_resize,
     "mm_audio_resample": mm_audio_resample,
 }
