@@ -173,6 +173,19 @@ def test_multiprobe_blocked_compute_parity(spark, emb, small_forest):
         assert fold == blocked, mode
 
 
+def test_multiprobe_rerank_blocked_bitexact(spark, emb, small_forest):
+    """The vectorized candidate rerank (np.cumsum running sum) must be
+    BIT-equal to the declarative left-fold — same distance DOUBLES, not
+    just same ranking — across probe modes."""
+    queries = emb.filter(F.col("vec_id") < 15)
+    for mode in ("margin", "dfs"):
+        fold = sorted(map(tuple, small_forest.search_multiprobe(
+            queries, k=10, n_probes=2, probe_mode=mode, rerank="fold").collect()))
+        blocked = sorted(map(tuple, small_forest.search_multiprobe(
+            queries, k=10, n_probes=2, probe_mode=mode, rerank="blocked").collect()))
+        assert fold == blocked, mode
+
+
 def test_multiprobe_frontier_parity_with_full(spark, emb, small_forest):
     """The branch-and-bound frontier descent (the serving default) must
     probe the SAME leaves as the exhaustive every-leaf ranking — identical

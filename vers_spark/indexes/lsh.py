@@ -470,6 +470,7 @@ class LSHForestIndex:
         allowed_ids: DataFrame | None = None,
         backup_fill: bool = True,
         probe_mode: str = "dfs",
+        rerank: str = "blocked",
     ) -> DataFrame:
         """Descend every tree, union leaf candidates, exact re-rank top-k.
 
@@ -557,10 +558,19 @@ class LSHForestIndex:
             cands = main.select("query_id", "q_vec", "id", "embedding").dropDuplicates(
                 ["query_id", "id"]  # DashSet union across trees (lsh.rs:266-270)
             )
+        # exact rerank: vectorized Arrow twin by default (bit-equal to the
+        # fold — see _rerank_blocked; same contract as search_multiprobe)
+        if rerank == "blocked":
+            scored = self._rerank_blocked(cands)
+        elif rerank == "fold":
+            scored = cands.withColumn(
+                "_dist", V.sq_euclidean(F.col("q_vec"), F.col("embedding"))
+            ).select("query_id", "id", "_dist")
+        else:
+            raise ValueError(f"unknown rerank {rerank!r}")
         w = W.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("id"))
         return (
-            cands.withColumn("_dist", V.sq_euclidean(F.col("q_vec"), F.col("embedding")))
-            .withColumn("rn", F.row_number().over(w))
+            scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select(
                 "query_id",
@@ -702,6 +712,41 @@ class LSHForestIndex:
             .withColumn("cost", F.lit(0.0))
         )
         return dev.unionByName(root_leaves)
+
+    @staticmethod
+    def _rerank_blocked(cands: DataFrame) -> DataFrame:
+        """Numpy twin of the declarative exact rerank: per candidate row,
+        sq_euclidean(q_vec, embedding) in ONE vectorized Arrow batch pass
+        instead of a per-row zip_with/aggregate fold (µs per ELEMENT — at
+        1M multiprobe serving the fold touches ~50M elements). BIT-EXACT,
+        not last-ulp: the fold is a sequential left sum over (xᵢ−yᵢ)² in
+        f64, and np.cumsum's running sum accumulates in the same index
+        order, so the final prefix equals the fold exactly (gated in
+        test_lsh_backup.test_multiprobe_rerank_blocked_bitexact). Input
+        (query_id, q_vec, id, embedding) → (query_id, id, _dist)."""
+        import pandas as pd
+
+        def fn(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                q = np.array(pdf["q_vec"].tolist(), dtype=np.float64)
+                e = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                d = (q - e) ** 2
+                dist = (
+                    np.cumsum(d, axis=1)[:, -1]
+                    if d.shape[1]
+                    else np.zeros(len(pdf), dtype=np.float64)
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].astype("int64"),
+                        "id": pdf["id"].astype("int64"),
+                        "_dist": dist,
+                    }
+                )
+
+        return cands.mapInPandas(fn, "query_id long, id long, _dist double")
 
     def _n_leaf_paths(self) -> int:
         """Distinct leaf-path count, memoized per instance — one bounded
@@ -902,6 +947,7 @@ class LSHForestIndex:
         probe_mode: str = "margin",
         compute: str = "fold",
         leaf_descent: str = "auto",
+        rerank: str = "blocked",
     ) -> DataFrame:
         """True multi-probe search (Lv et al. 2007): per (query, tree) visit
         the best ``n_probes`` leaves by the probe order — margin-ascending
@@ -934,7 +980,12 @@ class LSHForestIndex:
         - ``"auto"`` (default): "full" below _FRONTIER_MIN_LEAVES distinct
           leaf paths, "frontier" above (count memoized per instance) —
           both sides return identical rows (parity-gated), so the switch
-          is a pure plan choice."""
+          is a pure plan choice.
+
+        ``rerank="blocked"`` (default) computes the exact candidate
+        distances in vectorized Arrow batches (_rerank_blocked) — BIT-equal
+        to the ``"fold"`` declarative kernel (np.cumsum accumulates in the
+        fold's index order), so this is a pure throughput choice too."""
         qp = self.assign_paths(queries, query_id, query_vec).localCheckpoint(
             eager=False
         )
@@ -970,10 +1021,17 @@ class LSHForestIndex:
             .select("query_id", "q_vec", "id", "embedding")
             .dropDuplicates(["query_id", "id"])
         )
+        if rerank == "blocked":
+            scored = self._rerank_blocked(cands)
+        elif rerank == "fold":
+            scored = cands.withColumn(
+                "_dist", V.sq_euclidean(F.col("q_vec"), F.col("embedding"))
+            ).select("query_id", "id", "_dist")
+        else:
+            raise ValueError(f"unknown rerank {rerank!r}")
         w = W.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("id"))
         return (
-            cands.withColumn("_dist", V.sq_euclidean(F.col("q_vec"), F.col("embedding")))
-            .withColumn("rn", F.row_number().over(w))
+            scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select(
                 "query_id",
