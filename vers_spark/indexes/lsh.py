@@ -765,6 +765,7 @@ class LSHForestIndex:
         probe_mode: str,
         n_probes: int,
         beam: int | None = None,
+        stride: int = 2,
     ) -> DataFrame:
         """Best-first multiprobe leaf enumeration via a BOUNDED FRONTIER —
         the serving-scale replacement for :meth:`_leaf_order`, which scores
@@ -792,16 +793,26 @@ class LSHForestIndex:
 
         Returns the probed (query_id, tree_id, path) rows, ≤ n_probes per
         pair, ordered semantics identical to _leaf_order's top-n_probes."""
+        # 1M grid (BASELINE.md round-7): the branch-and-bound threshold, not
+        # the beam, does the pruning — beams 8/16/32 probe the IDENTICAL
+        # leaf set while costing 50/69/89 s per 100-query batch. 4·n_probes
+        # keeps proportional headroom at higher probe counts.
         if beam is None:
-            beam = max(4 * n_probes, 32)
+            beam = max(4 * n_probes, 8)
         key = (
             [F.asc("dev")]
             if probe_mode == "dfs"
             else [F.asc("cost"), F.asc("dev")]
         )
         wpair = W.partitionBy("query_id", "tree_id").orderBy(*key)
-        paths = leaves.select("tree_id", "path").distinct()
-        inner = self.hyperplanes.select("tree_id", "path")
+        # materialize the two PATH CATALOGS once: every strided round semi-
+        # joins against them, and leaving them lazy re-scans (and for the
+        # leaf side re-shuffles a distinct over) the full corpus-sized leaf
+        # parquet PER ROUND — profiled at 1M as 231 s of a 248 s serving
+        # batch. The catalogs themselves are tiny (paths ≈ leaves/max_node
+        # rows; inner ≈ plane count, two slim columns).
+        paths = leaves.select("tree_id", "path").distinct().localCheckpoint()
+        inner = self.hyperplanes.select("tree_id", "path").localCheckpoint()
         settled = (
             pairs.select("query_id", "tree_id")
             .join(paths.filter(F.length("path") == 0), "tree_id")
@@ -868,19 +879,22 @@ class LSHForestIndex:
                 ).alias("cost"),
             )
 
-        # rounds are strided: STRIDE levels expand lazily inside one round
-        # (frontier grows ≤ beam·2^STRIDE per pair in between — still tiny),
-        # then ONE prune + checkpoint. Per-round fixed overhead (shuffles,
+        # rounds are strided: ``stride`` levels expand lazily inside one
+        # round (frontier grows ≤ beam·2^stride per pair in between), then
+        # ONE prune + checkpoint. Per-round fixed overhead (shuffles,
         # checkpoint, the isEmpty probe) dominated the per-level version at
-        # small scale; striding divides it by STRIDE without changing the
-        # settled/pruned state at stride boundaries.
-        STRIDE = 4
+        # small scale; striding divides it by the stride without changing
+        # the settled/pruned state at stride boundaries. The trade is fold
+        # work: margins are folded on every intra-stride row, and the
+        # un-pruned frontier doubles per level, so fold volume grows
+        # (2^stride)/stride-fold — stride 2 measured best at 1M (the fold,
+        # not round overhead, is the serving-scale term).
         depth = int(self.params["depth"])
         lvl = 0
         while lvl < depth:
             if frontier.isEmpty():
                 break
-            hi = min(lvl + STRIDE, depth)
+            hi = min(lvl + stride, depth)
             cur = frontier
             new_settled: list[DataFrame] = []
             for L in range(lvl, hi):
