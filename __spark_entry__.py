@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_collocation_pmi",
         "doc_schema_evolution",
         "lsh_search_multiprobe",
+        "lsh_multiprobe_frontier",
         "lsh_search_degenerate",
         "lsh_search_filtered",
         "lsh_search_forest",

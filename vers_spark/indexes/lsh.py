@@ -85,6 +85,16 @@ def _ensure_pp(leaves: DataFrame) -> DataFrame:
     return leaves.withColumn("_pp", _pp_of(F.col("path")))
 
 
+def _planes_at(planes: DataFrame, lvl: int) -> DataFrame:
+    """Hyperplanes at one trie level. A file-loaded store carries the _lvl
+    partition column (save() writes partitionBy level), so the filter is a
+    partition prune — one directory read instead of scanning every level's
+    coeffs-heavy rows; in-session lineage falls back to the path length."""
+    if "_lvl" in planes.columns:
+        return planes.filter(F.col("_lvl") == lvl).drop("_lvl")
+    return planes.filter(F.length("path") == lvl)
+
+
 def _join_leaves(probed: DataFrame, leaves: DataFrame) -> DataFrame:
     """Join a (…, tree_id, path) probe frame against the leaf table. When
     the leaves carry the _pp partition column (file-loaded bucketed store),
@@ -447,7 +457,7 @@ class LSHForestIndex:
         ).crossJoin(F.broadcast(trees)).withColumn("path", F.lit(""))
 
         for depth in range(self.params["depth"]):
-            level = self.hyperplanes.filter(F.length("path") == depth)
+            level = _planes_at(self.hyperplanes, depth)
             qp = (
                 qp.join(F.broadcast(level), ["tree_id", "path"], "left")
                 .withColumn(
@@ -838,7 +848,7 @@ class LSHForestIndex:
             .localCheckpoint()
         )
         def expand(cur: DataFrame, lvl: int) -> DataFrame:
-            planes = self.hyperplanes.filter(F.length("path") == lvl).select(
+            planes = _planes_at(self.hyperplanes, lvl).select(
                 "tree_id", F.col("path").alias("prefix"), "coeffs", "constant"
             )
             fr = (
@@ -1119,10 +1129,10 @@ class LSHForestIndex:
         routed = self.assign_paths(vectors, id_col, vec_col).select(
             "tree_id", "path", F.col("query_id").alias("id"), F.col("q_vec").alias("embedding")
         )
-        # drop the saved-layout _pp partition column (if file-loaded): the
-        # post-add index is in-session lineage; save() re-derives it
+        # drop the saved-layout partition columns (if file-loaded): the
+        # post-add index is in-session lineage; save() re-derives them
         leaves = self.leaves.drop("_pp").unionByName(routed)
-        planes = self.hyperplanes
+        planes = self.hyperplanes.drop("_lvl")
         params = self.params
         if split_overflow:
             max_node = int(params["max_node_size"])
@@ -1168,7 +1178,16 @@ class LSHForestIndex:
         _ensure_pp(self.leaves).write.mode("overwrite").partitionBy(
             "tree_id", "_pp"
         ).parquet(f"{path}/leaves")
-        self.hyperplanes.write.mode("overwrite").parquet(f"{path}/hyperplanes")
+        # hyperplanes partition by LEVEL (path length): both descent loops
+        # (assign_paths, _leaf_order_frontier) join one level per round, so
+        # a loaded index's per-level plane lookups partition-prune to one
+        # directory instead of scanning every level's (coeffs-heavy) rows
+        planes = self.hyperplanes
+        if "_lvl" not in planes.columns:
+            planes = planes.withColumn("_lvl", F.length("path").cast("int"))
+        planes.write.mode("overwrite").partitionBy("_lvl").parquet(
+            f"{path}/hyperplanes"
+        )
         os.makedirs(path, exist_ok=True)
         with open(f"{path}/manifest.json", "w") as f:
             json.dump(self.params, f, indent=2)

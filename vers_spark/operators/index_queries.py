@@ -500,6 +500,27 @@ def lsh_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_multiprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING-SCALE multiprobe engine, driver-certified on its own row:
+    branch-and-bound frontier leaf descent (lsh._leaf_order_frontier — only
+    visited trie nodes are margin-scored; per-round work is O(queries ×
+    beam), independent of leaf count) forced on a corpus where the auto
+    switch would pick the exhaustive ranking. Rows-only, but the results
+    are pytest-gated BIT-identical to lsh_search_multiprobe's exhaustive
+    path (test_lsh_backup.test_multiprobe_frontier_parity_with_full), and
+    at 1M×300 this path serves P=2 at 790 ms/query with recall identical
+    to the all-leaf ranking (BASELINE.md round-7)."""
+    idx = _lsh(spark, sf_dir, trees=2, max_node=8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return idx.search_multiprobe(
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_probes=2,
+        probe_mode="margin",
+        leaf_descent="frontier",
+    )
+
+
 # Registered HNSW config, shared by BOTH the build site (_hnsw) and the
 # layer-stats oracle (_hnsw_layer_sql) — one constant per knob so tuning
 # either side cannot silently break the hnsw_layer_stats hash gate.
@@ -1271,6 +1292,7 @@ QUERIES = {
     "lsh_search_forest": lsh_search_forest,
     "lsh_search_backup": lsh_search_backup,
     "lsh_search_multiprobe": lsh_search_multiprobe,
+    "lsh_multiprobe_frontier": lsh_multiprobe_frontier,
     "hnsw_search": hnsw_search,
     "hnsw_search_filtered": hnsw_search_filtered,
     "ivfpq_search": ivfpq_search_q,
