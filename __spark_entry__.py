@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family: 'p'-prefixed _pp store layout + frontier multiprobe
         # descent (auto); JPEG pipeline: assert->raise + DRI rejection --
         "evt_rfm_segments",
+        "q_customer_balance_deciles",
         "doc_collocation_pmi",
         "doc_schema_evolution",
         "lsh_search_multiprobe",

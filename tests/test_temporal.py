@@ -322,3 +322,39 @@ def test_rfm_segments_partition_and_balance(spark, sf_dir):
         (F.sum(F.col("value").cast("decimal(18,4)")) * 10000).cast("long")
     ).collect()[0][0]
     assert sum(r["money_fp"] for r in rows) == total_fp
+
+
+def test_global_row_number_exact_and_stable(spark, sf_dir):
+    """global_row_number must emit exactly the permutation 1..n that a
+    single-partition row_number would, and be STABLE across executions:
+    repartitionByRange samples its boundaries per execution, so without the
+    internal checkpoint the offsets job and the consumer job could see
+    different partitionings (caught live at sf0.1: 375 duplicate ranks)."""
+    from pyspark.sql import Window, functions as F
+
+    from vers_spark.operators.temporal import global_row_number
+    from vers_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(12,2)").alias("bal")
+    )
+    n = cust.count()
+    got = {
+        (r["c_custkey"], r["_grn"])
+        for r in global_row_number(cust, F.desc("bal"), F.asc("c_custkey")).collect()
+    }
+    ranks = sorted(rk for _, rk in got)
+    assert ranks == list(range(1, n + 1))  # exact permutation, no dupes/gaps
+    ref = {
+        (r["c_custkey"], r["rn"])
+        for r in cust.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("bal"), F.asc("c_custkey"))),
+        ).collect()
+    }
+    assert got == ref
+    again = {
+        (r["c_custkey"], r["_grn"])
+        for r in global_row_number(cust, F.desc("bal"), F.asc("c_custkey")).collect()
+    }
+    assert again == got

@@ -73,9 +73,14 @@ def _budgeted(scored: DataFrame, budget: int, num_parts: int = 8) -> DataFrame:
         .orderBy(F.desc("quality_score"), F.asc("doc_id"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    # localCheckpoint BEFORE reading the totals: repartitionByRange samples
+    # its boundaries per EXECUTION (seeded off the physical rdd id), so the
+    # totals action and the final consumer would otherwise see different
+    # partitionings and the offsets would not match the rows (the
+    # global_row_number fix, temporal.py — same two-execution hazard)
     local = ranked.withColumn("_part", F.spark_partition_id()).withColumn(
         "_local_cum", F.sum("n_tokens").over(w_local)
-    )
+    ).localCheckpoint()
     totals = local.groupBy("_part").agg(F.max("_local_cum").alias("_total")).collect()
     offsets, acc = {}, 0
     for r in sorted(totals, key=lambda r: r["_part"]):

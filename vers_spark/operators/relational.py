@@ -1128,6 +1128,44 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact-rank decile segmentation over customers — the direct
+    oracle certification of the DISTRIBUTED RANK primitive
+    (temporal.global_row_number: range partition + local row_number +
+    broadcast offsets; temporal._ntile_of_rank: SQL ntile(k) as integer
+    arithmetic on the rank). The ntile(10) oracle runs as one unpartitioned
+    window in DuckDB; the Spark side never moves the table through a
+    single-partition exchange — the same plan discipline evt_rfm_segments
+    ships, here on a fresh table/key so the primitive is certified
+    standalone. Output: decile → customer count, balance sum (×100
+    fixed-point BIGINT), min/max global rank."""
+    from vers_spark.operators.temporal import _ntile_of_rank, global_row_number
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(12,2)").alias("_bal")
+    )
+    ranked = global_row_number(
+        cust, F.desc("_bal"), F.asc("c_custkey"), out="_rk"
+    )
+    tot = cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "_bal",
+            "_rk",
+            _ntile_of_rank(F.col("_rk"), F.col("_n"), 10).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("_bal") * 100).cast("long").alias("bal_fp"),
+            F.min("_rk").cast("long").alias("min_rank"),
+            F.max("_rk").cast("long").alias("max_rank"),
+        )
+        .orderBy("decile")
+    )
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of order counts per customer, keeping
     zero-order customers via LEFT OUTER join (the join-condition filter on
@@ -2228,6 +2266,7 @@ QUERIES = {
     "q21_sole_late_supplier": q21_sole_late_supplier,
     "q11_part_value_concentration": q11_part_value_concentration,
     "q13_customer_distribution": q13_customer_distribution,
+    "q_customer_balance_deciles": q_customer_balance_deciles,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q16_supplier_count": q16_supplier_count,
@@ -2257,3 +2296,19 @@ QUERIES = {
     "q_orders_cube": q_orders_cube,
     "q_events_props_json": q_events_props_json,
 }
+
+
+ORACLE_SQL["q_customer_balance_deciles"] = """
+    WITH ranked AS (
+        SELECT CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+               row_number() OVER (ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey ASC) AS rk,
+               ntile(10) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey ASC) AS decile
+        FROM customer
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(bal) * 100 AS BIGINT) AS bal_fp,
+           CAST(min(rk) AS BIGINT) AS min_rank,
+           CAST(max(rk) AS BIGINT) AS max_rank
+    FROM ranked GROUP BY decile ORDER BY decile
+"""

@@ -413,9 +413,15 @@ def global_row_number(df: DataFrame, *sort_cols, out: str = "_grn") -> DataFrame
     ranged = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # localCheckpoint BEFORE reading the partition counts: range boundaries
+    # come from per-EXECUTION sampling (seeded off the physical rdd id), so
+    # the counts action and the consumer's action would otherwise re-sample
+    # DIFFERENT partitionings — offsets off by the boundary wobble, ranks
+    # duplicated/overflowing (caught at sf0.1: 375 duplicate ranks). The
+    # checkpoint freezes one partitioning for both reads.
     local = ranged.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols))
-    )
+    ).localCheckpoint()
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
     offsets, acc = [], 0
     for row in sorted(counts, key=lambda r: r["_pid"]):
