@@ -524,14 +524,15 @@ def test_lsh_on_disk_search_partition_prunes(spark, sf_dir, tmp_path):
     assert all(v.startswith("p") for v in pp_vals), sorted(pp_vals)[:5]
     # re-save of a loaded index must preserve the partition values verbatim
     loaded.save(str(tmp_path / "lsh2"))
-    re_vals = {
-        r[0]
-        for r in LSHForestIndex.load(spark, str(tmp_path / "lsh2"))
-        .leaves.select("_pp")
-        .distinct()
-        .collect()
-    }
+    re_loaded = LSHForestIndex.load(spark, str(tmp_path / "lsh2"))
+    re_vals = {r[0] for r in re_loaded.leaves.select("_pp").distinct().collect()}
     assert re_vals == pp_vals
+    # the hyperplane store partitions by level (_lvl): per-level descent
+    # joins prune to one directory; values must equal the path lengths
+    lvl_field = {f.name: f.dataType.simpleString() for f in loaded.hyperplanes.schema}
+    assert lvl_field.get("_lvl") == "int", lvl_field
+    bad = loaded.hyperplanes.filter(F.col("_lvl") != F.length("path")).count()
+    assert bad == 0
     q = emb.filter(F.col("vec_id") < 3)
     res = loaded.search(q, k=5, backup_fill=False)
     plan = audit.executed_plan(res)
