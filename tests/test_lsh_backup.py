@@ -255,3 +255,22 @@ def test_degenerate_oracle_unchanged_by_fill(spark, emb):
     gk = {(r["query_id"], r["rank"]): r["neighbour_id"] for r in got}
     wk = {(r["query_id"], r["rank"]): r["neighbour_id"] for r in want}
     assert gk == wk
+
+
+def test_backup_fill_frontier_parity(spark, emb, small_forest):
+    """The budgeted underflow fill must return IDENTICAL rows whether its
+    leaf enumeration runs exhaustively (_leaf_order) or via the frontier
+    descent with n_probes=k (exact for budgeted admission: every admitted
+    leaf holds >= 1 member, so the admitted set lives within the k
+    best-ordered leaves). The auto switch keys on the memoized leaf count;
+    forcing it exercises the frontier engine on this corpus."""
+    queries = emb.filter(F.col("vec_id") < 15)
+    for mode in ("dfs", "margin"):
+        small_forest._leaf_path_count = 1  # force exhaustive
+        full = sorted(map(tuple, small_forest.search(
+            queries, k=10, backup_fill=True, probe_mode=mode).collect()))
+        small_forest._leaf_path_count = 10**9  # force frontier
+        frontier = sorted(map(tuple, small_forest.search(
+            queries, k=10, backup_fill=True, probe_mode=mode).collect()))
+        small_forest._leaf_path_count = None
+        assert frontier == full, mode

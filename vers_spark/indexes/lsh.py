@@ -776,6 +776,7 @@ class LSHForestIndex:
         n_probes: int,
         beam: int | None = None,
         stride: int = 2,
+        keep_keys: bool = False,
     ) -> DataFrame:
         """Best-first multiprobe leaf enumeration via a BOUNDED FRONTIER —
         the serving-scale replacement for :meth:`_leaf_order`, which scores
@@ -959,6 +960,8 @@ class LSHForestIndex:
                 .localCheckpoint()
             )
             lvl = hi
+        if keep_keys:  # callers ordering downstream (budgeted fill)
+            return settled.select("query_id", "tree_id", "path", "dev", "cost")
         return settled.select("query_id", "tree_id", "path")
 
     def search_multiprobe(
@@ -1077,12 +1080,26 @@ class LSHForestIndex:
         admitted iff its within-leaf distance rank ≤ k − cum_size_before.
         Cost is bounded by (underfilled pairs) × (planes per tree); filled
         pairs never reach here, and at production max_node_size ≥ k
-        underflow is the rare edge, not the norm."""
+        underflow is the rare edge, not the norm.
+
+        Leaf enumeration follows the multiprobe auto rule: above
+        _FRONTIER_MIN_LEAVES the frontier descent drives it with
+        n_probes=k — EXACT for the budgeted admission, because every
+        admitted leaf contributes ≥ 1 member, so the admitted set is
+        always within the k best-ordered leaves; below, the exhaustive
+        ranking is cheaper. Parity across both engines is gated in
+        test_lsh_backup.py."""
         sizes = leaves.groupBy("tree_id", "path").agg(F.count(F.lit(1)).alias("leaf_n"))
         order = [F.asc("dev")] if probe_mode == "dfs" else [F.asc("cost"), F.asc("dev")]
         wdev = W.partitionBy("query_id", "tree_id").orderBy(*order)
+        if self._n_leaf_paths() >= _FRONTIER_MIN_LEAVES:
+            ordered = self._leaf_order_frontier(
+                under, leaves, probe_mode, n_probes=k, keep_keys=True
+            )
+        else:
+            ordered = self._leaf_order(under, leaves, probe_mode)
         adm = (
-            self._leaf_order(under, leaves, probe_mode)
+            ordered
             .join(sizes, ["tree_id", "path"])
             .withColumn(
                 "cum_before",
