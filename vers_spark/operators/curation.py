@@ -361,12 +361,11 @@ def doc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite loses, duplicates, or corrupts any row in touched OR untouched
     buckets. File-level no-rewrite of untouched buckets is asserted in
     tests."""
-    import tempfile
-
+    from vers_spark.sources.staging import fresh_subdir
     from vers_spark.sources.upsert import merge_into, read_cow_table, write_cow_table
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="vs_cow_") + "/docs"
+    path = fresh_subdir(spark, "cow", sf_dir, "docs")
     write_cow_table(docs, path, key="doc_id", n_buckets=UPSERT_BUCKETS)
     updates = (
         docs.filter(F.col("doc_id") % 10 == 0)
@@ -398,12 +397,11 @@ def doc_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedence rule, stated in sources/upsert.py and restated by the
     oracle). The hash match fails if any action leaks into untouched
     buckets or stale files survive a fully-emptied bucket."""
-    import tempfile
-
+    from vers_spark.sources.staging import fresh_subdir
     from vers_spark.sources.upsert import merge_into, read_cow_table, write_cow_table
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="vs_cowf_") + "/docs"
+    path = fresh_subdir(spark, "cowf", sf_dir, "docs")
     write_cow_table(docs, path, key="doc_id", n_buckets=UPSERT_BUCKETS)
     updates = (
         docs.filter(F.col("doc_id") % 10 == 0)
@@ -439,8 +437,7 @@ def doc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     time travel — and the v1 row to the declarative merge result; one
     manifest-referenced file set per snapshot, unchanged buckets shared,
     never copied (reference-sharing and vacuum GC are test-gated)."""
-    import tempfile
-
+    from vers_spark.sources.staging import fresh_subdir
     from vers_spark.sources.versioned import (
         create_versioned,
         merge_versioned,
@@ -448,7 +445,7 @@ def doc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="vs_tt_") + "/docs"
+    path = fresh_subdir(spark, "tt", sf_dir, "docs")
     create_versioned(docs, path, key="doc_id", n_buckets=UPSERT_BUCKETS)
     updates = (
         docs.filter(F.col("doc_id") % 10 == 0)
@@ -544,8 +541,7 @@ def doc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose manifest file lists differ — cost ∝ churn, not table size. The
     oracle restates the merge delta declaratively: deletes win, updates are
     the rescored non-deleted keys, inserts the offset copies."""
-    import tempfile
-
+    from vers_spark.sources.staging import fresh_subdir
     from vers_spark.sources.versioned import (
         create_versioned,
         diff_versions,
@@ -553,7 +549,7 @@ def doc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="vs_diff_") + "/docs"
+    path = fresh_subdir(spark, "diff", sf_dir, "docs")
     create_versioned(docs, path, key="doc_id", n_buckets=UPSERT_BUCKETS)
     updates = (
         docs.filter(F.col("doc_id") % 10 == 0)

@@ -585,9 +585,8 @@ def index_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids — which makes the whole lifecycle DuckDB-oracle-expressible
     (exact KNN of the held vector over the full 200-vector slice). The
     per-kind e2e tests pin the same flow for LSH/HNSW."""
-    import tempfile
-
     from vers_spark import api
+    from vers_spark.sources.staging import fresh_subdir
 
     # a bounded slice keeps the lifecycle cheap at every SF — the flow, not
     # corpus size, is what this query checks (per-kind e2e tests cover scale)
@@ -597,7 +596,7 @@ def index_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") != held_id)
     idx = api.build_index("ivfflat", corpus, num_clusters=8, seed=42)
     idx = api.add(idx, held.select("vec_id", "embedding"))
-    path = tempfile.mkdtemp(prefix="vs_lifecycle_") + "/idx"
+    path = fresh_subdir(spark, "lifecycle", sf_dir, "idx")
     api.save_index(idx, path)
     back = api.load_index(spark, path)
     return api.search_approximate(

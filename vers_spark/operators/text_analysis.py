@@ -33,6 +33,11 @@ def d_count_in_set(tokens: str, words: list[str]) -> str:
     return f"len(list_filter({tokens}, t -> list_contains([{lst}], t)))"
 
 
+# staged-copy scratch space: stable per app, race-free across processes,
+# atexit-bounded — see sources/staging.py for the full contract
+from vers_spark.sources.staging import staging_dir as _staging_dir  # noqa: E402
+
+
 def quality_score(text: Column) -> Column:
     """The doc_quality composite score as a reusable column expression
     (identical arithmetic to the doc_quality query / oracle)."""
@@ -1054,16 +1059,13 @@ def doc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the additive-column path (rename/retype go through the versioned
     store's rewrite); mergeSchema's footer union is per-file metadata, not
     a data scan."""
-    import hashlib
     import os
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
-    # Stable per-sf_dir path + overwrite mode: repeated sweep/bench runs
-    # reuse (not accumulate) the two corpus-sized staged copies — a fresh
-    # mkdtemp per invocation grows /tmp without bound across rounds.
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"vs_schevo_{tag}", "docs")
+    # Per-app stable path + overwrite mode (see _staging_dir): repeated
+    # runs reuse (not accumulate) the two corpus-sized staged copies, and
+    # concurrent processes cannot overwrite each other mid-read.
+    out = os.path.join(_staging_dir(spark, "schevo", sf_dir), "docs")
     docs.filter(F.col("doc_id") % 2 == 0).select(
         "doc_id", "text", "lang", "source", "n_chars"
     ).write.mode("overwrite").parquet(f"{out}/batch=1")
@@ -1195,13 +1197,11 @@ def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang) counts must equal the direct-table aggregate plus the known
     quarantine group for the injected lines."""
     import os
-    import tempfile
 
     from vers_spark.sources.jsonl import DOCUMENTS_SCHEMA, read_jsonl, write_jsonl
 
     docs = load_table(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="vs_jsonl_")
-    path = os.path.join(d, "docs")
+    path = os.path.join(_staging_dir(spark, "jsonl", sf_dir), "docs")
     write_jsonl(docs, path, num_files=4)
     with open(os.path.join(path, "part-corrupt.json"), "w") as f:
         f.write('{"doc_id": "not-a-number", "text": 12.5e\n')
@@ -1224,14 +1224,12 @@ def doc_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-backed: the per-(source, lang) counts must equal the direct-table
     aggregate plus the sentinel quarantine group for the injected row."""
     import os
-    import tempfile
 
     from vers_spark.sources.csv_file import read_csv, write_csv
     from vers_spark.sources.jsonl import DOCUMENTS_SCHEMA
 
     docs = load_table(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="vs_csv_")
-    path = os.path.join(d, "docs")
+    path = os.path.join(_staging_dir(spark, "csv", sf_dir), "docs")
     write_csv(docs, path, num_files=4)
     with open(os.path.join(path, "part-corrupt.csv"), "w") as f:
         f.write("doc_id,text,lang,source,n_chars\n")
@@ -1264,11 +1262,9 @@ def doc_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip loses or corrupts a row. A pushed filter keeps the read
     path honest."""
     import os
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="vs_orc_")
-    path = os.path.join(d, "docs")
+    path = os.path.join(_staging_dir(spark, "orc", sf_dir), "docs")
     docs.repartition(4).write.mode("overwrite").orc(path)
     back = spark.read.orc(path).filter(F.col("n_chars") > 0)
     return (
@@ -1289,13 +1285,16 @@ def doc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-codec fallback (distributed write-per-partition + binaryFile read)
     — the SAME oracle hash-match gates both paths."""
     import os
-    import tempfile
+    import shutil
 
     from vers_spark.sources.avro_file import read_avro, write_avro
 
     docs = load_table(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="vs_avro_")
-    path = os.path.join(d, "docs")
+    path = os.path.join(_staging_dir(spark, "avro", sf_dir), "docs")
+    # the no-spark-avro fallback writes uuid-named part files without
+    # clearing the target (unlike DataFrameWriter overwrite) — a reused
+    # staging path must be emptied or reruns double the corpus
+    shutil.rmtree(path, ignore_errors=True)
     write_avro(docs, path)
     back = read_avro(
         spark, path, "doc_id long, text string, lang string, source string, n_chars long"

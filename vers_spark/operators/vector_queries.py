@@ -122,7 +122,6 @@ def _stage_vec_file(spark: SparkSession, sf_dir: str) -> str:
     (driver-side, bounded by the ONE constant; memoized per sf_dir so the
     two roundtrip queries share the staged file)."""
     import os
-    import tempfile
 
     if sf_dir in _VEC_STAGE and os.path.exists(_VEC_STAGE[sf_dir]):
         return _VEC_STAGE[sf_dir]
@@ -131,8 +130,9 @@ def _stage_vec_file(spark: SparkSession, sf_dir: str) -> str:
     )
     rows = emb.collect()
     dim = len(rows[0]["embedding"])
-    d = tempfile.mkdtemp(prefix="vs_vecfile_")
-    path = os.path.join(d, "corpus.vec")
+    from vers_spark.sources.staging import staging_dir
+
+    path = os.path.join(staging_dir(spark, "vecfile", sf_dir), "corpus.vec")
     with open(path, "w") as f:
         f.write(f"{len(rows)} {dim}\n")
         for r in rows:

@@ -1,0 +1,63 @@
+"""Bounded scratch space for queries that materialize staged table copies
+(format round-trips, schema evolution, COW/versioned stores, index saves).
+
+The contract (VERDICT r7 item 2 + ADVICE race note):
+
+- stable within one Spark application → repeated sweep/bench invocations
+  reuse (not accumulate) their corpus-sized staged copies;
+- keyed by applicationId → two concurrent runs over the same sf_dir can
+  never overwrite each other's files mid-read;
+- atexit removal of this application's subtree + pruning of sibling
+  subtrees untouched for >2h (crashed runs) → /tmp growth is bounded
+  across rounds.
+"""
+
+from __future__ import annotations
+
+import atexit
+import hashlib
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+
+_CLEANUP_REGISTERED: set[str] = set()
+_STALE_SECONDS = 2 * 3600
+
+
+def staging_dir(spark: SparkSession, kind: str, token: str) -> str:
+    """Per-application scratch dir for (kind, token) — layout
+    ``<tmp>/vs_stage_<kind>_<md5(token)[:8]>/<applicationId>``.
+
+    ``token`` is whatever makes the stage distinct (usually sf_dir). A live
+    concurrent application's subdir is by construction recent and is never
+    pruned; only this app's subdir is removed at exit.
+    """
+    tag = hashlib.md5(token.encode()).hexdigest()[:8]
+    parent = os.path.join(tempfile.gettempdir(), f"vs_stage_{kind}_{tag}")
+    app = spark.sparkContext.applicationId
+    mine = os.path.join(parent, app)
+    os.makedirs(mine, exist_ok=True)
+    if mine not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(mine)
+        atexit.register(shutil.rmtree, mine, ignore_errors=True)
+    now = time.time()
+    try:
+        for sib in os.listdir(parent):
+            p = os.path.join(parent, sib)
+            if sib != app and now - os.path.getmtime(p) > _STALE_SECONDS:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    return mine
+
+
+def fresh_subdir(spark: SparkSession, kind: str, token: str, name: str) -> str:
+    """``staging_dir`` subpath cleared before use — for stages that APPEND
+    (uuid part files, versioned v1/v2/... stores) rather than overwrite, so
+    an in-application rerun starts from an empty directory."""
+    path = os.path.join(staging_dir(spark, kind, token), name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path

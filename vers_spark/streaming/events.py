@@ -58,10 +58,17 @@ def scratch_dir(prefix: str) -> str:
     which on the harness's slow shared disk dominates small-stream wall
     time; on a real cluster these live on provisioned fast storage and this
     is a no-op choice."""
+    import atexit
+    import shutil
+
     base = "/dev/shm/vs-scratch" if os.path.isdir("/dev/shm") else None
     if base is not None:
         os.makedirs(base, exist_ok=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    # stream scratch (checkpoints, stores) is per-query-run by necessity;
+    # bound tmpfs growth by removing this run's dirs at process exit
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 # Stateful streaming operators (windowed aggs, dropDuplicates, stream-stream
