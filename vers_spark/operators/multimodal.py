@@ -222,6 +222,29 @@ def resample_audio(media: DataFrame, target_rate: int, decode: str = "fake") -> 
     return media.filter(F.col("kind") == "audio").mapInPandas(fn, MEDIA_SCHEMA)
 
 
+def mjpeg_source_frames(media_id: int) -> list[np.ndarray]:
+    """Deterministic source frames for a synthesized video row — the ONE
+    definition of the MJPEG frame content, shared by
+    ``synthesize_media_from_documents`` (encode side) and any query
+    re-deriving the sources for a faithfulness check (mm_mjpeg_frames'
+    per-frame PSNR). One RandomState seeded by media_id draws the
+    per-frame noise sequentially, so content depends only on media_id;
+    keeping a single definition means the PSNR gate cannot silently pass
+    while the two sides drift (it compares decode(encode(f)) to THIS f)."""
+    rng = np.random.RandomState(int(media_id) % (2**31))
+    n_frames = int(media_id) % 3 + 2
+    gx = np.linspace(0, 255, 12)[None, :, None]
+    gy = np.linspace(0, 255, 8)[:, None, None]
+    return [
+        np.clip(
+            0.5 * gx + 0.5 * gy + 20 * fi + rng.randint(-10, 10, (8, 12, 3)),
+            0,
+            255,
+        ).astype(np.uint8)
+        for fi in range(n_frames)
+    ]
+
+
 def synthesize_media_from_documents(
     docs: DataFrame,
     real_payloads: bool = False,
@@ -305,18 +328,7 @@ def synthesize_media_from_documents(
                 else:  # video: BMP-stream or MJPEG of a few small frames
                     n_frames = int(mid) % 3 + 2
                     if video_format == "mjpeg":
-                        gx = np.linspace(0, 255, 12)[None, :, None]
-                        gy = np.linspace(0, 255, 8)[:, None, None]
-                        frames = [
-                            np.clip(
-                                0.5 * gx + 0.5 * gy + 20 * fi
-                                + rng.randint(-10, 10, (8, 12, 3)),
-                                0,
-                                255,
-                            ).astype(np.uint8)
-                            for fi in range(n_frames)
-                        ]
-                        payloads.append(MC.encode_mjpeg(frames))
+                        payloads.append(MC.encode_mjpeg(mjpeg_source_frames(int(mid))))
                     else:
                         frames = [
                             rng.randint(0, 256, (8, 12, 3), dtype=np.uint8)

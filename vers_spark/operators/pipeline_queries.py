@@ -233,22 +233,12 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 arr = MC.decode_image(bytes(p))
                 h, w = arr.shape[:2]
-                # regenerate the synthesizer's deterministic source frames
-                # (one shared RandomState draws the noise sequentially, so
-                # replay all frames up to frame_idx)
-                rng = np.random.RandomState(int(mid) % (2**31))
-                n_frames = int(mid) % 3 + 2
-                gx = np.linspace(0, 255, 12)[None, :, None]
-                gy = np.linspace(0, 255, 8)[:, None, None]
-                src = None
-                for fi in range(n_frames):
-                    cand = np.clip(
-                        0.5 * gx + 0.5 * gy + 20 * fi + rng.randint(-10, 10, (8, 12, 3)),
-                        0,
-                        255,
-                    ).astype(np.uint8)
-                    if fi == int(fidx):
-                        src = cand
+                # the synthesizer's deterministic source frame, from the
+                # SHARED generator (multimodal.mjpeg_source_frames) — one
+                # definition, so the PSNR gate can't drift apart silently
+                from vers_spark.operators.multimodal import mjpeg_source_frames
+
+                src = mjpeg_source_frames(int(mid))[int(fidx)]
                 err = arr.astype(np.float64) - src.astype(np.float64)
                 mse = max(float((err * err).mean()), 1e-9)
                 psnr = 10.0 * np.log10(255.0**2 / mse)
