@@ -274,3 +274,80 @@ def test_backup_fill_frontier_parity(spark, emb, small_forest):
             queries, k=10, backup_fill=True, probe_mode=mode).collect()))
         small_forest._leaf_path_count = None
         assert frontier == full, mode
+
+
+def test_multiprobe_parity_above_auto_threshold(spark, sf_oracle_dir):
+    """ADVICE r7: the auto engine switch flips at _FRONTIER_MIN_LEAVES, but
+    full-vs-frontier parity had only been gated at small leaf counts. Build
+    a forest whose leaf count genuinely crosses the threshold (9 trees ×
+    max_node_size=1 over the sf0.01 embeddings → ~4.5k single-member leaves)
+    and pin parity there, margin mode included: both engines now accumulate
+    margin cost as the SAME ascending-level left fold (_leaf_order's
+    aggregate() ≡ the frontier's per-round running sum), so f64 summation
+    order cannot flip near-tie orderings across the switch."""
+    from vers_spark.indexes.lsh import _FRONTIER_MIN_LEAVES
+
+    emb10 = load_table(spark, sf_oracle_dir, "embeddings")
+    idx = LSHForestIndex.build(emb10, num_trees=9, max_node_size=1, seed=11)
+    assert idx._n_leaf_paths() >= _FRONTIER_MIN_LEAVES
+    queries = emb10.filter(F.col("vec_id") < 8)
+    for mode in ("margin", "dfs"):
+        for n_probes in (2, 8):
+            full = sorted(map(tuple, idx.search_multiprobe(
+                queries, k=10, n_probes=n_probes, probe_mode=mode,
+                leaf_descent="full").collect()))
+            frontier = sorted(map(tuple, idx.search_multiprobe(
+                queries, k=10, n_probes=n_probes, probe_mode=mode,
+                leaf_descent="frontier").collect()))
+            assert frontier == full, (mode, n_probes)
+            assert len(full) > 0, (mode, n_probes)
+
+
+def test_frontier_probe_mode_validated(spark, emb, small_forest):
+    """A typo'd probe_mode must raise in BOTH engines (ADVICE r7: the
+    frontier silently fell into the margin branch)."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    pairs = small_forest.assign_paths(queries).select(
+        "query_id", "tree_id", "q_vec"
+    )
+    with pytest.raises(ValueError, match="probe_mode"):
+        small_forest._leaf_order_frontier(
+            pairs, small_forest.leaves, "margins", n_probes=2
+        )
+    with pytest.raises(ValueError, match="probe_mode"):
+        small_forest._leaf_order(pairs, small_forest.leaves, "margins")
+
+
+def test_blocked_compute_with_frontier_warns(spark, emb, small_forest):
+    """compute='blocked' composes only with the 'full' descent; requesting
+    it with the frontier engine must warn, not silently ignore."""
+    import warnings
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        small_forest.search_multiprobe(
+            queries, k=5, n_probes=2, compute="blocked", leaf_descent="frontier"
+        ).collect()
+    assert any("full" in str(x.message) for x in w)
+
+
+def test_save_load_format_version(spark, emb, small_forest, tmp_path):
+    """save() stamps format_version; load() refuses a missing/older stamp
+    (ADVICE r7 medium: a pre-'p'-prefix store loads cleanly but every
+    search silently returns zero candidates — fail loudly instead)."""
+    import json
+
+    path = str(tmp_path / "lshidx")
+    small_forest.save(path)
+    with open(f"{path}/manifest.json") as f:
+        m = json.load(f)
+    assert m["format_version"] == 2
+    back = LSHForestIndex.load(spark, path)
+    assert back.params.get("format_version") is None  # stripped on load
+    # simulate a pre-versioning store
+    del m["format_version"]
+    with open(f"{path}/manifest.json", "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="format_version 1"):
+        LSHForestIndex.load(spark, path)

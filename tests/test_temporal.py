@@ -358,3 +358,43 @@ def test_global_row_number_exact_and_stable(spark, sf_dir):
         for r in global_row_number(cust, F.desc("bal"), F.asc("c_custkey")).collect()
     }
     assert again == got
+
+
+def test_global_row_number_skewed_ties(spark):
+    """Stress the documented contract: a MASSIVELY tied sort column (3
+    distinct values over 6000 rows, so every tie run dwarfs a range
+    partition and must straddle boundaries) still yields the exact 1..n
+    permutation — as long as the caller appends a unique tiebreaker. The
+    forced-small partition count makes boundary splits within tie runs
+    certain rather than incidental; and the opt-in check_total guard must
+    refuse the same frame when the tiebreaker is omitted."""
+    import pytest
+    from pyspark.sql import Window, functions as F
+
+    from vers_spark.operators.temporal import global_row_number
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        df = spark.range(6000).select(
+            F.col("id"), (F.col("id") % 3).alias("val")
+        )
+        got = {
+            (r["id"], r["_grn"])
+            for r in global_row_number(df, F.asc("val"), F.asc("id")).collect()
+        }
+        ranks = sorted(rk for _, rk in got)
+        assert ranks == list(range(1, 6001))
+        ref = {
+            (r["id"], r["rn"])
+            for r in df.withColumn(
+                "rn",
+                F.row_number().over(Window.orderBy(F.asc("val"), F.asc("id"))),
+            ).collect()
+        }
+        assert got == ref
+        # no tiebreaker: partitioning-dependent ranks — the guard refuses
+        with pytest.raises(ValueError, match="total order"):
+            global_row_number(df, F.asc("val"), check_total=True).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

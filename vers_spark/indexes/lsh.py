@@ -72,6 +72,14 @@ def _plane_side(vec_col, coeff_col, const_col):
 # inferred partition type to STRING on every load.
 _PP_LEN = 4
 
+# On-disk layout version, written to manifest.json by save() and REQUIRED
+# by load(): version 2 = 'p'-prefixed _pp leaf partitions + _lvl-partitioned
+# hyperplanes (round 7). A pre-versioning (implicitly v1) store has raw-bit
+# _pp values that the probe-side 'pXXXX' keys would never match — loading it
+# silently returns ZERO candidates from every search, so load() refuses it
+# loudly instead (re-save from the source corpus to migrate).
+LSH_FORMAT_VERSION = 2
+
 
 def _pp_of(path_col):
     return F.concat(
@@ -709,8 +717,17 @@ class LSHForestIndex:
                 F.expr(
                     "array_join(transform(array_sort(collect_list(struct(level, bit))), x -> x.bit), '')"
                 ).alias("dev"),
-                F.sum(
-                    F.when(F.col("bit") == "1", F.col("q_margin")).otherwise(F.lit(0.0))
+                # cost accumulates as a LEFT FOLD in ascending level order —
+                # bit-equal to the frontier descent's running sum (which adds
+                # one level's contribution per round), so the auto engine
+                # switch can never flip a near-tie margin ordering through
+                # f64 summation order (an unordered F.sum could)
+                F.expr(
+                    "aggregate("
+                    " transform(array_sort(collect_list(struct(level, bit, q_margin))),"
+                    "  x -> CASE WHEN x.bit = '1' THEN x.q_margin"
+                    "       ELSE cast(0.0 as double) END),"
+                    " cast(0.0 as double), (a, x) -> a + x)"
                 ).alias("cost"),
             )
         )
@@ -804,6 +821,10 @@ class LSHForestIndex:
 
         Returns the probed (query_id, tree_id, path) rows, ≤ n_probes per
         pair, ordered semantics identical to _leaf_order's top-n_probes."""
+        if probe_mode not in ("dfs", "margin"):
+            # same error contract as _leaf_order: a typo'd mode must raise,
+            # not silently fall into the margin key/bound branch
+            raise ValueError(f"unknown probe_mode {probe_mode!r}")
         # 1M grid (BASELINE.md round-7): the branch-and-bound threshold, not
         # the beam, does the pruning — beams 8/16/32 probe the IDENTICAL
         # leaf set while costing 50/69/89 s per 100-query batch. 4·n_probes
@@ -1022,6 +1043,19 @@ class LSHForestIndex:
                 "full" if self._n_leaf_paths() < _FRONTIER_MIN_LEAVES else "frontier"
             )
         if leaf_descent == "frontier":
+            if compute == "blocked":
+                # the GEMM margin kernel scores the full (query × plane)
+                # grid — the frontier only ever touches visited nodes, so
+                # the two compose into neither engine's plan; be loud
+                # instead of silently ignoring the explicit request
+                import warnings
+
+                warnings.warn(
+                    "compute='blocked' applies to the 'full' leaf descent "
+                    "only; the frontier descent folds margins at visited "
+                    "nodes — proceeding with the fold kernel",
+                    stacklevel=2,
+                )
             probed = self._leaf_order_frontier(
                 pairs, self.leaves, probe_mode, n_probes
             )
@@ -1084,10 +1118,17 @@ class LSHForestIndex:
 
         Leaf enumeration follows the multiprobe auto rule: above
         _FRONTIER_MIN_LEAVES the frontier descent drives it with
-        n_probes=k — EXACT for the budgeted admission, because every
+        n_probes=k — exact for the budgeted admission, because every
         admitted leaf contributes ≥ 1 member, so the admitted set is
         always within the k best-ordered leaves; below, the exhaustive
-        ranking is cheaper. Parity across both engines is gated in
+        ranking is cheaper. Two caveats to that exactness (shared with
+        search_multiprobe): it holds while the frontier's beam cap
+        (4·n_probes) never binds after the settled bound activates — the
+        documented guard against adversarial margin landscapes — and both
+        engines accumulate margin cost as the SAME ascending-level left
+        fold (_leaf_order's aggregate(), the frontier's per-round running
+        sum), so f64 summation order cannot flip near-tie orderings across
+        the auto switch. Parity across both engines is gated in
         test_lsh_backup.py."""
         sizes = leaves.groupBy("tree_id", "path").agg(F.count(F.lit(1)).alias("leaf_n"))
         order = [F.asc("dev")] if probe_mode == "dfs" else [F.asc("cost"), F.asc("dev")]
@@ -1207,12 +1248,21 @@ class LSHForestIndex:
         )
         os.makedirs(path, exist_ok=True)
         with open(f"{path}/manifest.json", "w") as f:
-            json.dump(self.params, f, indent=2)
+            json.dump({**self.params, "format_version": LSH_FORMAT_VERSION}, f, indent=2)
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "LSHForestIndex":
         with open(f"{path}/manifest.json") as f:
             params = json.load(f)
+        version = params.pop("format_version", 1)
+        if version != LSH_FORMAT_VERSION:
+            raise ValueError(
+                f"LSH index at {path!r} has on-disk format_version {version}, "
+                f"this build reads {LSH_FORMAT_VERSION}. A v1 store's _pp "
+                "partition values never match the probe side's 'p'-prefixed "
+                "keys (searches would silently return zero candidates) — "
+                "re-save the index from the source corpus to migrate."
+            )
         return LSHForestIndex(
             spark,
             spark.read.parquet(f"{path}/leaves"),

@@ -395,7 +395,9 @@ def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def global_row_number(df: DataFrame, *sort_cols, out: str = "_grn") -> DataFrame:
+def global_row_number(
+    df: DataFrame, *sort_cols, out: str = "_grn", check_total: bool = False
+) -> DataFrame:
     """Distributed global row_number over a TOTAL order — the scale-safe
     replacement for ``row_number().over(Window.orderBy(...))``, which Spark
     executes as an Exchange SinglePartition (ALL rows through ONE task).
@@ -405,10 +407,19 @@ def global_row_number(df: DataFrame, *sort_cols, out: str = "_grn") -> DataFrame
     sort order), rank locally within each range partition, then add
     per-partition row-count offsets. The offset table is ≤ shuffle-partition
     rows — collected (bounded, like _budgeted's totals) and broadcast back,
-    so no globally-ordered window ever touches the data itself. Exact iff
-    ``sort_cols`` is a total order (callers append a unique tiebreaker);
-    with ties straddling range boundaries the rank among tied rows would be
-    partitioning-dependent."""
+    so no globally-ordered window ever touches the data itself.
+
+    EXACT (the 1..n permutation of the sort order) iff ``sort_cols`` is a
+    total order — every caller must append a unique tiebreaker (user_id,
+    doc_id, …) as the last sort column. Without one, rows tied on the full
+    key can straddle a range boundary and their relative ranks become
+    partitioning-dependent (still a permutation of 1..n, but not a
+    deterministic one). ``check_total=True`` verifies the contract at the
+    cost of one extra aggregate over the (already checkpointed) frame and
+    raises on duplicate sort keys — use it when the tiebreaker's uniqueness
+    is not structurally guaranteed; the skewed-ties property test in
+    tests/test_temporal.py pins both the exactness with a tiebreaker and
+    this guard."""
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -419,9 +430,22 @@ def global_row_number(df: DataFrame, *sort_cols, out: str = "_grn") -> DataFrame
     # DIFFERENT partitionings — offsets off by the boundary wobble, ranks
     # duplicated/overflowing (caught at sf0.1: 375 duplicate ranks). The
     # checkpoint freezes one partitioning for both reads.
-    local = ranged.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols))
-    ).localCheckpoint()
+    wloc = Window.partitionBy("_pid").orderBy(*sort_cols)
+    lcl = ranged.withColumn("_lrn", F.row_number().over(wloc))
+    if check_total:
+        # ties make rank() fall behind row_number() in the same window;
+        # RangePartitioner assigns by key comparison, so equal keys always
+        # share a partition and the within-partition check is complete
+        lcl = lcl.withColumn("_rk", F.rank().over(wloc))
+    local = lcl.localCheckpoint()
+    if check_total:
+        if local.filter(F.col("_rk") != F.col("_lrn")).limit(1).collect():
+            raise ValueError(
+                "global_row_number sort key is not a total order: append a "
+                "unique tiebreaker column — ranks among tied rows are "
+                "partitioning-dependent"
+            )
+        local = local.drop("_rk")
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
     offsets, acc = [], 0
     for row in sorted(counts, key=lambda r: r["_pid"]):
