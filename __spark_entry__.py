@@ -95,16 +95,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vers_spark.operators import bpe, rag
 
     # Registration order IS the driver's sweep order, and the sweep has
-    # truncated at exactly 50 queries in every prior round. Round-4 order,
+    # truncated at exactly 50 queries in every prior round. Round-8 order,
     # by marginal correctness-signal value:
-    #   1. the 13 queries that have NEVER received a driver row in r1∪r2∪r3
-    #      (11 streaming + the two r3 text ops) — r3 queued streaming last
-    #      and the cut dropped them again; they go FIRST this time;
-    #   2. the 4 red r3 rows, now fixed (struct→scalar flattening for the
-    #      two multimodal queries; date_format + fixed-point BIGINT output
-    #      projection for the two timestamp/decimal hash-fails);
-    #   3. re-certification, oldest driver row first (r1 relational/
-    #      curation/temporal suites, untouched since round 1).
+    #   1. the 14 r2-era rows (oldest evidence; their shared text helpers
+    #      were rewritten twice since — VERDICT r7 item 1);
+    #   2. queries whose code paths changed this round (staging rewrite,
+    #      LSH hardening, MJPEG generator dedup);
+    #   3. the r3-row cohort, oracle-backed first (next-oldest rotation).
     modules = [
         vector_queries.QUERIES,
         index_queries.QUERIES,
@@ -125,83 +122,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(m)
 
     priority = [
-        # -- round-7 #1 (judge's top ask): the ONLY oracle-backed query
-        # whose driver row predates its oracle (r1 no_oracle; full
-        # unrolled-CTE oracle since r2, judge-verified PASS) --
-        "emb_kcenter_sample",
-        # -- round-7 re-certification: code paths changed AFTER the r6
-        # sweep. RFM: distributed-quintile rewrite (global_row_number +
-        # arithmetic ntile); PMI: semi-join-pruned unigrams, no forced
-        # broadcast; schema evolution: stable scratch path; the LSH
-        # family: 'p'-prefixed _pp store layout + frontier multiprobe
-        # descent (auto); JPEG pipeline: assert->raise + DRI rejection --
-        "evt_rfm_segments",
-        "q_customer_balance_deciles",
-        "doc_collocation_pmi",
-        "doc_schema_evolution",
-        "lsh_search_multiprobe",
-        "lsh_multiprobe_frontier",
-        "lsh_search_degenerate",
-        "lsh_search_filtered",
-        "lsh_search_forest",
-        "index_lifecycle_roundtrip",
-        "mm_jpeg_pipeline",
-        # -- round-7 NEW operator (never swept): real MJPEG container --
-        "mm_mjpeg_frames",
-        # -- rotation: the 13 remaining rows last swept in round 1 --
-        "q_rollup_orders",
-        "q_customer_order_activity",
-        "q_nation_presence",
-        "q_orders_pivot_status",
-        "q_orders_cube",
-        "q_sketch_stats",
-        "evt_value_outliers",
-        "evt_retention_cohorts",
-        "doc_stratified_sample",
-        "doc_pack_sequences",
-        "doc_pack_sequences_sharded",
-        "doc_split_assign",
-        "emb_semantic_dedup",
-        # -- rotation: oldest r2 rows fill the 50-cut --
-        "vk_vector_ops",
-        "knn_exact_cosine",
-        "knn_exact_euclidean",
-        "knn_blocked_euclidean",
-        "knn_int8_euclidean",
-        "knn_pq_euclidean",
-        "knn_binary_rerank",
-        "knn_matryoshka_rerank",
-        "emb_quantize_stats",
-        "dedup_vectors_stats",
-        "ivf_search_all",
-        "dedup_docs_first_wins",
-        "ivf_search_filtered",
-        "emb_similarity_join_fixed",
-        "emb_triplet_mining",
-        "ivf_search_p4",
-        "ivf_cluster_stats",
-        "ivf_build_ref",
-        "lsh_search_backup",
-        "hnsw_search_filtered",
-        "ivfpq_search",
-        "ann_recall_report",
-        "doc_token_stats",
-        "doc_quality",
-        "doc_lang_id",
-        "doc_lang_confusion",
-        "doc_bigram_topk",
-        "doc_heavy_hitter_tokens",
-        "doc_jsonl_roundtrip",
-        "doc_csv_roundtrip",
-        "doc_orc_roundtrip",
-        "doc_avro_roundtrip",
-        "doc_repetition_quality",
-        # -- past the 50-cut: remaining r2 rows, then r3+ (rotate next rounds) --
+        # -- round-8 #1 (judge's top ask): the 14 queries whose newest
+        # green rows date from round 2 while their shared helper stack
+        # (functions/text.py tokenize, the r6 base_hash threading) was
+        # rewritten twice since — the oldest evidence on the board --
         "doc_decontaminate",
         "doc_tfidf_topk",
         "doc_vocab_coverage",
         "doc_chunk_windows",
         "doc_chunk_udtf",
+        "doc_jsonl_roundtrip",
+        "doc_csv_roundtrip",
+        "doc_orc_roundtrip",
+        "doc_avro_roundtrip",
+        "doc_lang_id",
+        "doc_lang_confusion",
+        "doc_heavy_hitter_tokens",
+        "doc_repetition_quality",
+        "doc_bigram_topk",
+        # -- round-8 re-certification: code paths changed THIS round.
+        # Staged-copy scratch space rewritten (sources/staging.py — the
+        # roundtrips above plus schema evolution, the COW/versioned
+        # stores, the index-lifecycle save); LSH manifest format_version +
+        # ascending-level cost fold (_leaf_order) + frontier validation;
+        # MJPEG source frames factored into one shared generator --
+        "doc_schema_evolution",
+        "index_lifecycle_roundtrip",
+        "lsh_search_degenerate",
+        "lsh_search_filtered",
+        "lsh_multiprobe_frontier",
+        "mm_mjpeg_frames",
+        "doc_upsert_merge",
+        "doc_merge_full",
+        "doc_time_travel",
+        "doc_version_diff",
+        # -- rotation: the r3-row cohort, oracle-backed first --
+        "bpe_corpus_tokens",
+        "bpe_segment_vocab",
+        "dedup_docs_normalized",
+        "doc_containment_pairs",
+        "doc_expectations",
+        "doc_mllib_exactdup",
+        "doc_pii_scrub",
+        "emb_brp_neardup",
+        "emb_cosine_neardup",
+        "emb_knn_selfjoin_exact",
+        "emb_label_centroids",
+        "emb_neardup_pairs",
+        "minhash_signatures",
+        "mm_meta_stats",
+        "neardup_best_quality",
+        "ngram_jaccard_pairs",
+        "ngram_jaccard_prefix",
+        "rag_maxsim_rerank",
+        "simhash_docs",
+        "stream_dedup_users",
+        "stream_interval_join",
+        "stream_static_enrich",
+        "vec_corpus_pyds",
+        "vec_corpus_roundtrip",
+        "emb_pca_stats",
+        # -- round-8 NEW operator (never swept): RIFF-AVI container --
+        "mm_avi_frames",
+        # -- past the 50-cut: remaining r3 rows-only queries (r9 head),
+        # then everything newer rotates behind --
+        "emb_pca_knn_recall",
+        "emb_similarity_join",
+        "mm_feature_extract",
+        "mm_frame_sample",
+        "mm_real_pipeline",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"

@@ -62,6 +62,11 @@ HEADLINE = [
     "emb_dbscan_clusters",
     "doc_collocation_pmi",
     "doc_hll_distinct",
+    # round-8 addition: the distributed global-rank primitive
+    # (global_row_number + arithmetic ntile) is shared hot-path code for
+    # RFM/deciles/budgeted curation — a headline line surfaces regressions
+    # in BENCH diffs instead of only the x10 probe
+    "evt_rfm_segments",
 ]
 
 

@@ -196,3 +196,67 @@ def test_jpeg_pipeline_query(spark, sf_dir):
     assert rows and sum(r["n_images"] for r in rows) >= 30
     assert all(r["min_psnr"] > 26.0 for r in rows), rows
     assert all(r["mean_feat_norm"] > 0 for r in rows)
+
+
+def test_avi_container_roundtrip():
+    """RIFF-AVI box walk: encode frames → split → decode, PSNR ≥ the MJPEG
+    elementary-stream floor (same JPEG payloads, different container), and
+    the walk recovers exactly the source frame count across odd/even
+    payload lengths (word-alignment padding)."""
+    from vers_spark.operators.multimodal import mjpeg_source_frames
+
+    for mid in (5, 6, 7):  # 2, 3 and 4 frames
+        frames = mjpeg_source_frames(mid)
+        avi = MC.encode_avi_mjpeg(frames)
+        back = MC.split_avi_mjpeg(avi)
+        assert len(back) == len(frames)
+        assert MC.split_video_stream(avi) == back  # sniffing dispatch
+        for payload, src in zip(back, frames):
+            arr = MC.decode_image(payload)
+            err = arr.astype(np.float64) - src.astype(np.float64)
+            psnr = 10 * np.log10(255.0**2 / max(float((err * err).mean()), 1e-9))
+            assert psnr > 26.0, psnr
+
+
+def test_avi_container_validation():
+    """Corrupt containers fail loudly: header/movi frame-count mismatch,
+    idx1 disagreement, truncation, non-MJPG stream, non-RIFF payload."""
+    from vers_spark.operators.multimodal import mjpeg_source_frames
+
+    avi = MC.encode_avi_mjpeg(mjpeg_source_frames(7))
+    # header claims the wrong frame count
+    bad = bytearray(avi)
+    at = avi.find(b"avih") + 8 + 16
+    bad[at : at + 4] = (99).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="header claims"):
+        MC.split_avi_mjpeg(bytes(bad))
+    # idx1 disagrees with the movi walk
+    bad = bytearray(avi)
+    at = avi.find(b"idx1") + 8 + 8
+    bad[at : at + 4] = (999).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="idx1"):
+        MC.split_avi_mjpeg(bytes(bad))
+    # truncated RIFF size
+    with pytest.raises(ValueError, match="truncated"):
+        MC.split_avi_mjpeg(avi[: len(avi) // 2])
+    # non-MJPG compression fourcc
+    bad = bytearray(avi)
+    at = avi.find(b"strf") + 8 + 16
+    bad[at : at + 4] = b"DIB "
+    with pytest.raises(ValueError, match="not MJPG"):
+        MC.split_avi_mjpeg(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        MC.split_avi_mjpeg(b"AVI nope")
+
+
+def test_avi_pipeline_query(spark, sf_dir):
+    """mm_avi_frames: the boxed container flows through the identical
+    sample/decode/PSNR pipeline as the elementary stream and posts the
+    same faithfulness floor."""
+    from vers_spark.operators.pipeline_queries import mm_avi_frames, mm_mjpeg_frames
+
+    rows = mm_avi_frames(spark, sf_dir).collect()
+    assert rows and all(r["min_psnr"] > 26.0 for r in rows), rows
+    # same frames, same sampling → identical aggregate rows as MJPEG
+    mj = mm_mjpeg_frames(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in mj]

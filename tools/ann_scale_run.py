@@ -70,6 +70,14 @@ def main() -> None:
     ap.add_argument("--skip-hnsw", action="store_true")
     ap.add_argument("--skip-ivf", action="store_true")
     ap.add_argument("--skip-lsh", action="store_true")
+    ap.add_argument("--skip-pq", action="store_true")
+    # PQ config: m must divide 300 → m=30 (dsub=10); 256-centroid codebooks
+    # make a code 30 bytes vs 1200 B raw f32 = 40x. Residual coding (FAISS
+    # by_residual) rides the IVF section's coarse quantizer.
+    ap.add_argument("--pq-m", type=int, default=30)
+    ap.add_argument("--pq-kbook", type=int, default=256)
+    ap.add_argument("--pq-probes", type=int, default=4)
+    ap.add_argument("--pq-oversample", type=int, default=5)
     # 128 random shards at 1M: ~7.8k vectors/shard keeps the 32 concurrent
     # applyInPandas workers at ~0.5 GB each (the 64-way K-MEANS sharding OOMed
     # the box: the synthetic corpus has 50 latent clusters, so k-means shards
@@ -160,6 +168,80 @@ def main() -> None:
         ).collect()
         out["ivf_search_warm_sec"] = round(time.perf_counter() - t0, 1)
         print(f"# ivf: {json.dumps({k: v for k, v in out.items() if k.startswith('ivf')})}", flush=True)
+
+    if not args.skip_pq:
+        # IVF×PQ residual serving — the compression tier below the raw-f32
+        # IVF line above: ADC shortlist off the cluster-partitioned code
+        # store (persist_codes_partitioned → literal-isin partition
+        # pruning), exact rerank of the k·oversample shortlist against the
+        # raw corpus. The blocked twin (ivfpq_search_blocked, parity-gated
+        # vs the declarative engines in tests/test_pq.py) is the serving
+        # path: LUT tensor broadcast once, numpy gather per code partition.
+        from vers_spark.indexes.pq import (
+            PQCodec,
+            ivfpq_search_blocked,
+            persist_codes_partitioned,
+            residuals,
+        )
+
+        if args.skip_ivf:
+            from vers_spark.indexes.ivfflat import IVFFlatIndex
+
+            ivf = IVFFlatIndex.build(
+                corpus, num_clusters=20, max_iterations=10, num_attempts=3, seed=42
+            )
+        t0 = time.perf_counter()
+        res_df = residuals(ivf)
+        codec = PQCodec.train(
+            res_df, m=args.pq_m, k_codebook=args.pq_kbook, max_iter=10, seed=42
+        )
+        out["pq_train_sec"] = round(time.perf_counter() - t0, 1)
+        codes_path = f"{REPO}/.scale_data/pqcodes_{args.n}_m{args.pq_m}k{args.pq_kbook}"
+        t0 = time.perf_counter()
+        codes = persist_codes_partitioned(
+            codec.encode(res_df), ivf._serving_assignments(), codes_path
+        )
+        out["pq_encode_persist_sec"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        res = ivfpq_search_blocked(
+            ivf,
+            codec,
+            codes,
+            queries,
+            k=10,
+            n_probes=args.pq_probes,
+            oversample=args.pq_oversample,
+            corpus=corpus,
+            residual=True,
+        )
+        out["pq_recall_at_10"] = recall(res)
+        out["pq_search_batch_sec"] = round(time.perf_counter() - t0, 1)
+        out["pq_search_per_query_ms"] = round(
+            out["pq_search_batch_sec"] * 1000 / N_QUERIES, 1
+        )
+        # warm repeat: codec/sizes resolved, OS page cache hot — the
+        # resident-index serving number
+        t0 = time.perf_counter()
+        ivfpq_search_blocked(
+            ivf,
+            codec,
+            codes,
+            queries,
+            k=10,
+            n_probes=args.pq_probes,
+            oversample=args.pq_oversample,
+            corpus=corpus,
+            residual=True,
+        ).select(F.count(F.lit(1))).collect()
+        out["pq_search_warm_sec"] = round(time.perf_counter() - t0, 1)
+        # ADC-only (no rerank) isolates coding quality from the rerank
+        t0 = time.perf_counter()
+        res = ivfpq_search_blocked(
+            ivf, codec, codes, queries, k=10, n_probes=args.pq_probes, residual=True
+        )
+        out["pq_adc_only_recall_at_10"] = recall(res)
+        out["pq_adc_only_batch_sec"] = round(time.perf_counter() - t0, 1)
+        print(f"# pq: {json.dumps({k: v for k, v in out.items() if k.startswith('pq')})}", flush=True)
 
     if not args.skip_hnsw:
         from vers_spark.indexes.hnsw import HNSWIndex

@@ -364,6 +364,157 @@ def ivfpq_search_residual(
     return _ranked(exact, "_dist", k)
 
 
+def ivfpq_search_blocked(
+    ivf,
+    codec: PQCodec,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 2,
+    oversample: int = 5,
+    corpus: DataFrame | None = None,
+    residual: bool = False,
+) -> DataFrame:
+    """Blocked-numpy serving twin of :func:`ivfpq_search` /
+    :func:`ivfpq_search_residual` over the cluster-partitioned code store —
+    the 1M+ deployment path (the knn/ivf/lsh discipline: every scale
+    serving path gets a vectorized Arrow twin of its declarative oracle).
+
+    The declarative ADC carries an m×k_codebook LUT per CANDIDATE row
+    through a broadcast join and folds it element-wise in the JVM — at 1M
+    with 100 queries that is ~20M candidate rows × (m lookups + a ~8 KB
+    lut column each). Here probing and LUTs resolve driver-side exactly as
+    in ivfpq_search_residual (same centroid ranking, same underflow fill
+    prefix rule), the numpy LUT tensor is broadcast ONCE, and each code
+    partition computes a vectorized gather + per-query partial top-k
+    (PQCodec.search's partial_topk shape) — output is bounded at
+    shortlist rows per (query, partition), never the candidate volume.
+    Partition pruning on the persist_codes_partitioned layout still
+    applies through the literal isin filter.
+
+    ``residual=True`` serves residual codes (LUT per (query, probed
+    cluster) against the query's residual to THAT centroid — the FAISS
+    by_residual ADC); ``False`` whole-vector codes (one LUT per query).
+    Parity with the declarative twins is gated in tests/test_pq.py."""
+    from vers_spark.functions import vector as V
+    from vers_spark.functions.validate import bounded_collect
+
+    if "cluster_id" not in codes.columns:
+        raise ValueError("blocked serving needs the cluster-partitioned code store")
+    spark = codes.sparkSession
+    q_rows = bounded_collect(
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        "ivfpq_search_blocked",
+    )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbour_id long, distance double, rank int"
+        )
+    cent_rows = ivf.centroids.orderBy("cluster_id").collect()
+    c_ids = np.array([r["cluster_id"] for r in cent_rows], dtype=np.int64)
+    c_mat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    sizes = ivf._cluster_sizes()
+    m, dsub, kbook = codec.m, codec.dsub, codec.codebooks.shape[1]
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+
+    # whole-vector LUTs are per query; residual LUTs per (query, cluster)
+    flat_luts = np.empty((0, m, kbook))
+    if not residual:
+        flat_luts = np.empty((len(q_ids), m, kbook), dtype=np.float64)
+        for j in range(m):
+            qs = q_mat[:, j * dsub : (j + 1) * dsub]
+            diff = qs[:, None, :] - codec.codebooks[j][None, :, :]
+            flat_luts[:, j, :] = np.einsum("qkd,qkd->qk", diff, diff)
+
+    # probe resolve: rank clusters per query, include the n_probes nearest
+    # plus the underflow-fill prefix (cum sizes < k) — the ivfpq_search /
+    # ivfpq_search_residual rule verbatim
+    probe: dict[int, list[tuple[int, np.ndarray | None]]] = {}
+    for qi in range(len(q_ids)):
+        q = q_mat[qi]
+        d = np.einsum("ij,ij->i", c_mat - q[None, :], c_mat - q[None, :])
+        order = np.lexsort((c_ids, d))
+        cum_before = 0
+        for rank0, ci in enumerate(order):
+            if rank0 >= n_probes and cum_before >= k:
+                break
+            cid = int(c_ids[ci])
+            cum_before += sizes.get(cid, 0)
+            lut = None
+            if residual:
+                res = q - c_mat[ci]
+                lut = np.empty((m, kbook), dtype=np.float64)
+                for j in range(m):
+                    diff = codec.codebooks[j] - res[j * dsub : (j + 1) * dsub][None, :]
+                    lut[j] = np.einsum("kd,kd->k", diff, diff)
+            probe.setdefault(cid, []).append((qi, lut))
+    # per probed cluster: (query indices, stacked LUT tensor)
+    packed = {
+        cid: (
+            np.array([qi for qi, _ in lst], dtype=np.int64),
+            np.stack([lut for _, lut in lst]) if residual else None,
+        )
+        for cid, lst in probe.items()
+    }
+    shortlist = k * oversample if corpus is not None else k
+    bc = spark.sparkContext.broadcast((q_ids, flat_luts, packed, shortlist))
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, whole_luts, probes_by_cluster, kk = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for cid, grp in pdf.groupby("cluster_id"):
+                hit = probes_by_cluster.get(int(cid))
+                if hit is None:
+                    continue
+                qsel, res_luts = hit
+                tables = res_luts if res_luts is not None else whole_luts[qsel]
+                n_ids = grp["vec_id"].to_numpy(np.int64)
+                C = np.array(grp["codes"].tolist(), dtype=np.int64)  # (B, m)
+                d = tables[:, np.arange(C.shape[1])[None, :], C].sum(axis=2)
+                take = min(kk, d.shape[1])
+                part = np.argpartition(d, take - 1, axis=1)[:, :take]
+                for row, qi in enumerate(qsel):
+                    cols = part[row]
+                    order = np.lexsort((n_ids[cols], d[row, cols]))
+                    sel = cols[order]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(take, ids[qi]),
+                                "neighbour_id": n_ids[sel],
+                                "_dist": d[row, sel],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    pruned = codes.filter(F.col("cluster_id").isin(sorted(packed)))
+    cands = pruned.mapInPandas(
+        partial_topk, "query_id long, neighbour_id long, _dist double"
+    )
+    if corpus is None:
+        return _ranked(cands, "_dist", k)
+    shortlisted = _ranked(cands, "_dist", shortlist).select("query_id", "neighbour_id")
+    q_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in q_rows],
+        "query_id long, q_vec array<double>",
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbour_id"), F.col("embedding").alias("c_vec")
+    )
+    exact = (
+        shortlisted.join(F.broadcast(q_df), "query_id")
+        .join(c, "neighbour_id")
+        .withColumn("_dist", V.sq_euclidean(F.col("q_vec"), F.col("c_vec")))
+    )
+    return _ranked(exact, "_dist", k)
+
+
 def ivfpq_search(
     ivf,
     codec: PQCodec,

@@ -202,15 +202,187 @@ def split_mjpeg(buf: bytes) -> list[bytes]:
 
 
 def split_video_stream(buf: bytes) -> list[bytes]:
-    """Sniff-and-split: BMP-stream ('BM' first frame) or MJPEG (FFD8) →
-    per-frame payloads. The single video-split entry the multimodal
-    operators call — decode each frame with decode_image (which sniffs per
-    frame, so mixed streams would also decode)."""
+    """Sniff-and-split: BMP-stream ('BM' first frame), MJPEG elementary
+    stream (FFD8), or RIFF-AVI container ('RIFF'..'AVI ') → per-frame
+    payloads. The single video-split entry the multimodal operators call —
+    decode each frame with decode_image (which sniffs per frame, so mixed
+    streams would also decode)."""
     if buf[:2] == b"BM":
         return split_bmp_stream(buf)
     if buf[:2] == b"\xFF\xD8":
         return split_mjpeg(buf)
-    raise ValueError(f"not a BMP-stream/MJPEG video payload (magic {buf[:2]!r})")
+    if buf[:4] == b"RIFF":
+        return split_avi_mjpeg(buf)
+    raise ValueError(
+        f"not a BMP-stream/MJPEG/AVI video payload (magic {buf[:4]!r})"
+    )
+
+
+# ---------------- AVI container (RIFF box walk, MJPEG payload) -------------
+#
+# Minimal but REAL RIFF-AVI (the Microsoft 'AVI RIFF File Reference'
+# layout): RIFF('AVI ') → LIST('hdrl'){ avih + LIST('strl'){strh+strf} } +
+# LIST('movi'){ '00dc' chunks } + 'idx1'. Every structure below is the
+# published public format; frames are the same baseline JPEGs the MJPEG
+# elementary stream carries, so the decode seam is unchanged.
+
+_AVIF_HASINDEX = 0x10
+_AVIIF_KEYFRAME = 0x10
+
+
+def _riff_ck(fourcc: bytes, payload: bytes) -> bytes:
+    # RIFF chunks are WORD-aligned: odd payloads carry one pad byte that is
+    # NOT counted in the stored size
+    return fourcc + struct.pack("<I", len(payload)) + payload + (
+        b"\x00" if len(payload) & 1 else b""
+    )
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_ck(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """Pack frames as a minimal RIFF-AVI with an MJPG video stream and an
+    idx1 index. idx1 offsets follow the common convention: relative to the
+    'movi' fourcc (offset 4 = first chunk header)."""
+    from vers_spark.operators.jpeg_codec import encode_jpeg
+
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    jpegs = [encode_jpeg(f) for f in frames]
+    h, w = frames[0].shape[:2]
+    movi_items, idx = [], []
+    off = 4
+    for j in jpegs:
+        movi_items.append(_riff_ck(b"00dc", j))
+        idx.append(struct.pack("<4sIII", b"00dc", _AVIIF_KEYFRAME, off, len(j)))
+        off += 8 + len(j) + (len(j) & 1)
+    max_size = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_size * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        _AVIF_HASINDEX,  # dwFlags
+        len(jpegs),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_size,  # dwSuggestedBufferSize
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,  # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids",
+        b"MJPG",
+        0,  # dwFlags
+        0,  # wPriority
+        0,  # wLanguage
+        0,  # dwInitialFrames
+        1,  # dwScale
+        fps,  # dwRate
+        0,  # dwStart
+        len(jpegs),  # dwLength (frames)
+        max_size,  # dwSuggestedBufferSize
+        0,  # dwQuality
+        0,  # dwSampleSize (0 = variable, one sample per chunk)
+        0,
+        0,
+        w,
+        h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_ck(b"avih", avih)
+        + _riff_list(b"strl", _riff_ck(b"strh", strh) + _riff_ck(b"strf", strf)),
+    )
+    body = (
+        b"AVI "
+        + hdrl
+        + _riff_list(b"movi", b"".join(movi_items))
+        + _riff_ck(b"idx1", b"".join(idx))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def split_avi_mjpeg(buf: bytes) -> list[bytes]:
+    """RIFF box walk → per-frame JPEG payloads. Chunks are walked by their
+    stored sizes (word-aligned) — no byte scanning; header counts
+    (avih.dwTotalFrames, strh.dwLength) and the idx1 entries are
+    cross-checked against the walked movi chunks, so a corrupt container
+    fails loudly rather than yielding a wrong frame set."""
+    if buf[:4] != b"RIFF" or len(buf) < 12 or buf[8:12] != b"AVI ":
+        raise ValueError(f"not a RIFF-AVI payload (magic {buf[:4]!r})")
+    (riff_size,) = struct.unpack_from("<I", buf, 4)
+    if 8 + riff_size > len(buf):
+        raise ValueError("truncated RIFF payload")
+    frames: list[bytes] = []
+    walked: list[tuple[int, int]] = []  # (offset-from-movi-fourcc, size)
+    idx_payload = None
+    n_frames_hdr = None
+    n_frames_strh = None
+    compression = None
+
+    def sub_chunks(lo: int, hi: int):
+        p = lo
+        while p + 8 <= hi:
+            cc = buf[p : p + 4]
+            (sz,) = struct.unpack_from("<I", buf, p + 4)
+            if p + 8 + sz > hi:
+                raise ValueError(f"chunk {cc!r} overruns its parent list")
+            yield cc, p + 8, sz
+            p += 8 + sz + (sz & 1)
+
+    for cc, lo, sz in sub_chunks(12, 8 + riff_size):
+        if cc == b"LIST":
+            ltype = buf[lo : lo + 4]
+            if ltype == b"hdrl":
+                for c2, lo2, sz2 in sub_chunks(lo + 4, lo + sz):
+                    if c2 == b"avih":
+                        n_frames_hdr = struct.unpack_from("<I", buf, lo2 + 16)[0]
+                    elif c2 == b"LIST" and buf[lo2 : lo2 + 4] == b"strl":
+                        for c3, lo3, sz3 in sub_chunks(lo2 + 4, lo2 + sz2):
+                            if c3 == b"strh":
+                                n_frames_strh = struct.unpack_from(
+                                    "<I", buf, lo3 + 32
+                                )[0]
+                            elif c3 == b"strf":
+                                compression = buf[lo3 + 16 : lo3 + 20]
+            elif ltype == b"movi":
+                for c2, lo2, sz2 in sub_chunks(lo + 4, lo + sz):
+                    if c2 in (b"00dc", b"00db"):
+                        frames.append(buf[lo2 : lo2 + sz2])
+                        walked.append((lo2 - 8 - lo, sz2))
+        elif cc == b"idx1":
+            idx_payload = buf[lo : lo + sz]
+    if compression is not None and compression != b"MJPG":
+        raise ValueError(f"AVI stream is not MJPG (strf {compression!r})")
+    for want in (n_frames_hdr, n_frames_strh):
+        if want is not None and want != len(frames):
+            raise ValueError(
+                f"AVI header claims {want} frames, movi holds {len(frames)}"
+            )
+    if idx_payload is not None:
+        if len(idx_payload) != 16 * len(frames):
+            raise ValueError("idx1 entry count does not match movi chunks")
+        for i, (off, size) in enumerate(walked):
+            ckid, _flags, ioff, isz = struct.unpack_from(
+                "<4sIII", idx_payload, 16 * i
+            )
+            if ckid not in (b"00dc", b"00db") or ioff != off or isz != size:
+                raise ValueError(f"idx1 entry {i} disagrees with the movi walk")
+    for f in frames:
+        if f[:2] != b"\xFF\xD8":
+            raise ValueError("movi chunk is not a JPEG frame")
+    return frames
 
 
 # ---------------- real feature kernels (FEATURE_DIM floats) ----------------

@@ -269,7 +269,7 @@ def synthesize_media_from_documents(
     container; frames are smoothed for the same lossy-roundtrip reason."""
     if image_format not in ("bmp", "jpeg"):
         raise ValueError(f"unknown image_format {image_format!r}")
-    if video_format not in ("bmp", "mjpeg"):
+    if video_format not in ("bmp", "mjpeg", "avi"):
         raise ValueError(f"unknown video_format {video_format!r}")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -329,6 +329,12 @@ def synthesize_media_from_documents(
                     n_frames = int(mid) % 3 + 2
                     if video_format == "mjpeg":
                         payloads.append(MC.encode_mjpeg(mjpeg_source_frames(int(mid))))
+                    elif video_format == "avi":
+                        # same deterministic JPEG frames, boxed in the RIFF
+                        # container (hdrl headers + movi chunks + idx1)
+                        payloads.append(
+                            MC.encode_avi_mjpeg(mjpeg_source_frames(int(mid)))
+                        )
                     else:
                         frames = [
                             rng.randint(0, 256, (8, 12, 3), dtype=np.uint8)

@@ -201,23 +201,20 @@ def mm_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real video-container pipeline: synthesize MJPEG elementary streams
-    (concatenated baseline JPEGs — media_codecs.encode_mjpeg, the r7
-    upgrade of the BMP-stream toy container), frame-split them with the
-    T.81 segment walk (jpeg_size — no index, no naive FFD9 scan), sample
-    one frame per tick through the standard sample_frames mapInPandas
-    seam, decode each sampled frame, and verify faithfulness in-query:
-    per-frame PSNR of the decoded JPEG vs the deterministic source frame
-    (regenerated from the synthesizer's seed). Rows-only (binary codec
-    pipelines are not SQL-expressible); split/roundtrip unit gates live in
-    tests/test_multimodal_real.py."""
+def _video_psnr_frames(spark: SparkSession, sf_dir: str, video_format: str) -> DataFrame:
+    """Shared body of mm_mjpeg_frames / mm_avi_frames: synthesize real
+    video payloads in ``video_format``, frame-split them (T.81 segment walk
+    for the elementary stream, RIFF box walk for AVI), sample one frame per
+    tick through the standard sample_frames mapInPandas seam, decode each
+    sampled frame, and verify faithfulness in-query: per-frame PSNR of the
+    decoded JPEG vs the deterministic source frame from the ONE shared
+    generator (multimodal.mjpeg_source_frames)."""
     import numpy as np
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     media = synthesize_media_from_documents(
-        docs, real_payloads=True, video_format="mjpeg"
+        docs, real_payloads=True, video_format=video_format
     )
     frames = sample_frames(media, every_ms=1000, decode="real")
 
@@ -266,6 +263,27 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frame_idx")
     )
+
+
+def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG elementary stream (concatenated baseline JPEGs) through the
+    full sample/decode/PSNR pipeline — frame boundaries recovered by the
+    T.81 segment walk (media_codecs.jpeg_size; a naive FFD9 scan would
+    mis-split). Rows-only (binary codec pipelines are not
+    SQL-expressible); split/roundtrip unit gates live in
+    tests/test_multimodal_real.py."""
+    return _video_psnr_frames(spark, sf_dir, "mjpeg")
+
+
+def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF-AVI container (r8: the boxed-container step past the
+    elementary stream): the same baseline-JPEG frames packed as
+    LIST('hdrl') headers + LIST('movi') '00dc' chunks + idx1, split by the
+    RIFF box walk (media_codecs.split_avi_mjpeg — chunk sizes, not byte
+    scans; header frame counts and idx1 entries cross-checked against the
+    walked chunks), then the identical sample/decode/PSNR pipeline.
+    Rows-only; container unit gates in tests/test_multimodal_real.py."""
+    return _video_psnr_frames(spark, sf_dir, "avi")
 
 
 def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,6 +522,7 @@ QUERIES = {
     "mm_jpeg_pipeline": mm_jpeg_pipeline,
     "mm_frame_sample": mm_frame_sample,
     "mm_mjpeg_frames": mm_mjpeg_frames,
+    "mm_avi_frames": mm_avi_frames,
     "mm_resize": mm_resize,
     "mm_audio_resample": mm_audio_resample,
 }
