@@ -190,18 +190,30 @@ def main() -> None:
             ivf = IVFFlatIndex.build(
                 corpus, num_clusters=20, max_iterations=10, num_attempts=3, seed=42
             )
-        t0 = time.perf_counter()
-        res_df = residuals(ivf)
-        codec = PQCodec.train(
-            res_df, m=args.pq_m, k_codebook=args.pq_kbook, max_iter=10, seed=42
-        )
-        out["pq_train_sec"] = round(time.perf_counter() - t0, 1)
+        import numpy as np
+
         codes_path = f"{REPO}/.scale_data/pqcodes_{args.n}_m{args.pq_m}k{args.pq_kbook}"
-        t0 = time.perf_counter()
-        codes = persist_codes_partitioned(
-            codec.encode(res_df), ivf._serving_assignments(), codes_path
-        )
-        out["pq_encode_persist_sec"] = round(time.perf_counter() - t0, 1)
+        books_path = f"{codes_path}_codebooks.npy"
+        if os.path.exists(books_path) and os.path.isdir(codes_path):
+            # train/encode are deterministic (seeded) — cache them like the
+            # corpus so serving-config sweeps (oversample/probes) rerun in
+            # minutes; delete the .npy to retrain
+            codec = PQCodec(codebooks=np.load(books_path))
+            codes = spark.read.parquet(codes_path)
+            out["pq_train_sec"] = "cached"
+        else:
+            t0 = time.perf_counter()
+            res_df = residuals(ivf)
+            codec = PQCodec.train(
+                res_df, m=args.pq_m, k_codebook=args.pq_kbook, max_iter=10, seed=42
+            )
+            out["pq_train_sec"] = round(time.perf_counter() - t0, 1)
+            np.save(books_path, codec.codebooks)
+            t0 = time.perf_counter()
+            codes = persist_codes_partitioned(
+                codec.encode(res_df), ivf._serving_assignments(), codes_path
+            )
+            out["pq_encode_persist_sec"] = round(time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
         res = ivfpq_search_blocked(
             ivf,

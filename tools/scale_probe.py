@@ -234,6 +234,10 @@ def _probes():
         # x10 factor should track BUILD growth (~linear), not leaf-ranking
         # growth (the pre-r7 every-leaf serving term)
         "lsh_search_multiprobe": _q("lsh_search_multiprobe"),
+        # round-8: the RIFF-AVI container pipeline — same fixed doc_id<120
+        # payload sample as the MJPEG/JPEG queries, so the factor measures
+        # per-doc payload growth (tokens ~2x at x10), not corpus rows
+        "mm_avi_frames": _q("mm_avi_frames"),
     }
 
 
