@@ -1012,6 +1012,9 @@ class HNSWIndex:
         manifest = dict(self.params)
         if self.centroids is not None:
             manifest["centroids"] = self.centroids.tolist()
+        # on-disk layout version (the LSH discipline): v1 = this layout
+        # since round 2; absent stamps read as v1 (no older layout exists)
+        manifest["format_version"] = 1
         with open(f"{path}/manifest.json", "w") as f:
             json.dump(manifest, f)
 
@@ -1019,6 +1022,12 @@ class HNSWIndex:
     def load(spark: SparkSession, path: str) -> "HNSWIndex":
         with open(f"{path}/manifest.json") as f:
             manifest = json.load(f)
+        version = manifest.pop("format_version", 1)
+        if version != 1:
+            raise ValueError(
+                f"HNSW index at {path!r} has on-disk format_version "
+                f"{version}, this build reads 1 — re-save to migrate"
+            )
         cents = manifest.pop("centroids", None)
         return HNSWIndex(
             spark,

@@ -732,13 +732,27 @@ class IVFFlatIndex:
         os.makedirs(path, exist_ok=True)
         with open(f"{path}/manifest.json", "w") as f:
             json.dump(
-                {k: v for k, v in self.params.items() if not k.startswith("_")}, f, indent=2
+                {
+                    **{k: v for k, v in self.params.items() if not k.startswith("_")},
+                    # on-disk layout version (the LSH discipline, lsh.py
+                    # LSH_FORMAT_VERSION): v1 = this layout since round 2;
+                    # absent stamps read as v1 because no older layout exists
+                    "format_version": 1,
+                },
+                f,
+                indent=2,
             )
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IVFFlatIndex":
         with open(f"{path}/manifest.json") as f:
             params = json.load(f)
+        version = params.pop("format_version", 1)
+        if version != 1:
+            raise ValueError(
+                f"IVFFlat index at {path!r} has on-disk format_version "
+                f"{version}, this build reads 1 — re-save to migrate"
+            )
         # probe filters prune the partitionBy(cluster_id) layout — keep the
         # scan lazy (see _serving_assignments)
         params["_source"] = "files"

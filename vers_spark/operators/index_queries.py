@@ -706,12 +706,22 @@ def ivfpq_residual_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     store with static partition pruning. Rows-only; the
     residual-beats-plain coding property and rerank recall are gated in
     tests/test_ivfflat.py on a structured corpus."""
-    from vers_spark.indexes.pq import (
-        PQCodec,
-        ivfpq_search_residual,
-        persist_codes_partitioned,
-        residuals,
+    from vers_spark.indexes.pq import ivfpq_search_residual
+
+    codec, codes = _ivfpq_residual(spark, sf_dir)
+    ivf = _ivf(spark, sf_dir, 8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return ivfpq_search_residual(
+        ivf, codec, codes, queries, k=10, n_probes=4, oversample=5, corpus=corpus
     )
+
+
+def _ivfpq_residual(spark: SparkSession, sf_dir: str):
+    """Residual codec + cluster-partitioned residual code store, memoized —
+    shared by the declarative residual query and its blocked serving twin."""
+    from vers_spark.indexes.pq import PQCodec, persist_codes_partitioned, residuals
     from vers_spark.streaming.events import scratch_dir
 
     key = (sf_dir, "residual")
@@ -725,13 +735,37 @@ def ivfpq_residual_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             scratch_dir("vs_pq_rescodes_") + "/codes",
         )
         _PQ_CACHE[key] = (codec, codes)
-    codec, codes = _PQ_CACHE[key]
+    return _PQ_CACHE[key]
+
+
+def ivfpq_blocked_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1M+ serving path for IVF×PQ (pq.ivfpq_search_blocked, round 8):
+    probes and the underflow-fill prefix resolve driver-side, the residual
+    ADC LUT tensor broadcasts ONCE, and each cluster-pruned code partition
+    computes a vectorized numpy gather + bounded partial top-k — vs the
+    declarative engine's per-candidate broadcast-joined LUT column. Same
+    cached codec/store/coarse quantizer as ivfpq_residual_search, same
+    rows by construction (bit-parity gated in tests/test_pq.py; 1M
+    evidence BASELINE.md §r8: 0.947 recall@10 at 177 ms/q warm,
+    oversample 500). Rows-only (codebooks are trained artifacts, not
+    SQL)."""
+    from vers_spark.indexes.pq import ivfpq_search_blocked
+
+    codec, codes = _ivfpq_residual(spark, sf_dir)
     ivf = _ivf(spark, sf_dir, 8)
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 97 != 0)
     queries = emb.filter(F.col("vec_id") % 97 == 0)
-    return ivfpq_search_residual(
-        ivf, codec, codes, queries, k=10, n_probes=4, oversample=5, corpus=corpus
+    return ivfpq_search_blocked(
+        ivf,
+        codec,
+        codes,
+        queries,
+        k=10,
+        n_probes=4,
+        oversample=5,
+        corpus=corpus,
+        residual=True,
     )
 
 
@@ -1296,6 +1330,7 @@ QUERIES = {
     "hnsw_search_filtered": hnsw_search_filtered,
     "ivfpq_search": ivfpq_search_q,
     "ivfpq_residual_search": ivfpq_residual_search_q,
+    "ivfpq_blocked_serve": ivfpq_blocked_serve_q,
     "index_lifecycle_roundtrip": index_lifecycle_roundtrip,
     "hnsw_search_frontier": hnsw_search_frontier,
     "hnsw_layer_stats": hnsw_layer_stats,

@@ -1238,6 +1238,12 @@ def doc_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # injected corrupt line is a short row, with sentinel values keeping
         # it out of the real (source, lang) groups.
         f.write('"9999999","x","xx","zz-corrupt"\n')
+    # the staging path is stable within an app (sources/staging.py), and
+    # write_csv's overwrite triggers CacheManager.recacheByPath — which
+    # re-lists the directory BEFORE the corrupt file above exists. A rerun
+    # in the same session would otherwise serve that stale cached listing
+    # (quarantine row invisible); refresh re-lists with the full file set.
+    spark.catalog.refreshByPath(path)
     # cache() materializes ALL columns before the aggregate: under column
     # pruning the CSV parser would only parse (source, lang) and never
     # notice the short row's missing 5th field (Spark's documented

@@ -37,7 +37,11 @@ def staging_dir(spark: SparkSession, kind: str, token: str) -> str:
     """
     tag = hashlib.md5(token.encode()).hexdigest()[:8]
     parent = os.path.join(tempfile.gettempdir(), f"vs_stage_{kind}_{tag}")
-    app = spark.sparkContext.applicationId
+    # applicationId alone is NOT unique across processes in local mode
+    # ("local-<epoch-ms>" — two test processes launched in the same
+    # millisecond collide); the pid disambiguates while staying stable
+    # within one application
+    app = f"{spark.sparkContext.applicationId}_{os.getpid()}"
     mine = os.path.join(parent, app)
     os.makedirs(mine, exist_ok=True)
     if mine not in _CLEANUP_REGISTERED:
