@@ -181,11 +181,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich",
         "vec_corpus_pyds",
         "vec_corpus_roundtrip",
-        "emb_pca_stats",
-        # -- round-8 NEW operator (never swept): RIFF-AVI container --
+        # -- round-8 NEW operators (never swept): RIFF-AVI container and
+        # the blocked IVF×PQ serving twin (the 1M path) --
         "mm_avi_frames",
+        "ivfpq_blocked_serve",
         # -- past the 50-cut: remaining r3 rows-only queries (r9 head),
         # then everything newer rotates behind --
+        "emb_pca_stats",
         "emb_pca_knn_recall",
         "emb_similarity_join",
         "mm_feature_extract",
