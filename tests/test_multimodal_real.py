@@ -260,3 +260,56 @@ def test_avi_pipeline_query(spark, sf_dir):
     # same frames, same sampling → identical aggregate rows as MJPEG
     mj = mm_mjpeg_frames(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in mj]
+
+
+def test_mp4_container_roundtrip():
+    """ISO BMFF box walk: samples recovered via the moov index tables
+    (stsc/stco/stsz), not byte scanning; roundtrip PSNR clears the shared
+    floor and the sniffing dispatch routes ftyp payloads."""
+    from vers_spark.operators.multimodal import mjpeg_source_frames
+
+    for mid in (5, 6, 7):
+        frames = mjpeg_source_frames(mid)
+        mp4 = MC.encode_mp4_mjpeg(frames)
+        back = MC.split_mp4_mjpeg(mp4)
+        assert len(back) == len(frames)
+        assert MC.split_video_stream(mp4) == back
+        for payload, src in zip(back, frames):
+            arr = MC.decode_image(payload)
+            err = arr.astype(np.float64) - src.astype(np.float64)
+            psnr = 10 * np.log10(255.0**2 / max(float((err * err).mean()), 1e-9))
+            assert psnr > 26.0, psnr
+
+
+def test_mp4_container_validation():
+    """Corrupt BMFF fails loudly: stsz/stts count mismatch, non-jpeg
+    stsd, truncation, missing moov, non-BMFF payload."""
+    from vers_spark.operators.multimodal import mjpeg_source_frames
+
+    mp4 = MC.encode_mp4_mjpeg(mjpeg_source_frames(7))
+    bad = bytearray(mp4)
+    i = mp4.find(b"stsz")
+    bad[i + 12 : i + 16] = (99).to_bytes(4, "big")  # sample count
+    with pytest.raises(ValueError, match="stts|stsc"):
+        MC.split_mp4_mjpeg(bytes(bad))
+    bad = bytearray(mp4)
+    i = mp4.find(b"jpeg", mp4.find(b"stsd"))
+    bad[i : i + 4] = b"avc1"
+    with pytest.raises(ValueError, match="jpeg"):
+        MC.split_mp4_mjpeg(bytes(bad))
+    with pytest.raises(ValueError, match="overruns|lacks"):
+        MC.split_mp4_mjpeg(mp4[: len(mp4) // 2])
+    with pytest.raises(ValueError, match="BMFF"):
+        MC.split_mp4_mjpeg(b"\x00\x00\x00\x08free" + b"\x00" * 8)
+
+
+def test_mp4_pipeline_query(spark, sf_dir):
+    """mm_mp4_frames posts the same aggregate rows as the MJPEG and AVI
+    queries — same frames, third container."""
+    from vers_spark.operators.pipeline_queries import mm_avi_frames, mm_mp4_frames
+
+    rows = mm_mp4_frames(spark, sf_dir).collect()
+    assert rows and all(r["min_psnr"] > 26.0 for r in rows), rows
+    assert [tuple(r) for r in rows] == [
+        tuple(r) for r in mm_avi_frames(spark, sf_dir).collect()
+    ]

@@ -213,8 +213,10 @@ def split_video_stream(buf: bytes) -> list[bytes]:
         return split_mjpeg(buf)
     if buf[:4] == b"RIFF":
         return split_avi_mjpeg(buf)
+    if buf[4:8] == b"ftyp":
+        return split_mp4_mjpeg(buf)
     raise ValueError(
-        f"not a BMP-stream/MJPEG/AVI video payload (magic {buf[:4]!r})"
+        f"not a BMP-stream/MJPEG/AVI/MP4 video payload (magic {buf[:8]!r})"
     )
 
 
@@ -382,6 +384,229 @@ def split_avi_mjpeg(buf: bytes) -> list[bytes]:
     for f in frames:
         if f[:2] != b"\xFF\xD8":
             raise ValueError("movi chunk is not a JPEG frame")
+    return frames
+
+
+# ---------------- MP4 container (ISO BMFF box walk, MJPEG samples) ---------
+#
+# Minimal but REAL ISO base-media file (the published ISO/IEC 14496-12
+# layout): ftyp + mdat(concatenated JPEG samples) + moov(mvhd +
+# trak(tkhd + mdia(mdhd + hdlr'vide' + minf(vmhd + dinf(dref'url ') +
+# stbl(stsd'jpeg' + stts + stsc + stsz + stco))))). Unlike the AVI walk
+# (chunk headers in stream order), the decoder recovers samples through
+# the INDEX tables — stsc maps chunks to sample runs, stco gives chunk
+# file offsets, stsz per-sample sizes — which is how real BMFF demuxers
+# work; mdat itself carries no framing.
+
+_MP4_TIMESCALE = 1000
+_MP4_FRAME_MS = 40  # 25 fps
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full_box(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def encode_mp4_mjpeg(frames: list[np.ndarray]) -> bytes:
+    """Pack frames as a minimal ISO BMFF file with one 'jpeg'-coded video
+    track. stco needs the mdat payload's absolute file offset, which
+    depends on moov's size — moov is built once with offset 0 (its size
+    is offset-independent: the field is fixed-width) and rebuilt with the
+    real value."""
+    from vers_spark.operators.jpeg_codec import encode_jpeg
+
+    if not frames:
+        raise ValueError("encode_mp4_mjpeg needs at least one frame")
+    jpegs = [encode_jpeg(f) for f in frames]
+    h, w = frames[0].shape[:2]
+    n = len(jpegs)
+    dur = n * _MP4_FRAME_MS
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"iso2")
+
+    def moov_at(mdat_payload_off: int) -> bytes:
+        mvhd = _full_box(
+            b"mvhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, dur)
+            + struct.pack(">iH", 0x00010000, 0x0100)  # rate, volume
+            + b"\x00" * 10
+            + struct.pack(
+                ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )  # unity matrix
+            + b"\x00" * 24  # pre_defined
+            + struct.pack(">I", 2),  # next_track_ID
+        )
+        tkhd = _full_box(
+            b"tkhd",
+            0,
+            7,  # enabled | in_movie | in_preview
+            struct.pack(">IIIII", 0, 0, 1, 0, dur)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, group, volume, reserved
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _full_box(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, dur)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _full_box(
+            b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00"
+        )
+        # VisualSampleEntry 'jpeg' (QuickTime/BMFF JPEG sample format)
+        sample_entry = _box(
+            b"jpeg",
+            b"\x00" * 6
+            + struct.pack(">H", 1)  # data_reference_index
+            + b"\x00" * 16
+            + struct.pack(">HH", w, h)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + struct.pack(">I", 0)
+            + struct.pack(">H", 1)  # frame_count
+            + b"\x00" * 32  # compressorname
+            + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+        )
+        stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+        stts = _full_box(
+            b"stts", 0, 0, struct.pack(">III", 1, n, _MP4_FRAME_MS)
+        )
+        stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+        stsz = _full_box(
+            b"stsz",
+            0,
+            0,
+            struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(j)) for j in jpegs),
+        )
+        stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, mdat_payload_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = _full_box(
+            b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
+        )
+        dinf = _box(b"dinf", dref)
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    moov_len = len(moov_at(0))
+    mdat_payload_off = len(ftyp) + moov_len + 8
+    moov = moov_at(mdat_payload_off)
+    assert len(moov) == moov_len
+    mdat = _box(b"mdat", b"".join(jpegs))
+    return ftyp + moov + mdat
+
+
+def _walk_boxes(buf: bytes, lo: int, hi: int):
+    pos = lo
+    while pos + 8 <= hi:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = hi - pos
+        if pos + size > hi or size < 8:
+            raise ValueError(f"box {btype!r} overruns its container")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, lo: int, hi: int, *path: bytes) -> tuple[int, int]:
+    for btype, body, end in _walk_boxes(buf, lo, hi):
+        if btype == path[0]:
+            if len(path) == 1:
+                return body, end
+            return _find_box(buf, body, end, *path[1:])
+    raise ValueError(f"missing box {b'/'.join(path)!r}")
+
+
+def split_mp4_mjpeg(buf: bytes) -> list[bytes]:
+    """ISO BMFF box walk → per-frame JPEG payloads, recovered via the
+    sample tables (stsc chunk map + stco chunk offsets + stsz sizes) the
+    way a real demuxer reads mdat — never by scanning bytes. Validates
+    the stsd sample format is 'jpeg', sample counts agree across
+    stsz/stts, every sample lies inside mdat, and every sample starts
+    with an SOI marker."""
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        raise ValueError(f"not an ISO BMFF payload (magic {buf[4:8]!r})")
+    mdat_span = None
+    moov_span = None
+    for btype, body, end in _walk_boxes(buf, 0, len(buf)):
+        if btype == b"mdat":
+            mdat_span = (body, end)
+        elif btype == b"moov":
+            moov_span = (body, end)
+    if mdat_span is None or moov_span is None:
+        raise ValueError("BMFF payload lacks moov/mdat")
+    stbl_lo, stbl_hi = _find_box(
+        buf, *moov_span, b"trak", b"mdia", b"minf", b"stbl"
+    )
+    # stsd: sample format must be 'jpeg'
+    sd_lo, sd_hi = _find_box(buf, stbl_lo, stbl_hi, b"stsd")
+    (n_entries,) = struct.unpack_from(">I", buf, sd_lo + 4)
+    fmt = buf[sd_lo + 12 : sd_lo + 16]
+    if n_entries != 1 or fmt != b"jpeg":
+        raise ValueError(f"BMFF track is not 'jpeg'-coded (stsd {fmt!r})")
+    # stsz: per-sample sizes
+    sz_lo, _ = _find_box(buf, stbl_lo, stbl_hi, b"stsz")
+    fixed, count = struct.unpack_from(">II", buf, sz_lo + 4)
+    sizes = (
+        [fixed] * count
+        if fixed
+        else list(struct.unpack_from(f">{count}I", buf, sz_lo + 12))
+    )
+    # stts: total sample count must agree
+    tt_lo, tt_hi = _find_box(buf, stbl_lo, stbl_hi, b"stts")
+    (n_tt,) = struct.unpack_from(">I", buf, tt_lo + 4)
+    total_tt = sum(
+        struct.unpack_from(">II", buf, tt_lo + 8 + 8 * i)[0] for i in range(n_tt)
+    )
+    if total_tt != count:
+        raise ValueError(f"stts covers {total_tt} samples, stsz {count}")
+    # stco/co64: chunk offsets; stsc: samples per chunk
+    try:
+        co_lo, _ = _find_box(buf, stbl_lo, stbl_hi, b"stco")
+        (n_co,) = struct.unpack_from(">I", buf, co_lo + 4)
+        offsets = list(struct.unpack_from(f">{n_co}I", buf, co_lo + 8))
+    except ValueError:
+        co_lo, _ = _find_box(buf, stbl_lo, stbl_hi, b"co64")
+        (n_co,) = struct.unpack_from(">I", buf, co_lo + 4)
+        offsets = list(struct.unpack_from(f">{n_co}Q", buf, co_lo + 8))
+    sc_lo, _ = _find_box(buf, stbl_lo, stbl_hi, b"stsc")
+    (n_sc,) = struct.unpack_from(">I", buf, sc_lo + 4)
+    runs = [
+        struct.unpack_from(">III", buf, sc_lo + 8 + 12 * i) for i in range(n_sc)
+    ]
+    # expand the stsc run-length map to per-chunk sample counts
+    per_chunk = []
+    for i, (first, spc, _sdi) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(offsets)
+        per_chunk += [spc] * (last - first + 1)
+    if len(per_chunk) != len(offsets) or sum(per_chunk) != count:
+        raise ValueError("stsc chunk map disagrees with stco/stsz")
+    frames: list[bytes] = []
+    si = 0
+    for chunk_off, spc in zip(offsets, per_chunk):
+        pos = chunk_off
+        for _ in range(spc):
+            if not (mdat_span[0] <= pos and pos + sizes[si] <= mdat_span[1]):
+                raise ValueError(f"sample {si} lies outside mdat")
+            frames.append(buf[pos : pos + sizes[si]])
+            pos += sizes[si]
+            si += 1
+    for f in frames:
+        if f[:2] != b"\xFF\xD8":
+            raise ValueError("BMFF sample is not a JPEG frame")
     return frames
 
 

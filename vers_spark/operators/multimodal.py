@@ -269,7 +269,7 @@ def synthesize_media_from_documents(
     container; frames are smoothed for the same lossy-roundtrip reason."""
     if image_format not in ("bmp", "jpeg"):
         raise ValueError(f"unknown image_format {image_format!r}")
-    if video_format not in ("bmp", "mjpeg", "avi"):
+    if video_format not in ("bmp", "mjpeg", "avi", "mp4"):
         raise ValueError(f"unknown video_format {video_format!r}")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -334,6 +334,12 @@ def synthesize_media_from_documents(
                         # container (hdrl headers + movi chunks + idx1)
                         payloads.append(
                             MC.encode_avi_mjpeg(mjpeg_source_frames(int(mid)))
+                        )
+                    elif video_format == "mp4":
+                        # same frames again, ISO BMFF (moov sample tables
+                        # index an unframed mdat)
+                        payloads.append(
+                            MC.encode_mp4_mjpeg(mjpeg_source_frames(int(mid)))
                         )
                     else:
                         frames = [

@@ -286,6 +286,17 @@ def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _video_psnr_frames(spark, sf_dir, "avi")
 
 
+def mm_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO BMFF / MP4 container (r8, alongside the RIFF-AVI walk): the
+    same baseline-JPEG frames as an unframed mdat indexed by the moov
+    sample tables — the decoder recovers samples through stsc/stco/stsz
+    the way a real BMFF demuxer does (media_codecs.split_mp4_mjpeg;
+    counts cross-checked across stsz/stts/stsc, samples bounds-checked
+    against mdat), then the identical sample/decode/PSNR pipeline.
+    Rows-only; container unit gates in tests/test_multimodal_real.py."""
+    return _video_psnr_frames(spark, sf_dir, "mp4")
+
+
 def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata audit — the one hash-matched query of the media
     family: per-kind counts, payload byte totals, and meta ranges over the
@@ -523,6 +534,7 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
     "mm_mjpeg_frames": mm_mjpeg_frames,
     "mm_avi_frames": mm_avi_frames,
+    "mm_mp4_frames": mm_mp4_frames,
     "mm_resize": mm_resize,
     "mm_audio_resample": mm_audio_resample,
 }
