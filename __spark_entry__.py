@@ -155,7 +155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_upsert_merge",
         "doc_merge_full",
         "doc_time_travel",
-        "doc_version_diff",
+        # -- round-8 NEW oracle-backed operator: G.711 mu-law transcode
+        # (doc_version_diff yields its slot — its staging change is
+        # certified by the three COW/versioned siblings above) --
+        "mm_audio_mulaw",
         # -- rotation: the r3-row cohort, oracle-backed first --
         "bpe_corpus_tokens",
         "bpe_segment_vocab",

@@ -313,3 +313,59 @@ def test_mp4_pipeline_query(spark, sf_dir):
     assert [tuple(r) for r in rows] == [
         tuple(r) for r in mm_avi_frames(spark, sf_dir).collect()
     ]
+
+
+def test_mulaw_spec_identities():
+    """ITU G.711 identities: expand∘compress is the identity on all 256
+    codes except the negative-zero collapse (0x7F and 0xFF both decode to
+    PCM 0, and 0 re-encodes as 0xFF); canonical anchors compress(0)=0xFF,
+    compress(-1)=0x7F; sine roundtrip SNR sits at the ~38 dB companding
+    design point."""
+    codes = np.arange(256, dtype=np.uint8)
+    rt = MC.mulaw_compress(MC.mulaw_expand(codes))
+    mismatch = np.nonzero(rt != codes)[0]
+    assert list(mismatch) == [0x7F], mismatch
+    assert MC.mulaw_expand(np.array([0x7F], dtype=np.uint8))[0] == 0
+    assert MC.mulaw_compress(np.array([0]))[0] == 0xFF
+    assert MC.mulaw_compress(np.array([-1]))[0] == 0x7F
+    t = np.arange(16000) / 16000.0
+    x = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
+    y = MC.mulaw_expand(MC.mulaw_compress(x)).astype(np.float64)
+    err = y - x.astype(np.float64)
+    snr = 10 * np.log10((x.astype(np.float64) ** 2).mean() / (err * err).mean())
+    assert 35.0 < snr < 42.0, snr
+
+
+def test_mulaw_wav_roundtrip_and_dispatch():
+    """Format-tag-7 WAV: half the bytes of PCM16, decode_wav dispatches on
+    the tag for both formats, and bad containers fail loudly."""
+    t = np.arange(4000) / 16000.0
+    x = (np.sin(2 * np.pi * 300 * t) * 9000).astype(np.int16)
+    pcm = MC.encode_wav(x, 16000)
+    back, rate = MC.decode_wav(pcm)
+    assert rate == 16000 and (back == x).all()
+    mu = MC.encode_wav_mulaw(x, 16000)
+    assert len(mu) < len(pcm) * 0.55
+    y, rate2 = MC.decode_wav(mu)
+    assert rate2 == 16000
+    assert (y == MC.mulaw_expand(MC.mulaw_compress(x))).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        MC.decode_wav(b"nope" * 4)
+    bad = bytearray(mu)
+    i = mu.find(b"fmt ")
+    bad[i + 8 : i + 10] = (3).to_bytes(2, "little")  # IEEE float tag
+    with pytest.raises(ValueError, match="format tag"):
+        MC.decode_wav(bytes(bad))
+
+
+def test_mulaw_pipeline_query(spark, sf_dir):
+    """mm_audio_mulaw: real decode → G.711 transcode → exact byte
+    accounting; the in-UDF SNR floor means collecting AT ALL certifies
+    fidelity."""
+    from vers_spark.operators.pipeline_queries import mm_audio_mulaw
+
+    rows = mm_audio_mulaw(spark, sf_dir).collect()
+    assert rows and sum(r["n_clips"] for r in rows) > 50
+    for r in rows:
+        # 16->8 bit halves data; headers differ by 14 bytes per clip
+        assert r["sum_mulaw_bytes"] * 2 < r["sum_pcm_bytes"] + 100 * r["n_clips"]

@@ -93,3 +93,18 @@ def test_blocked_requires_cluster_store(spark, setup):
     bare = codec.encode(corpus)
     with pytest.raises(ValueError, match="cluster-partitioned"):
         ivfpq_search_blocked(ivf, codec, bare, queries, k=10)
+
+
+def test_blocked_code_store_partition_prunes(spark, setup):
+    """The cluster-partitioned code store must be read with a
+    PartitionFilters entry on cluster_id under the blocked engine's
+    literal isin — at 100 TB only the probed posting-list directories are
+    listed/read at all. Mirrors test_plans' IVF store gate."""
+    corpus, queries, ivf, codec, codes, _, _ = setup
+    from pyspark.sql import functions as F
+
+    pruned = codes.filter(F.col("cluster_id").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan, plan[:800]
+    # and the filter must actually reach the scan, not sit above it
+    assert "PartitionFilters: []" not in plan.replace(" ", ""), plan[:800]

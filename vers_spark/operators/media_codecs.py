@@ -101,16 +101,90 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes → (int16 mono samples, sample_rate); multi-channel input is
-    averaged down to mono."""
-    with wave.open(io.BytesIO(buf), "rb") as wf:
-        rate = wf.getframerate()
-        n_ch = wf.getnchannels()
-        assert wf.getsampwidth() == 2, "only PCM16 supported"
-        raw = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    """WAV bytes → (int16 mono samples, sample_rate) via a RIFF chunk walk
+    (the stdlib ``wave`` module is PCM-only): handles PCM16 (format tag 1)
+    and G.711 μ-law (tag 7 — expanded through the ITU tables below);
+    multi-channel input is averaged down to mono."""
+    if buf[:4] != b"RIFF" or len(buf) < 12 or buf[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF-WAVE payload (magic {buf[:4]!r})")
+    (riff_size,) = struct.unpack_from("<I", buf, 4)
+    fmt = None
+    data = None
+    pos = 12
+    hi = min(8 + riff_size, len(buf))
+    while pos + 8 <= hi:
+        cc = buf[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", buf, pos + 4)
+        if pos + 8 + sz > hi:
+            raise ValueError(f"WAV chunk {cc!r} overruns the file")
+        if cc == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", buf, pos + 8)
+        elif cc == b"data":
+            data = buf[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV payload lacks fmt/data chunks")
+    tag, n_ch, rate, _brate, _align, bits = fmt
+    if tag == 1 and bits == 16:
+        raw = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    elif tag == 7 and bits == 8:
+        raw = mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag} / {bits} bits")
     if n_ch > 1:
+        raw = raw[: len(raw) - len(raw) % n_ch]
         raw = raw.reshape(-1, n_ch).mean(axis=1).round().astype(np.int16)
     return raw, rate
+
+
+# ---------------- G.711 μ-law (ITU-T G.711) --------------------------------
+#
+# The real compressed telephony codec at the audio seam (the T.81/JPEG
+# parallel): 16-bit PCM → 8-bit log-companded codes, 2× smaller with
+# near-constant SNR across signal levels. Spec constants per ITU-T G.711:
+# bias 0x84, clip 32635, 8 chord segments × 16 steps, ones-complement
+# output. Both directions are pure vectorized numpy.
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+_ULAW_SEG_EDGES = np.array(
+    [0x100, 0x200, 0x400, 0x800, 0x1000, 0x2000, 0x4000], dtype=np.int32
+)
+
+
+def mulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM → uint8 μ-law codes (G.711 encode)."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    seg = np.searchsorted(_ULAW_SEG_EDGES, mag, side="right")
+    mant = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant)).astype(np.uint8)
+
+
+def mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """uint8 μ-law codes → int16 PCM (G.711 decode, exact spec inverse)."""
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32) & 0xFF
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << seg) - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def encode_wav_mulaw(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → μ-law WAV bytes (format tag 7, 8-bit; carries
+    the fact chunk non-PCM WAVE requires)."""
+    codes = mulaw_compress(samples)
+    fmt = struct.pack(
+        "<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0
+    )  # tag, ch, rate, byte-rate, align, bits, cbSize
+    body = (
+        b"WAVE"
+        + _riff_ck(b"fmt ", fmt)
+        + _riff_ck(b"fact", struct.pack("<I", len(codes)))
+        + _riff_ck(b"data", codes.tobytes())
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def linear_resample(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:

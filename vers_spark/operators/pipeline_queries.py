@@ -367,6 +367,63 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 μ-law transcode over REAL audio payloads (r8 — the audio
+    seam's compressed codec, the T.81 parallel): decode each synthesized
+    PCM16 WAV, compress through the ITU μ-law tables, re-container as a
+    format-tag-7 WAV (media_codecs.encode_wav_mulaw), and re-expand. Per
+    duration bucket: clip count and the EXACT byte totals of both
+    containers — pure integer functions of doc_id (n = 16·dur_ms samples;
+    PCM16 = 44 + 2n bytes, μ-law = 58 + n), so the whole real-codec
+    pipeline is hash-certified by a DuckDB oracle stating the same
+    arithmetic. Fidelity is gated in-query: any clip whose roundtrip SNR
+    falls under 30 dB (μ-law's ~38 dB companding floor minus margin)
+    raises inside the UDF and fails the row entirely."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = synthesize_media_from_documents(docs, real_payloads=True).filter(
+        F.col("kind") == "audio"
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        from vers_spark.operators import media_codecs as MC
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                pcm_bytes = bytes(p)
+                x, rate = MC.decode_wav(pcm_bytes)
+                mu = MC.encode_wav_mulaw(x, rate)
+                y = MC.decode_wav(mu)[0].astype(np.float64)
+                err = y - x.astype(np.float64)
+                sig = float((x.astype(np.float64) ** 2).mean())
+                snr = 10.0 * np.log10(sig / max(float((err * err).mean()), 1e-12))
+                if snr < 30.0:
+                    raise ValueError(f"mu-law SNR {snr:.1f} dB under floor (media {mid})")
+                rows.append((int(mid), len(pcm_bytes), len(mu)))
+            yield pd.DataFrame(rows, columns=["media_id", "pcm_bytes", "mulaw_bytes"])
+
+    per_clip = media.select("media_id", "payload").mapInPandas(
+        fn, "media_id long, pcm_bytes long, mulaw_bytes long"
+    )
+    # duration bucket: dur_ms = media_id % 80 + 20 → four 20 ms-wide buckets
+    bucket = ((F.col("media_id") % 80) / 20).cast("int")
+    return (
+        per_clip.groupBy(bucket.alias("dur_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum("pcm_bytes").cast("long").alias("sum_pcm_bytes"),
+            F.sum("mulaw_bytes").cast("long").alias("sum_mulaw_bytes"),
+        )
+        .orderBy("dur_bucket")
+    )
+
+
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize plumbing (kind filter pushed down, payload+meta rewritten
     in Arrow batches). Flat-scalar output (struct cells crash the driver
@@ -496,6 +553,20 @@ ORACLE_SQL["mm_meta_stats"] = """
     FROM m GROUP BY kind ORDER BY kind
 """
 
+# The REAL mu-law transcode's byte accounting is exact integer arithmetic
+# on doc_id: audio rows are doc_id % 3 = 1, dur_ms = doc_id % 80 + 20,
+# n = 16 * dur_ms samples at 16 kHz; stdlib PCM16 WAV = 44 + 2n bytes,
+# format-tag-7 mu-law WAV = 58 + n (12 RIFF + 26 fmt + 12 fact + 8 data
+# header; n always even, no pad). SNR floors gate inside the UDF.
+ORACLE_SQL["mm_audio_mulaw"] = """
+    SELECT CAST((doc_id % 80) // 20 AS INT) AS dur_bucket,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(44 + 2 * 16 * (doc_id % 80 + 20)) AS BIGINT) AS sum_pcm_bytes,
+           CAST(sum(58 + 16 * (doc_id % 80 + 20)) AS BIGINT) AS sum_mulaw_bytes
+    FROM documents WHERE doc_id % 3 = 1 AND doc_id < 300
+    GROUP BY 1 ORDER BY 1
+"""
+
 # Fake-mode resize truncates/pads payload to width*height bytes and pins
 # meta to the target dims; synthesize_media assigns kind = image when
 # doc_id % 3 = 0 and payload = utf-8 text bytes — all SQL-stateable.
@@ -537,4 +608,5 @@ QUERIES = {
     "mm_mp4_frames": mm_mp4_frames,
     "mm_resize": mm_resize,
     "mm_audio_resample": mm_audio_resample,
+    "mm_audio_mulaw": mm_audio_mulaw,
 }
