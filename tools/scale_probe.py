@@ -234,10 +234,13 @@ def _probes():
         # x10 factor should track BUILD growth (~linear), not leaf-ranking
         # growth (the pre-r7 every-leaf serving term)
         "lsh_search_multiprobe": _q("lsh_search_multiprobe"),
-        # round-8: the RIFF-AVI container pipeline — same fixed doc_id<120
+        # round-8: the boxed-container pipelines — same fixed doc_id<120
         # payload sample as the MJPEG/JPEG queries, so the factor measures
-        # per-doc payload growth (tokens ~2x at x10), not corpus rows
+        # per-doc payload growth (tokens ~2x at x10), not corpus rows;
+        # mu-law runs the fixed doc_id<300 clip sample (same rationale)
         "mm_avi_frames": _q("mm_avi_frames"),
+        "mm_mp4_frames": _q("mm_mp4_frames"),
+        "mm_audio_mulaw": _q("mm_audio_mulaw"),
     }
 
 
