@@ -173,7 +173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids",
         "emb_neardup_pairs",
         "minhash_signatures",
-        "mm_meta_stats",
+        # r8: upgraded from rows-only to a content-certifying hash oracle
+        # (per-frame md5) — the schema changed, so the old r3 row is stale
+        "mm_frame_sample",
         "neardup_best_quality",
         "ngram_jaccard_pairs",
         "ngram_jaccard_prefix",
@@ -194,7 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_knn_recall",
         "emb_similarity_join",
         "mm_feature_extract",
-        "mm_frame_sample",
+        "mm_meta_stats",
         "mm_real_pipeline",
     ]
     missing = [n for n in priority if n not in merged]

@@ -343,9 +343,22 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling plumbing — rows-only."""
+    """Video frame sampling plumbing — UPGRADED r8 from rows-only to a
+    full hash oracle: fake-mode frames are integer slices of the utf-8
+    payload (duration = n_chars·10, n_frames = max(duration÷1000, 1),
+    chunk = max(len÷n_frames, 1)), so each frame's byte length AND md5
+    are SQL-stateable over the documents table — the oracle certifies the
+    mapInPandas slicing byte-for-byte, not just row counts. The binary
+    column itself is projected out (canonicalizer contract)."""
     media = synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
-    return sample_frames(media, every_ms=1000, decode="fake")
+    fs = sample_frames(media, every_ms=1000, decode="fake")
+    return fs.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.length("frame_payload").cast("long").alias("frame_bytes"),
+        F.md5("frame_payload").alias("frame_md5"),
+    )
 
 
 def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,6 +564,39 @@ ORACLE_SQL["mm_meta_stats"] = """
            max(height) AS max_height,
            CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms
     FROM m GROUP BY kind ORDER BY kind
+"""
+
+# Fake-mode frame sampling is integer payload slicing: video rows are
+# doc_id % 3 = 2, payload = utf-8 text bytes, duration = n_chars * 10,
+# n_frames = GREATEST(duration // 1000, 1), chunk = GREATEST(len //
+# n_frames, 1), frame i = payload[i*chunk : (i+1)*chunk] — length and md5
+# both SQL-stateable (DuckDB substring/md5 operate on BLOBs).
+# DuckDB has no BLOB substring, so slices are stated over the VARCHAR —
+# byte-identical because the corpus is ASCII (0 multi-byte docs at every
+# SF, asserted at oracle time by the octet_length = length equality the
+# CASE below folds into the md5 input: a non-ASCII doc would hash-fail
+# loudly rather than silently diverge).
+ORACLE_SQL["mm_frame_sample"] = """
+    WITH p AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               text AS payload,
+               octet_length(encode(text)) AS plen,
+               GREATEST((n_chars * 10) // 1000, 1) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+    ), f AS (
+        SELECT media_id, payload, plen,
+               GREATEST(plen // n_frames, 1) AS chunk,
+               CAST(t.i AS INT) AS frame_idx
+        FROM p CROSS JOIN LATERAL (SELECT unnest(range(p.n_frames)) AS i) t
+    )
+    SELECT media_id,
+           frame_idx,
+           CAST(frame_idx * 1000 AS INT) AS ts_ms,
+           CAST(GREATEST(LEAST(plen, (frame_idx + 1) * chunk) - frame_idx * chunk, 0) AS BIGINT) AS frame_bytes,
+           md5(CASE WHEN length(payload) = plen
+                    THEN substring(payload, frame_idx * chunk + 1, chunk)
+                    ELSE '<non-ascii-doc>' END) AS frame_md5
+    FROM f
 """
 
 # The REAL mu-law transcode's byte accounting is exact integer arithmetic
