@@ -321,8 +321,11 @@ def mm_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over synthesized media payloads —
-    rows-only (sha256-derived fake features; decode seam stubbed). The
-    feature VECTOR is projected to per-row scalars (dim, min, max, 1e-6
+    UPGRADED r8 from rows-only to a full hash oracle: the sha256-derived
+    fake features are deterministic arithmetic on the payload bytes, and
+    DuckDB restates them exactly (_feature_oracle — digest hex parsed to
+    little-endian uint32 words, f32-rounded, ordered fold). The feature
+    VECTOR is projected to per-row scalars (dim, min, max, 1e-6
     fixed-point sum) because the driver canonicalizer cannot sort array
     cells — the full array stays available from extract_features directly."""
     media = synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
@@ -565,6 +568,56 @@ ORACLE_SQL["mm_meta_stats"] = """
            CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms
     FROM m GROUP BY kind ORDER BY kind
 """
+
+def _feature_oracle() -> str:
+    """SQL twin of multimodal._fake_features projected to the query's
+    scalars: sha256(payload utf-8) digest bytes read as LITTLE-ENDIAN
+    uint32 words / uint32-max, rounded to f32 (DuckDB FLOAT). dim=16 over
+    a 32-byte digest means words 8-15 repeat 0-7, so 8 parsed words cover
+    min/max and the ordered 16-element fold is v8 || v8. Hex nibbles parse
+    via the shared strpos idiom (D_HASH60 in text_analysis)."""
+
+    def hexpair(p: int) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(h, {p}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1))"
+        )
+
+    words = []
+    for j in range(8):
+        base = j * 8 + 1
+        b = [hexpair(base + 2 * k) for k in range(4)]
+        words.append(
+            f"({b[0]} + 256 * {b[1]} + 65536 * {b[2]} + 16777216 * {b[3]})"
+        )
+    vals = ",\n               ".join(
+        f"CAST(CAST({w} AS DOUBLE) / 4294967295.0 AS FLOAT)" for w in words
+    )
+    return f"""
+        WITH m AS (
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS h
+            FROM documents
+        ), f AS (
+            SELECT media_id, kind, n_bytes,
+               [{vals}] AS v8
+            FROM m
+        )
+        SELECT media_id, kind, n_bytes,
+               CAST(16 AS INT) AS feature_dim,
+               CAST(list_min(v8) AS DOUBLE) AS f_min,
+               CAST(list_max(v8) AS DOUBLE) AS f_max,
+               CAST(round(list_reduce(list_transform(v8 || v8,
+                        x -> CAST(x AS DOUBLE)), (a, b) -> a + b) * 1e6)
+                    AS BIGINT) AS f_sum_fp
+        FROM f
+    """
+
+
+ORACLE_SQL["mm_feature_extract"] = _feature_oracle()
 
 # Fake-mode frame sampling is integer payload slicing: video rows are
 # doc_id % 3 = 2, payload = utf-8 text bytes, duration = n_chars * 10,
