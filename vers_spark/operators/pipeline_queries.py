@@ -154,7 +154,12 @@ def mm_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    # kind is a deterministic function of doc_id (image <=> doc_id%3=0),
+    # so the kind predicate pushes BELOW the synthesizer's mapInPandas —
+    # the UDF never encodes the audio/video payloads this query drops
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 120) & (F.col("doc_id") % 3 == 0)
+    )
     media = synthesize_media_from_documents(docs, real_payloads=True, image_format="jpeg")
     imgs = media.filter(F.col("kind") == "image")
 
@@ -212,7 +217,11 @@ def _video_psnr_frames(spark: SparkSession, sf_dir: str, video_format: str) -> D
     import numpy as np
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    # video <=> doc_id%3=2: push the kind predicate below the synthesizer
+    # so the UDF never encodes the image/audio payloads sample_frames drops
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 120) & (F.col("doc_id") % 3 == 2)
+    )
     media = synthesize_media_from_documents(
         docs, real_payloads=True, video_format=video_format
     )
@@ -397,7 +406,11 @@ def mm_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     raises inside the UDF and fails the row entirely."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # audio <=> doc_id%3=1: push the kind predicate below the synthesizer
+    # so the UDF never encodes the image/video payloads this query drops
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & (F.col("doc_id") % 3 == 1)
+    )
     media = synthesize_media_from_documents(docs, real_payloads=True).filter(
         F.col("kind") == "audio"
     )
