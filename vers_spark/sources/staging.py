@@ -44,6 +44,10 @@ def staging_dir(spark: SparkSession, kind: str, token: str) -> str:
     app = f"{spark.sparkContext.applicationId}_{os.getpid()}"
     mine = os.path.join(parent, app)
     os.makedirs(mine, exist_ok=True)
+    # refresh OUR dir's mtime on every call: a directory's mtime does not
+    # track writes deep inside it, so a >2h-running application would
+    # otherwise look stale to a sibling process's pruning pass
+    os.utime(mine)
     if mine not in _CLEANUP_REGISTERED:
         _CLEANUP_REGISTERED.add(mine)
         atexit.register(shutil.rmtree, mine, ignore_errors=True)
