@@ -79,6 +79,40 @@ def test_save_load_roundtrip(spark, forest, emb, tmp_path):
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
 
 
+def test_load_accepts_unstamped_current_layout(spark, forest, emb, tmp_path):
+    """A store saved by pre-stamp code (round 7) already has the current
+    'p'-prefixed _pp layout and merely lacks the manifest stamp — load must
+    accept it via the layout probe, not refuse it as v1."""
+    import json
+
+    q = emb.filter(F.col("vec_id") < 3)
+    before = forest.search(q, k=5).collect()
+    path = str(tmp_path / "lsh_unstamped")
+    forest.save(path)
+    with open(f"{path}/manifest.json") as f:
+        params = json.load(f)
+    params.pop("format_version")
+    with open(f"{path}/manifest.json", "w") as f:
+        json.dump(params, f)
+    loaded = LSHForestIndex.load(spark, path)
+    after = loaded.search(q, k=5).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_load_refuses_v1_stamp(spark, forest, tmp_path):
+    import json
+
+    path = str(tmp_path / "lsh_v1")
+    forest.save(path)
+    with open(f"{path}/manifest.json") as f:
+        params = json.load(f)
+    params["format_version"] = 1
+    with open(f"{path}/manifest.json", "w") as f:
+        json.dump(params, f)
+    with pytest.raises(ValueError, match="format_version 1"):
+        LSHForestIndex.load(spark, path)
+
+
 def test_add_splits_overflowed_leaves(spark, emb):
     """lsh.rs:218-251 parity: adding past max_node_size rebuilds the leaf
     into a subtree — leaf-size invariant holds after add, new planes extend

@@ -1254,7 +1254,19 @@ class LSHForestIndex:
     def load(spark: SparkSession, path: str) -> "LSHForestIndex":
         with open(f"{path}/manifest.json") as f:
             params = json.load(f)
-        version = params.pop("format_version", 1)
+        version = params.pop("format_version", None)
+        if version is None:
+            # Stores saved before the stamp existed already use the current
+            # 'p'-prefixed _pp layout; probe one partition value instead of
+            # refusing a valid store (HNSW/IVFFlat's absent-means-current
+            # policy, made safe here by checking the layout itself).
+            import glob as _glob
+
+            pps = _glob.glob(os.path.join(path, "leaves", "tree_id=*", "_pp=*"))
+            current = bool(pps) and all(
+                os.path.basename(p).startswith("_pp=p") for p in pps[:8]
+            )
+            version = LSH_FORMAT_VERSION if current else 1
         if version != LSH_FORMAT_VERSION:
             raise ValueError(
                 f"LSH index at {path!r} has on-disk format_version {version}, "

@@ -474,13 +474,31 @@ def ivfpq_search_blocked(
                 tables = res_luts if res_luts is not None else whole_luts[qsel]
                 n_ids = grp["vec_id"].to_numpy(np.int64)
                 C = np.array(grp["codes"].tolist(), dtype=np.int64)  # (B, m)
-                d = tables[:, np.arange(C.shape[1])[None, :], C].sum(axis=2)
+                g = tables[:, np.arange(C.shape[1])[None, :], C]  # (Q, B, m)
+                # explicit sequential fold over the m LUT terms: numpy's
+                # .sum uses pairwise summation, which can differ by ulps
+                # from the declarative aggregate's left fold and flip
+                # near-tie orderings across engines (cf. lsh._leaf_order)
+                d = np.zeros(g.shape[:2], dtype=np.float64)
+                for j in range(g.shape[2]):
+                    d = d + g[:, :, j]
                 take = min(kk, d.shape[1])
-                part = np.argpartition(d, take - 1, axis=1)[:, :take]
+                if take < d.shape[1]:
+                    part = np.argpartition(d, take - 1, axis=1)[:, :take]
+                else:
+                    part = np.tile(np.arange(d.shape[1]), (d.shape[0], 1))
                 for row, qi in enumerate(qsel):
                     cols = part[row]
-                    order = np.lexsort((n_ids[cols], d[row, cols]))
-                    sel = cols[order]
+                    # argpartition selected by distance alone; ADC distance
+                    # ties at the take boundary are common (identical codes
+                    # sum identical LUT entries) and could drop a smaller-id
+                    # neighbour. Re-admit every candidate tying the boundary
+                    # distance, then truncate on the (distance, id) composite
+                    # key — the ivfflat serving-kernel discipline.
+                    thr = d[row, cols].max()
+                    cand = np.nonzero(d[row] <= thr)[0]
+                    order = np.lexsort((n_ids[cand], d[row, cand]))
+                    sel = cand[order][:take]
                     out.append(
                         pd.DataFrame(
                             {

@@ -8,8 +8,9 @@ The contract (VERDICT r7 item 2 + ADVICE race note):
 - keyed by applicationId → two concurrent runs over the same sf_dir can
   never overwrite each other's files mid-read;
 - atexit removal of this application's subtree + pruning of sibling
-  subtrees untouched for >2h (crashed runs) → /tmp growth is bounded
-  across rounds.
+  subtrees untouched for >2h whose owning pid is gone (crashed runs) →
+  /tmp growth is bounded across rounds, and a live long-running app can
+  never lose staged files mid-read to a sibling's pruning pass.
 """
 
 from __future__ import annotations
@@ -56,10 +57,51 @@ def staging_dir(spark: SparkSession, kind: str, token: str) -> str:
         for sib in os.listdir(parent):
             p = os.path.join(parent, sib)
             if sib != app and now - os.path.getmtime(p) > _STALE_SECONDS:
+                # mtime alone can mis-mark a LIVE owner as stale: its mtime
+                # only refreshes when IT calls staging_dir for this same
+                # (kind, token), so a long-running app holding a memoized
+                # staged path (e.g. _VEC_STAGE) could have files deleted
+                # mid-read. The dir name embeds the owner's pid — skip
+                # siblings whose process is still alive.
+                if _owner_alive(sib):
+                    continue
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
     return mine
+
+
+def _owner_alive(subdir: str) -> bool:
+    """True when the pid embedded in an ``<applicationId>_<pid>`` staging
+    subdir name belongs to a live process we could signal. Unparseable names
+    are treated as live (never delete what we can't attribute)."""
+    pid_part = subdir.rsplit("_", 1)[-1]
+    if not pid_part.isdigit():
+        return True
+    try:
+        os.kill(int(pid_part), 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    except OSError:
+        return True
+
+
+def ephemeral_dir(prefix: str, tmpfs: bool = True) -> str:
+    """Per-CALL scratch dir, removed at process exit — for stages that are
+    per-query-run by necessity (streaming checkpoints, state stores, memory
+    sinks) rather than reusable staged table copies. tmpfs when available:
+    micro-batch checkpoints fsync many tiny files, which on a slow shared
+    disk dominates small-stream wall time; on a real cluster these live on
+    provisioned fast storage and this is a no-op choice."""
+    base = "/dev/shm/vs-scratch" if tmpfs and os.path.isdir("/dev/shm") else None
+    if base is not None:
+        os.makedirs(base, exist_ok=True)
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def fresh_subdir(spark: SparkSession, kind: str, token: str, name: str) -> str:

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,22 +52,12 @@ _EMB_FILE_SCHEMA = "vec_id long, embedding array<float>, label int"
 _sink_counter = itertools.count()
 
 def scratch_dir(prefix: str) -> str:
-    """Streaming scratch space (stage dirs, stores, sinks, checkpoints):
-    tmpfs when available — micro-batch checkpoints fsync many tiny files,
-    which on the harness's slow shared disk dominates small-stream wall
-    time; on a real cluster these live on provisioned fast storage and this
-    is a no-op choice."""
-    import atexit
-    import shutil
+    """Streaming scratch space (stage dirs, stores, sinks, checkpoints) —
+    the one scratch contract lives in sources.staging; this alias keeps the
+    streaming call sites stable."""
+    from vers_spark.sources.staging import ephemeral_dir
 
-    base = "/dev/shm/vs-scratch" if os.path.isdir("/dev/shm") else None
-    if base is not None:
-        os.makedirs(base, exist_ok=True)
-    d = tempfile.mkdtemp(prefix=prefix, dir=base)
-    # stream scratch (checkpoints, stores) is per-query-run by necessity;
-    # bound tmpfs growth by removing this run's dirs at process exit
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+    return ephemeral_dir(prefix)
 
 
 # Stateful streaming operators (windowed aggs, dropDuplicates, stream-stream
