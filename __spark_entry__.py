@@ -129,8 +129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conversion whose green row isn't official yet --
         "mm_mp4_frames",
         "mm_feature_extract",
-        # -- r9 NEW operators (never swept) --
-        # (slots reserved; inserted as they land this round)
+        # -- r9 NEW operators (never swept): image-modality perceptual-hash
+        # near-dup — real JPEG decode path (rows-only, recovery-gated) and
+        # its fake twin carrying the full hash oracle --
+        "mm_phash_neardup_fake",
+        "mm_image_phash_neardup",
         # -- the remaining r3-era rows (oldest evidence after the head) --
         "mm_meta_stats",
         "emb_pca_stats",

@@ -369,3 +369,76 @@ def test_mulaw_pipeline_query(spark, sf_dir):
     for r in rows:
         # 16->8 bit halves data; headers differ by 14 bytes per clip
         assert r["sum_mulaw_bytes"] * 2 < r["sum_pcm_bytes"] + 100 * r["n_clips"]
+
+
+def test_dhash_kernel_known_bits():
+    """Strictly increasing rows → all bits set; decreasing → none; the
+    fake-twin grid shape (8×9, equal channels) is the identity downsample."""
+    inc = np.arange(72, dtype=np.uint8).reshape(8, 9)
+    assert MC.dhash_bands(np.stack([inc] * 3, -1)) == [255] * 8
+    dec = inc[:, ::-1].copy()
+    assert MC.dhash_bands(np.stack([dec] * 3, -1)) == [0] * 8
+    # grayscale is the exact integer mean: unequal channels still integer
+    tri = np.stack([inc, inc + 1, inc + 2], -1).astype(np.uint8)  # mean = inc+1
+    assert MC.dhash_bands(tri) == [255] * 8
+
+
+def test_dhash_kernel_any_size():
+    """Images smaller than the 8×9 grid (empty floor blocks) and larger
+    (multi-pixel area means) both fingerprint deterministically."""
+    rng = np.random.RandomState(13)
+    for h, w in [(3, 4), (8, 9), (6, 40), (64, 90), (1, 1)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        a = MC.dhash_bands(img)
+        assert a == MC.dhash_bands(img)
+        assert len(a) == 8 and all(0 <= k <= 255 for k in a)
+
+
+def test_phash_band_join_pigeonhole_complete(spark):
+    """phash_neardup_pairs at Hamming ≤ 7 finds EXACTLY the brute-force
+    pair set — the banded join loses nothing inside the pigeonhole bound."""
+    from vers_spark.operators.multimodal import phash_source_pixels
+    from vers_spark.operators.pipeline_queries import phash_neardup_pairs
+
+    fps = {}
+    for mid in range(0, 240, 3):
+        fps[mid] = MC.dhash_bands(
+            MC.decode_image(MC.encode_jpeg(phash_source_pixels(mid)))
+        )
+        fps[mid + 100000] = MC.dhash_bands(
+            MC.decode_image(MC.encode_jpeg(phash_source_pixels(mid, perturb=True)))
+        )
+    want = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b]))
+            if h <= 7:
+                want.add((a, b, h))
+    df = spark.createDataFrame(
+        [(k, v) for k, v in fps.items()], "media_id long, bands array<int>"
+    )
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in phash_neardup_pairs(df, max_hamming=7).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_phash_injected_duplicate_recovery(spark, sf_dir):
+    """The image near-dup query recovers EVERY injected re-encoded
+    duplicate (the VERDICT r8 item-3 gate)."""
+    from vers_spark.operators.pipeline_queries import mm_image_phash_neardup
+    from vers_spark.sources.tables import load_table
+
+    n_injected = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 360) & (F.col("doc_id") % 6 == 0))
+        .count()
+    )
+    rows = mm_image_phash_neardup(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_injected_recovered"] == n_injected > 0
+    # roundtrip-stability margin: injected copies sit far inside the bound
+    assert r["max_injected_hamming"] <= 4

@@ -699,6 +699,49 @@ def image_features(arr: np.ndarray, dim: int) -> np.ndarray:
     return f.astype(np.float32)
 
 
+def dhash_bands(arr: np.ndarray, rows: int = 8, cols: int = 9) -> list[int]:
+    """Perceptual difference hash (dHash) of an (H, W, 3) uint8 image,
+    returned as ``rows`` band keys of ``cols-1`` bits each (one band per
+    downsample row) for a banded Hamming self-join — the image-modality
+    twin of SimHash's 4×8-bit chunking (text_dedup.simhash_neardup_pairs).
+
+    Every step is INTEGER arithmetic (sums + floor division + comparison),
+    so a fake-mode corpus whose "pixels" are an integer grid runs this exact
+    kernel and the resulting bits are restatable in SQL — the hash-oracle
+    discipline of mm_frame_sample / mm_feature_extract:
+
+    1. grayscale: (r + g + b) // 3 per pixel;
+    2. downsample to rows×cols cells: block mean (sum // count) over the
+       floor-boundary grid; a degenerate empty block (image smaller than
+       the grid) falls back to the single pixel at its floor position;
+    3. bit(y, x) = cell(y, x+1) > cell(y, x) — horizontal gradient sign;
+    4. band key y = Σₓ bit(y, x) · 2ˣ.
+
+    Pigeonhole: two fingerprints within Hamming distance ``rows - 1``
+    (default 7) agree on at least one full band, so the banded join is
+    recall-complete at that threshold. At web scale use a wider hash
+    (e.g. 16×17 → 256 bits as 16×16-bit bands): band-key cardinality, not
+    the kernel, bounds bucket skew — the same max_bucket guard as
+    band_candidates applies."""
+    a = arr.astype(np.int64)
+    gray = (a[:, :, 0] + a[:, :, 1] + a[:, :, 2]) // 3
+    H, W = gray.shape
+    cells = np.empty((rows, cols), dtype=np.int64)
+    for i in range(rows):
+        lo = (i * H) // rows
+        hi = max(((i + 1) * H) // rows, lo + 1)
+        band = gray[lo:hi]
+        for j in range(cols):
+            l2 = (j * W) // cols
+            h2 = max(((j + 1) * W) // cols, l2 + 1)
+            blk = band[:, l2:h2]
+            cells[i, j] = int(blk.sum()) // blk.size
+    bits = cells[:, 1:] > cells[:, :-1]
+    return [
+        int(sum(1 << x for x in range(cols - 1) if bits[y, x])) for y in range(rows)
+    ]
+
+
 def audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
     """RMS, zero-crossing rate, peak (3) + coarse magnitude spectrum
     (dim-3 log-spaced bins), unit-scaled."""

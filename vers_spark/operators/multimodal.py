@@ -245,6 +245,37 @@ def mjpeg_source_frames(media_id: int) -> list[np.ndarray]:
     ]
 
 
+def phash_source_pixels(media_id: int, perturb: bool = False) -> np.ndarray:
+    """Deterministic source pixels for the image near-dup queries — the ONE
+    definition of that corpus's content (the mjpeg_source_frames discipline:
+    the generator and any query re-deriving it cannot drift apart).
+
+    Content is an 8×9 block pattern nearest-upsampled to (h, w): each row is
+    a random walk whose steps are ≥48 gray levels, and (h, w) keeps every
+    dHash downsample cell ≥2×2 pixels, so adjacent cell means contrast by
+    far more than the baseline-JPEG roundtrip error (block-edge ringing
+    included) and the fingerprint is encode/decode-stable. ``perturb=True``
+    adds a ±2 pixel wobble from an independent stream — the model of a
+    re-encoded near-duplicate copy (same content, different encoder pass)."""
+    rng = np.random.RandomState(int(media_id) % (2**31))
+    h, w = int(media_id) % 16 + 16, int(media_id) % 24 + 18
+    base = np.empty((8, 9), dtype=np.int64)
+    for y in range(8):
+        v = int(rng.randint(0, 256))
+        for x in range(9):
+            base[y, x] = v
+            step = int(rng.randint(48, 120))
+            v = v + step if v + step <= 255 else v - step
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 9) // w
+    img = base[np.ix_(ys, xs)]
+    img = np.stack([img, img, img], axis=-1)
+    if perturb:
+        wob = np.random.RandomState((int(media_id) + 999331) % (2**31))
+        img = img + wob.randint(-2, 3, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def synthesize_media_from_documents(
     docs: DataFrame,
     real_payloads: bool = False,

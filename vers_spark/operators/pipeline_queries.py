@@ -470,6 +470,190 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phash_neardup_pairs(
+    fps: DataFrame, max_hamming: int = 7, max_bucket: int | None = None
+) -> DataFrame:
+    """Banded Hamming self-join over dHash fingerprints — the image-modality
+    near-dup joiner (text: simhash_neardup_pairs; embeddings:
+    embedding_neardup_pairs). ``fps`` is (media_id long, bands array<int>),
+    one 8-bit band key per fingerprint row (media_codecs.dhash_bands).
+
+    Candidates collide on at least one (band_id, band_key); pigeonhole makes
+    the join recall-complete for Hamming ≤ len(bands) - 1 (default 8 bands →
+    7). Verification is exact: Σ bit_count(xor) over the zipped band arrays,
+    all integer, whole-stage codegen. ``max_bucket`` is the same web-scale
+    skew guard as text_dedup.band_candidates: band values shared by more
+    than max_bucket images are dropped before the self-join (a degenerate
+    band — all-flat images — carries no signal, and every true pair still
+    has the other bands)."""
+    chunks = fps.select(
+        "media_id", "bands", F.posexplode("bands").alias("band_id", "band_key")
+    )
+    if max_bucket is not None:
+        sizes = chunks.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        chunks = chunks.join(
+            sizes.filter(F.col("_bsz") <= max_bucket).drop("_bsz"),
+            ["band_id", "band_key"],
+            "left_semi",
+        )
+    a = chunks.select(
+        F.col("media_id").alias("media_a"), F.col("bands").alias("bands_a"),
+        "band_id", "band_key",
+    )
+    b = chunks.select(
+        F.col("media_id").alias("media_b"), F.col("bands").alias("bands_b"),
+        "band_id", "band_key",
+    )
+    cands = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "bands_a", "bands_b")
+        .dropDuplicates(["media_a", "media_b"])
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "bands_a", "bands_b", lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+def _phash_roster(docs: DataFrame, dup_offset: int) -> DataFrame:
+    """(media_id, src_id, is_dup): every image doc plus an injected
+    near-duplicate copy of every second one at src_id + dup_offset."""
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit(0).alias("is_dup"),
+    )
+    dups = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + dup_offset).alias("media_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit(1).alias("is_dup"),
+    )
+    return base.unionByName(dups)
+
+
+def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over REAL images — the image-modality dedup
+    a training-data pipeline needs (text ✓ MinHash/SimHash, embeddings ✓
+    cosine; this closes images): synthesize baseline-JPEG payloads from the
+    shared generator (multimodal.phash_source_pixels), inject a re-encoded
+    near-duplicate of every second image (±2 pixel wobble, fresh encoder
+    pass), decode, fingerprint with the integer dHash kernel
+    (media_codecs.dhash_bands), and band-join at Hamming ≤ 7
+    (pigeonhole-complete). Fixed 120-image sample by design (the media-line
+    discipline: cost is per-payload, corpus-size-independent; scale is
+    embarrassingly parallel over payload rows).
+
+    Rows-only (JPEG decode is not SQL-expressible); the injected-duplicate
+    recovery gate and kernel units live in tests/test_multimodal_real.py,
+    and the banding plumbing carries a full hash oracle via the fake twin
+    (mm_phash_neardup_fake). Output certifies recovery in-query:
+    n_injected_recovered counts found (src, src+100000) pairs and
+    max_injected_hamming shows the roundtrip-stability margin."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 360) & (F.col("doc_id") % 3 == 0)
+    )
+    roster = _phash_roster(docs, 100000).repartition(16, "media_id")
+
+    def synth(batches):
+        from vers_spark.operators import media_codecs as MC
+        from vers_spark.operators.multimodal import phash_source_pixels
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [
+                (int(m), MC.encode_jpeg(phash_source_pixels(int(s), perturb=bool(d))))
+                for m, s, d in zip(pdf["media_id"], pdf["src_id"], pdf["is_dup"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = roster.mapInPandas(synth, "media_id long, payload binary")
+
+    def fingerprint(batches):
+        from vers_spark.operators import media_codecs as MC
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [
+                (int(m), MC.dhash_bands(MC.decode_image(bytes(p))))
+                for m, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "bands"])
+
+    fps = media.mapInPandas(fingerprint, "media_id long, bands array<int>")
+    pairs = phash_neardup_pairs(fps, max_hamming=7)
+    injected = F.col("media_b") == F.col("media_a") + 100000
+    return (
+        pairs.select(
+            F.lit(1).alias("_g"),
+            F.when(injected, F.col("hamming")).alias("inj_ham"),
+            F.when(injected, 1).otherwise(0).alias("is_inj"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"),
+            F.sum("is_inj").cast("long").alias("n_injected_recovered"),
+            F.max("inj_ham").cast("long").alias("max_injected_hamming"),
+        )
+        .drop("_g")
+    )
+
+
+def mm_phash_neardup_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-mode twin of mm_image_phash_neardup carrying a FULL hash oracle
+    (the mm_frame_sample discipline): the "image" is an 8×9 integer grid
+    v(i) = ((src%251 + 1)·i² + (src%241)·i + src) mod 256 stacked to three
+    equal channels, so the REAL dHash kernel's grayscale ((3v)//3 = v) and
+    identity downsample run integer-exact and every bit, band key, candidate
+    pair, and Hamming distance is restated in SQL over the documents table.
+    The injected duplicate (src + 10000) perturbs only cell 0 by +128 mod
+    256, flipping at most bit (0,0) — Hamming ≤ 1, so the pigeonhole
+    recovery guarantee is certified by the oracle, not just asserted."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0)
+    )
+    roster = _phash_roster(docs, 10000)
+
+    def fingerprint(batches):
+        from vers_spark.operators import media_codecs as MC
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for m, s, d in zip(pdf["media_id"], pdf["src_id"], pdf["is_dup"]):
+                src = int(s)
+                i = np.arange(72, dtype=np.int64)
+                v = ((src % 251 + 1) * i * i + (src % 241) * i + src) % 256
+                if int(d):
+                    v = v.copy()
+                    v[0] = (v[0] + 128) % 256
+                g = v.reshape(8, 9)
+                arr = np.stack([g, g, g], axis=-1).astype(np.uint8)
+                rows.append((int(m), MC.dhash_bands(arr)))
+            yield pd.DataFrame(rows, columns=["media_id", "bands"])
+
+    fps = roster.mapInPandas(fingerprint, "media_id long, bands array<int>")
+    return phash_neardup_pairs(fps, max_hamming=7)
+
+
 _SQE = (
     "list_reduce(list_transform(list_zip({a}, {b}),"
     " s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),"
@@ -703,6 +887,55 @@ ORACLE_SQL["mm_audio_resample"] = """
     FROM documents WHERE doc_id % 3 = 1
 """
 
+# the fake-twin dHash restated: grid → horizontal-gradient bits → per-row
+# band keys → banded self-join → exact bit_count(xor) Hamming verify.
+# Integer arithmetic end-to-end, so the hash must match bit-for-bit.
+ORACLE_SQL["mm_phash_neardup_fake"] = """
+    WITH imgs AS (
+        SELECT doc_id AS media_id, doc_id AS src, 0 AS is_dup
+        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 10000, doc_id, 1
+        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0 AND doc_id % 2 = 0
+    ),
+    idx AS (SELECT unnest(range(72)) AS i),
+    cells AS (
+        SELECT media_id, i,
+               CASE WHEN is_dup = 1 AND i = 0
+                    THEN (((src % 251 + 1) * i * i + (src % 241) * i + src) % 256 + 128) % 256
+                    ELSE ((src % 251 + 1) * i * i + (src % 241) * i + src) % 256
+               END AS v
+        FROM imgs CROSS JOIN idx
+    ),
+    bits AS (
+        SELECT c1.media_id, c1.i // 9 AS y, c1.i % 9 AS x,
+               CASE WHEN c2.v > c1.v THEN 1 ELSE 0 END AS bit
+        FROM cells c1
+        JOIN cells c2 ON c2.media_id = c1.media_id AND c2.i = c1.i + 1
+        WHERE c1.i % 9 < 8
+    ),
+    bands AS (
+        SELECT media_id, y AS band_id,
+               CAST(SUM(bit * (1 << x)) AS BIGINT) AS band_key
+        FROM bits GROUP BY media_id, y
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.media_id < b.media_id
+    ),
+    ham AS (
+        SELECT c.media_a, c.media_b,
+               CAST(SUM(bit_count(xor(ba.band_key, bb.band_key))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN bands ba ON ba.media_id = c.media_a
+        JOIN bands bb ON bb.media_id = c.media_b AND bb.band_id = ba.band_id
+        GROUP BY c.media_a, c.media_b
+    )
+    SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 7
+"""
+
 QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_cosine_neardup": emb_cosine_neardup,
@@ -721,4 +954,6 @@ QUERIES = {
     "mm_resize": mm_resize,
     "mm_audio_resample": mm_audio_resample,
     "mm_audio_mulaw": mm_audio_mulaw,
+    "mm_image_phash_neardup": mm_image_phash_neardup,
+    "mm_phash_neardup_fake": mm_phash_neardup_fake,
 }
