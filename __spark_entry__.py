@@ -134,6 +134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its fake twin carrying the full hash oracle --
         "mm_phash_neardup_fake",
         "mm_image_phash_neardup",
+        # audio-modality twin: windowed-energy-delta fingerprint through
+        # the same banded join (real WAV path + hash-oracle fake twin)
+        "mm_audio_fp_fake",
+        "mm_audio_fp_neardup",
         # -- the remaining r3-era rows (oldest evidence after the head) --
         "mm_meta_stats",
         "emb_pca_stats",

@@ -442,3 +442,39 @@ def test_phash_injected_duplicate_recovery(spark, sf_dir):
     assert r["n_injected_recovered"] == n_injected > 0
     # roundtrip-stability margin: injected copies sit far inside the bound
     assert r["max_injected_hamming"] <= 4
+
+
+def test_audio_energy_bands_known_bits():
+    """Monotone-increasing window energies → all bits set; constant → none;
+    gain invariance: an exact ×4 gain (2-bit shift) leaves the deltas'
+    signs — the fingerprint — unchanged."""
+    up = np.repeat(np.arange(1, 66), 8).astype(np.int64)  # 65 windows of 8
+    assert MC.audio_energy_bands(up) == [255] * 8
+    flat = np.full(520, 7, dtype=np.int64)
+    assert MC.audio_energy_bands(flat) == [0] * 8
+    rng = np.random.RandomState(3)
+    s = rng.randint(-8000, 8000, 520).astype(np.int64)
+    assert MC.audio_energy_bands(s) == MC.audio_energy_bands(s * 4)
+
+
+def test_audio_fp_injected_duplicate_recovery(spark, sf_dir):
+    """The audio near-dup query recovers EVERY injected re-mastered
+    duplicate (×0.97 gain + dither) — the gain-invariance claim, end to
+    end through the WAV roundtrip."""
+    from vers_spark.operators.pipeline_queries import mm_audio_fp_neardup
+    from vers_spark.sources.tables import load_table
+
+    n_injected = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 360)
+            & (F.col("doc_id") % 3 == 1)
+            & (F.col("doc_id") % 2 == 0)
+        )
+        .count()
+    )
+    rows = mm_audio_fp_neardup(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_injected_recovered"] == n_injected > 0
+    assert r["max_injected_hamming"] <= 2

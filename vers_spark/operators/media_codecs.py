@@ -742,6 +742,32 @@ def dhash_bands(arr: np.ndarray, rows: int = 8, cols: int = 9) -> list[int]:
     ]
 
 
+def audio_energy_bands(samples: np.ndarray, n_windows: int = 65) -> list[int]:
+    """Amplitude-robust audio fingerprint: windowed-energy delta signs —
+    the audio-modality twin of :func:`dhash_bands` (FFT-free, the windowed
+    energy-delta family of classic audio fingerprints).
+
+    Samples split into ``n_windows`` equal windows (length len//n_windows,
+    tail dropped; short clips zero-padded); window energy is the int64 sum
+    of squares; bit(w) = e(w+1) > e(w); the 64 bits pack into 8×8-bit band
+    keys for the same banded Hamming join (phash_neardup_pairs). A uniform
+    gain change scales every energy by the same positive factor, so the
+    delta SIGNS — the fingerprint — are gain-invariant up to rounding.
+    Integer arithmetic end-to-end: a fake-mode corpus whose "samples" are
+    text bytes runs this exact kernel and restates in SQL."""
+    s = samples.astype(np.int64)
+    w_len = max(len(s) // n_windows, 1)
+    use = s[: n_windows * w_len]
+    if len(use) < n_windows * w_len:
+        use = np.pad(use, (0, n_windows * w_len - len(use)))
+    e = (use.reshape(n_windows, w_len) ** 2).sum(axis=1)
+    bits = e[1:] > e[:-1]
+    nb = (n_windows - 1) // 8
+    return [
+        int(sum(1 << x for x in range(8) if bits[b * 8 + x])) for b in range(nb)
+    ]
+
+
 def audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
     """RMS, zero-crossing rate, peak (3) + coarse magnitude spectrum
     (dim-3 log-spaced bins), unit-scaled."""

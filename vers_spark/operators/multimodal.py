@@ -276,6 +276,41 @@ def phash_source_pixels(media_id: int, perturb: bool = False) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def audio_source_samples(media_id: int, perturb: bool = False) -> np.ndarray:
+    """Deterministic source PCM for the audio near-dup queries — the ONE
+    definition of that corpus's content (the phash_source_pixels twin).
+
+    An amplitude-modulated sine: a per-clip multiplicative envelope walk
+    (adjacent windows contrast by ≥1.4×, bouncing inside [1200, 24000]) over
+    a 200–900 Hz carrier, 65 windows × 160 samples at 16 kHz (≥2 full cycles
+    per window, so windowed energy tracks the envelope, not the phase).
+    ``perturb=True`` models a re-mastered near-duplicate: ×0.97 gain plus
+    ±60 dither from an independent stream — the energy-delta fingerprint is
+    gain-invariant, so the copy stays within a few Hamming bits."""
+    rng = np.random.RandomState(int(media_id) % (2**31))
+    n_win, w_len = 65, 160
+    env = np.empty(n_win)
+    v = float(rng.randint(1500, 20000))
+    for w in range(n_win):
+        env[w] = v
+        f = float(rng.uniform(1.4, 2.0))
+        if v >= 24000 / f:
+            v /= f
+        elif v <= 1200 * f:
+            v *= f
+        elif rng.rand() < 0.5:
+            v *= f
+        else:
+            v /= f
+    f_hz = 200.0 + int(media_id) % 700
+    i = np.arange(n_win * w_len)
+    x = np.repeat(env, w_len) * np.sin(2 * np.pi * f_hz * i / 16000.0)
+    if perturb:
+        wob = np.random.RandomState((int(media_id) + 777001) % (2**31))
+        x = x * 0.97 + wob.randint(-60, 61, x.shape)
+    return np.clip(np.round(x), -32768, 32767).astype(np.int16)
+
+
 def synthesize_media_from_documents(
     docs: DataFrame,
     real_payloads: bool = False,

@@ -654,6 +654,119 @@ def mm_phash_neardup_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(fps, max_hamming=7)
 
 
+def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint near-dup over REAL PCM — closes the last dedup
+    modality (text ✓, embeddings ✓, images ✓ mm_image_phash_neardup):
+    synthesize WAV clips from the shared generator
+    (multimodal.audio_source_samples — AM sine, ≥1.4× envelope contrast
+    between windows), inject a re-mastered near-duplicate of every second
+    clip (×0.97 gain + dither — the transform a fingerprint must survive),
+    decode, fingerprint with the integer windowed-energy-delta kernel
+    (media_codecs.audio_energy_bands — gain-invariant delta signs), and
+    reuse the SAME banded Hamming join as the image path
+    (phash_neardup_pairs). Fixed 120-clip sample by design; scale is
+    per-payload parallel. Rows-only (PCM synthesis uses sin); the recovery
+    gate lives in tests/test_multimodal_real.py and the banding plumbing's
+    hash oracle is carried by mm_audio_fp_fake."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 360) & (F.col("doc_id") % 3 == 1)
+    )
+    roster = _phash_roster(docs, 100000).repartition(16, "media_id")
+
+    def synth(batches):
+        from vers_spark.operators import media_codecs as MC
+        from vers_spark.operators.multimodal import audio_source_samples
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [
+                (
+                    int(m),
+                    MC.encode_wav(audio_source_samples(int(s), perturb=bool(d)), 16000),
+                )
+                for m, s, d in zip(pdf["media_id"], pdf["src_id"], pdf["is_dup"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = roster.mapInPandas(synth, "media_id long, payload binary")
+
+    def fingerprint(batches):
+        from vers_spark.operators import media_codecs as MC
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = MC.decode_wav(bytes(p))
+                rows.append((int(m), MC.audio_energy_bands(samples)))
+            yield pd.DataFrame(rows, columns=["media_id", "bands"])
+
+    fps = media.mapInPandas(fingerprint, "media_id long, bands array<int>")
+    pairs = phash_neardup_pairs(fps, max_hamming=7)
+    injected = F.col("media_b") == F.col("media_a") + 100000
+    return (
+        pairs.select(
+            F.lit(1).alias("_g"),
+            F.when(injected, F.col("hamming")).alias("inj_ham"),
+            F.when(injected, 1).otherwise(0).alias("is_inj"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"),
+            F.sum("is_inj").cast("long").alias("n_injected_recovered"),
+            F.max("inj_ham").cast("long").alias("max_injected_hamming"),
+        )
+        .drop("_g")
+    )
+
+
+def mm_audio_fp_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-mode twin of mm_audio_fp_neardup with a FULL hash oracle: the
+    "PCM" is the document's ASCII byte values cycled to 520 samples
+    (65 windows × 8), run through the REAL windowed-energy kernel
+    (media_codecs.audio_energy_bands — int64 sums of squares, delta signs,
+    8×8-bit band keys) and the REAL banded join, so every energy, bit,
+    band key, candidate pair, and Hamming distance is restated in SQL over
+    the documents table. The injected duplicate (src + 10000) adds 1 to
+    sample 0 only — at most bit 0 flips, Hamming ≤ 1, certifying the
+    pigeonhole recovery guarantee under the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 1)
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"), "text", F.lit(0).alias("is_dup")
+    )
+    dups = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 10000).alias("media_id"), "text", F.lit(1).alias("is_dup")
+    )
+    roster = base.unionByName(dups)
+
+    def fingerprint(batches):
+        from vers_spark.operators import media_codecs as MC
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for m, t, d in zip(pdf["media_id"], pdf["text"], pdf["is_dup"]):
+                s = np.resize(np.frombuffer(t.encode("utf-8"), dtype=np.uint8), 520)
+                s = s.astype(np.int64)
+                if int(d):
+                    s[0] += 1
+                rows.append((int(m), MC.audio_energy_bands(s)))
+            yield pd.DataFrame(rows, columns=["media_id", "bands"])
+
+    fps = roster.mapInPandas(fingerprint, "media_id long, bands array<int>")
+    return phash_neardup_pairs(fps, max_hamming=7)
+
+
 _SQE = (
     "list_reduce(list_transform(list_zip({a}, {b}),"
     " s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),"
@@ -936,6 +1049,57 @@ ORACLE_SQL["mm_phash_neardup_fake"] = """
     SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 7
 """
 
+# the fake-twin audio fingerprint restated: cycled ASCII byte "samples" →
+# 8-sample window energies → delta-sign bits → per-8-bit band keys → banded
+# self-join → exact Hamming verify. Integer end-to-end.
+ORACLE_SQL["mm_audio_fp_fake"] = """
+    WITH clips AS (
+        SELECT doc_id AS media_id, text, 0 AS is_dup
+        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 1
+        UNION ALL
+        SELECT doc_id + 10000, text, 1
+        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 1 AND doc_id % 2 = 0
+    ),
+    idx AS (SELECT unnest(range(520)) AS i),
+    samples AS (
+        SELECT media_id, i,
+               ascii(substring(text, CAST(i % length(text) AS INT) + 1, 1))
+               + CASE WHEN is_dup = 1 AND i = 0 THEN 1 ELSE 0 END AS v
+        FROM clips CROSS JOIN idx
+    ),
+    energy AS (
+        SELECT media_id, i // 8 AS w, SUM(v * v) AS e
+        FROM samples GROUP BY media_id, i // 8
+    ),
+    bits AS (
+        SELECT e1.media_id, e1.w AS b,
+               CASE WHEN e2.e > e1.e THEN 1 ELSE 0 END AS bit
+        FROM energy e1
+        JOIN energy e2 ON e2.media_id = e1.media_id AND e2.w = e1.w + 1
+        WHERE e1.w < 64
+    ),
+    bands AS (
+        SELECT media_id, b // 8 AS band_id,
+               CAST(SUM(bit * (1 << (b % 8))) AS BIGINT) AS band_key
+        FROM bits GROUP BY media_id, b // 8
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.media_id < b.media_id
+    ),
+    ham AS (
+        SELECT c.media_a, c.media_b,
+               CAST(SUM(bit_count(xor(ba.band_key, bb.band_key))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN bands ba ON ba.media_id = c.media_a
+        JOIN bands bb ON bb.media_id = c.media_b AND bb.band_id = ba.band_id
+        GROUP BY c.media_a, c.media_b
+    )
+    SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 7
+"""
+
 QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_cosine_neardup": emb_cosine_neardup,
@@ -956,4 +1120,6 @@ QUERIES = {
     "mm_audio_mulaw": mm_audio_mulaw,
     "mm_image_phash_neardup": mm_image_phash_neardup,
     "mm_phash_neardup_fake": mm_phash_neardup_fake,
+    "mm_audio_fp_neardup": mm_audio_fp_neardup,
+    "mm_audio_fp_fake": mm_audio_fp_fake,
 }
