@@ -67,6 +67,11 @@ HEADLINE = [
     # RFM/deciles/budgeted curation — a headline line surfaces regressions
     # in BENCH diffs instead of only the x10 probe
     "evt_rfm_segments",
+    # round-9 additions: the image/audio near-dup modalities (fixed
+    # payload samples by design — corpus-size-independent decode +
+    # fingerprint + banded Hamming join)
+    "mm_image_phash_neardup",
+    "mm_audio_fp_neardup",
 ]
 
 

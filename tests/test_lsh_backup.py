@@ -333,10 +333,14 @@ def test_blocked_compute_with_frontier_warns(spark, emb, small_forest):
 
 
 def test_save_load_format_version(spark, emb, small_forest, tmp_path):
-    """save() stamps format_version; load() refuses a missing/older stamp
+    """save() stamps format_version; load() refuses an OLDER layout loudly
     (ADVICE r7 medium: a pre-'p'-prefix store loads cleanly but every
-    search silently returns zero candidates — fail loudly instead)."""
+    search silently returns zero candidates). A missing stamp alone is NOT
+    refused: pre-stamp saves already use the current layout, so load probes
+    one _pp partition value before deciding (ADVICE r8 low)."""
+    import glob
     import json
+    import os
 
     path = str(tmp_path / "lshidx")
     small_forest.save(path)
@@ -345,9 +349,14 @@ def test_save_load_format_version(spark, emb, small_forest, tmp_path):
     assert m["format_version"] == 2
     back = LSHForestIndex.load(spark, path)
     assert back.params.get("format_version") is None  # stripped on load
-    # simulate a pre-versioning store
+    # unstamped store with the CURRENT 'p'-prefixed layout → accepted
     del m["format_version"]
     with open(f"{path}/manifest.json", "w") as f:
         json.dump(m, f)
+    LSHForestIndex.load(spark, path)
+    # unstamped store with the v1 raw-bit layout (no 'p' prefix) → refused
+    for d in glob.glob(f"{path}/leaves/tree_id=*/_pp=p*"):
+        parent, name = os.path.split(d)
+        os.rename(d, os.path.join(parent, "_pp=" + name[len("_pp=p") :]))
     with pytest.raises(ValueError, match="format_version 1"):
         LSHForestIndex.load(spark, path)

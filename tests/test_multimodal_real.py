@@ -478,3 +478,19 @@ def test_audio_fp_injected_duplicate_recovery(spark, sf_dir):
     r = rows[0]
     assert r["n_injected_recovered"] == n_injected > 0
     assert r["max_injected_hamming"] <= 2
+
+
+def test_fingerprint_wide_variants():
+    """The web-scale fingerprint widths are real code paths, not prose:
+    a 16x17 dHash grid yields 16x16-bit bands; 257 audio windows with
+    band_bits=16 yield 16x16-bit bands. Pair them with the same banded
+    join — wider keys bound bucket skew at scale."""
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (64, 68, 3), dtype=np.uint8)
+    wide = MC.dhash_bands(img, rows=16, cols=17)
+    assert len(wide) == 16 and all(0 <= k < 1 << 16 for k in wide)
+    s = rng.randint(-8000, 8000, 257 * 4).astype(np.int64)
+    bands = MC.audio_energy_bands(s, n_windows=257, band_bits=16)
+    assert len(bands) == 16 and all(0 <= k < 1 << 16 for k in bands)
+    # determinism + gain invariance hold at the wide width too
+    assert bands == MC.audio_energy_bands(s * 4, n_windows=257, band_bits=16)

@@ -742,7 +742,9 @@ def dhash_bands(arr: np.ndarray, rows: int = 8, cols: int = 9) -> list[int]:
     ]
 
 
-def audio_energy_bands(samples: np.ndarray, n_windows: int = 65) -> list[int]:
+def audio_energy_bands(
+    samples: np.ndarray, n_windows: int = 65, band_bits: int = 8
+) -> list[int]:
     """Amplitude-robust audio fingerprint: windowed-energy delta signs —
     the audio-modality twin of :func:`dhash_bands` (FFT-free, the windowed
     energy-delta family of classic audio fingerprints).
@@ -754,7 +756,12 @@ def audio_energy_bands(samples: np.ndarray, n_windows: int = 65) -> list[int]:
     gain change scales every energy by the same positive factor, so the
     delta SIGNS — the fingerprint — are gain-invariant up to rounding.
     Integer arithmetic end-to-end: a fake-mode corpus whose "samples" are
-    text bytes runs this exact kernel and restates in SQL."""
+    text bytes runs this exact kernel and restates in SQL.
+
+    Web scale: widen the fingerprint, not the buckets — e.g.
+    ``n_windows=257, band_bits=16`` gives 256 bits as 16×16-bit bands
+    (65k-value band keys bound bucket skew the way the wider dHash grid
+    does for images); the banded join is width-agnostic."""
     s = samples.astype(np.int64)
     w_len = max(len(s) // n_windows, 1)
     use = s[: n_windows * w_len]
@@ -762,9 +769,10 @@ def audio_energy_bands(samples: np.ndarray, n_windows: int = 65) -> list[int]:
         use = np.pad(use, (0, n_windows * w_len - len(use)))
     e = (use.reshape(n_windows, w_len) ** 2).sum(axis=1)
     bits = e[1:] > e[:-1]
-    nb = (n_windows - 1) // 8
+    nb = (n_windows - 1) // band_bits
     return [
-        int(sum(1 << x for x in range(8) if bits[b * 8 + x])) for b in range(nb)
+        int(sum(1 << x for x in range(band_bits) if bits[b * band_bits + x]))
+        for b in range(nb)
     ]
 
 
