@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same banded join (real WAV path + hash-oracle fake twin)
         "mm_audio_fp_fake",
         "mm_audio_fp_neardup",
+        # video-modality composition: per-frame dHash over sniffed MIXED
+        # containers (MJPEG/AVI/MP4) + matched-frame aggregation
+        "mm_video_phash_fake",
+        "mm_video_phash_neardup",
         # -- the remaining r3-era rows (oldest evidence after the head) --
         "mm_meta_stats",
         "emb_pca_stats",

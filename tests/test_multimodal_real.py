@@ -494,3 +494,43 @@ def test_fingerprint_wide_variants():
     assert len(bands) == 16 and all(0 <= k < 1 << 16 for k in bands)
     # determinism + gain invariance hold at the wide width too
     assert bands == MC.audio_energy_bands(s * 4, n_windows=257, band_bits=16)
+
+
+def test_video_phash_cross_container_recovery(spark, sf_dir):
+    """The video near-dup query recovers the SAME content across
+    containers: every MP4 container-dup (identical frames) and every AVI
+    re-encode-dup (±2 wobble) of the MJPEG originals, with zero false
+    pairs (the output counts are exhaustive: total == container + reencode)."""
+    from vers_spark.operators.pipeline_queries import mm_video_phash_neardup
+    from vers_spark.sources.tables import load_table
+
+    vids = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 120) & (F.col("doc_id") % 3 == 2)
+    )
+    n_container = vids.filter(F.col("doc_id") % 2 == 0).count()
+    n_reencode = vids.filter(F.col("doc_id") % 2 == 1).count()
+    rows = mm_video_phash_neardup(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_container_dups_recovered"] == n_container > 0
+    assert r["n_reencode_dups_recovered"] == n_reencode > 0
+    assert r["n_neardup_pairs"] == n_container + n_reencode  # no false pairs
+
+
+def test_video_pair_overlap_containment(spark):
+    """video_pair_overlap counts DISTINCT matched frames per side — a
+    short clip wholly contained in a longer video scores matched_a equal
+    to ITS OWN frame count (containment, not symmetric equality)."""
+    from vers_spark.operators.pipeline_queries import video_pair_overlap
+
+    k = [[255, 0, 255, 0, 255, 0, 255, 0]]  # arbitrary fingerprint bands
+    k2 = [[0, 255, 0, 255, 0, 255, 0, 255]]
+    rows = (
+        # video 1: two frames, both present in video 2's four frames
+        [(1, 0, k[0]), (1, 1, k2[0])]
+        # video 2: the same two plus two far-away frames
+        + [(2, 0, k[0]), (2, 1, k2[0]), (2, 2, [17] * 8), (2, 3, [99] * 8)]
+    )
+    df = spark.createDataFrame(rows, "media_id long, frame_idx int, bands array<int>")
+    got = {tuple(r) for r in video_pair_overlap(df, max_hamming=0).collect()}
+    assert got == {(1, 2, 2, 2)}  # both of clip 1's frames matched; 2 of video 2's

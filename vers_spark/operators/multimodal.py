@@ -259,6 +259,17 @@ def phash_source_pixels(media_id: int, perturb: bool = False) -> np.ndarray:
     re-encoded near-duplicate copy (same content, different encoder pass)."""
     rng = np.random.RandomState(int(media_id) % (2**31))
     h, w = int(media_id) % 16 + 16, int(media_id) % 24 + 18
+    img = _block_pattern(rng, h, w)
+    if perturb:
+        wob = np.random.RandomState((int(media_id) + 999331) % (2**31))
+        img = img + wob.randint(-2, 3, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _block_pattern(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
+    """8×9 contrast-walk block grid (each row a random walk with ≥48-level
+    steps) nearest-upsampled to (h, w, 3) int64 — the shared content
+    primitive of the image/video near-dup generators."""
     base = np.empty((8, 9), dtype=np.int64)
     for y in range(8):
         v = int(rng.randint(0, 256))
@@ -269,11 +280,31 @@ def phash_source_pixels(media_id: int, perturb: bool = False) -> np.ndarray:
     ys = (np.arange(h) * 8) // h
     xs = (np.arange(w) * 9) // w
     img = base[np.ix_(ys, xs)]
-    img = np.stack([img, img, img], axis=-1)
-    if perturb:
-        wob = np.random.RandomState((int(media_id) + 999331) % (2**31))
-        img = img + wob.randint(-2, 3, img.shape)
-    return np.clip(img, 0, 255).astype(np.uint8)
+    return np.stack([img, img, img], axis=-1)
+
+
+def video_source_frames(media_id: int, perturb: bool = False) -> list[np.ndarray]:
+    """Deterministic source frames for the VIDEO near-dup queries — the
+    phash_source_pixels discipline one level up: per-frame contrast-walk
+    block content (frame fi seeds its own stream), uniform dims per video
+    (containers carry one width/height). ``perturb=True`` adds the ±2
+    re-encode wobble per frame. Distinct from mjpeg_source_frames (the
+    PSNR-gate generator): those frames share one global gradient, which is
+    exactly what a difference hash cannot distinguish — near-dup content
+    needs per-video structure."""
+    n_frames = int(media_id) % 3 + 2
+    h, w = int(media_id) % 16 + 16, int(media_id) % 24 + 18
+    out = []
+    for fi in range(n_frames):
+        rng = np.random.RandomState((int(media_id) * 131 + fi * 7 + 1) % (2**31))
+        img = _block_pattern(rng, h, w)
+        if perturb:
+            wob = np.random.RandomState(
+                (int(media_id) * 131 + fi * 7 + 999331) % (2**31)
+            )
+            img = img + wob.randint(-2, 3, img.shape)
+        out.append(np.clip(img, 0, 255).astype(np.uint8))
+    return out
 
 
 def audio_source_samples(media_id: int, perturb: bool = False) -> np.ndarray:

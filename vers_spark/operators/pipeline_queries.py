@@ -654,6 +654,176 @@ def mm_phash_neardup_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(fps, max_hamming=7)
 
 
+def video_pair_overlap(
+    frame_fps: DataFrame, max_hamming: int = 7
+) -> DataFrame:
+    """Video-level near-dup from FRAME fingerprints: band-join all frames
+    (the shared phash_neardup_pairs, frame ids packed as media_id·16 +
+    frame_idx — frame counts are bounded by the container header), then
+    aggregate matched frames per video pair. Returns (media_a, media_b,
+    matched_a, matched_b): how many DISTINCT frames of each side found a
+    ≤max_hamming partner in the other. Callers compare matched_* against
+    the videos' frame counts (containment semantics — a clip wholly inside
+    a longer video still scores matched_a = n_frames(a)).
+
+    Scale shape: the frame join inherits the banded join's properties
+    (band-key buckets, skew guard); the video aggregation is one groupBy
+    over surviving frame pairs — no all-pairs video work ever happens."""
+    packed = frame_fps.select(
+        (F.col("media_id") * 16 + F.col("frame_idx")).alias("media_id"), "bands"
+    )
+    fpairs = phash_neardup_pairs(packed, max_hamming)
+    va = F.expr("media_a div 16")
+    vb = F.expr("media_b div 16")
+    return (
+        fpairs.select(
+            va.alias("va"),
+            F.expr("media_a % 16").alias("fa"),
+            vb.alias("vb"),
+            F.expr("media_b % 16").alias("fb"),
+        )
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy(F.col("va").alias("media_a"), F.col("vb").alias("media_b"))
+        .agg(
+            F.countDistinct("fa").cast("long").alias("matched_a"),
+            F.countDistinct("fb").cast("long").alias("matched_b"),
+        )
+    )
+
+
+def mm_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup over REAL containers — the composition a training
+    pipeline actually faces: THE SAME CONTENT shipped in different
+    containers/encodes must dedup. Corpus: 40 videos (4 block-content
+    frames each, multimodal.video_source_frames) as MJPEG elementary
+    streams; every second video also arrives as an ISO BMFF/MP4 of the
+    IDENTICAL frames (container dup, +100000), every other one as a
+    RIFF-AVI of ±2-wobble re-encoded frames (re-encode dup, +200000).
+    One pipeline handles the mix: split_video_stream sniffs the container,
+    every frame is dHash-fingerprinted, and video_pair_overlap aggregates
+    the banded frame join into per-pair matched-frame counts. A pair is a
+    near-dup when EVERY frame on both sides matched. Rows-only (JPEG +
+    container walks); recovery gates in tests/test_multimodal_real.py."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 120) & (F.col("doc_id") % 3 == 2)
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit("mjpeg").alias("container"),
+        F.lit(0).alias("is_dup"),
+    )
+    container_dups = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("media_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit("mp4").alias("container"),
+        F.lit(0).alias("is_dup"),
+    )
+    reencode_dups = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + 200000).alias("media_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit("avi").alias("container"),
+        F.lit(1).alias("is_dup"),
+    )
+    roster = base.unionByName(container_dups).unionByName(reencode_dups).repartition(
+        16, "media_id"
+    )
+
+    def fingerprint(batches):
+        from vers_spark.operators import media_codecs as MC
+        from vers_spark.operators.multimodal import video_source_frames
+
+        enc = {
+            "mjpeg": MC.encode_mjpeg,
+            "avi": MC.encode_avi_mjpeg,
+            "mp4": MC.encode_mp4_mjpeg,
+        }
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for m, s, c, d in zip(
+                pdf["media_id"], pdf["src_id"], pdf["container"], pdf["is_dup"]
+            ):
+                payload = enc[c](video_source_frames(int(s), perturb=bool(d)))
+                for fi, fr in enumerate(MC.split_video_stream(payload)):
+                    rows.append(
+                        (int(m), fi, MC.dhash_bands(MC.decode_image(fr)))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "bands"])
+
+    fps = roster.mapInPandas(
+        fingerprint, "media_id long, frame_idx int, bands array<int>"
+    )
+    pairs = video_pair_overlap(fps, max_hamming=7)
+    # every video here has 4 frames (doc_id ≡ 2 mod 3 → n_frames = 4)
+    full = pairs.filter((F.col("matched_a") == 4) & (F.col("matched_b") == 4))
+    container = F.col("media_b") == F.col("media_a") + 100000
+    reencode = F.col("media_b") == F.col("media_a") + 200000
+    return (
+        full.select(
+            F.lit(1).alias("_g"),
+            F.when(container, 1).otherwise(0).alias("is_c"),
+            F.when(reencode, 1).otherwise(0).alias("is_r"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"),
+            F.sum("is_c").cast("long").alias("n_container_dups_recovered"),
+            F.sum("is_r").cast("long").alias("n_reencode_dups_recovered"),
+        )
+        .drop("_g")
+    )
+
+
+def mm_video_phash_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-mode twin of mm_video_phash_neardup with a FULL hash oracle —
+    certifies the frame-to-video AGGREGATION layer (fid packing, frame
+    band join, matched-frame counts) that the image twin doesn't cover:
+    each "video" is 4 integer quadratic grids (frame fi bends the linear
+    term: v(i) = ((src%251+1)·i² + (src%241 + 13·fi)·i + src) mod 256),
+    run through the REAL dHash kernel and the REAL video_pair_overlap.
+    The injected duplicate (src + 10000) perturbs cell 0 of every frame by
+    +128 — ≤1 bit per frame, so all 4 frames must match under the
+    pigeonhole bound, restated in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 2)
+    )
+    roster = _phash_roster(docs, 10000)
+
+    def fingerprint(batches):
+        from vers_spark.operators import media_codecs as MC
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for m, s, d in zip(pdf["media_id"], pdf["src_id"], pdf["is_dup"]):
+                src = int(s)
+                i = np.arange(72, dtype=np.int64)
+                for fi in range(4):
+                    v = (
+                        (src % 251 + 1) * i * i + (src % 241 + 13 * fi) * i + src
+                    ) % 256
+                    if int(d):
+                        v = v.copy()
+                        v[0] = (v[0] + 128) % 256
+                    g = v.reshape(8, 9)
+                    arr = np.stack([g, g, g], axis=-1).astype(np.uint8)
+                    rows.append((int(m), fi, MC.dhash_bands(arr)))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "bands"])
+
+    fps = roster.mapInPandas(
+        fingerprint, "media_id long, frame_idx int, bands array<int>"
+    )
+    return video_pair_overlap(fps, max_hamming=7)
+
+
 def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-fingerprint near-dup over REAL PCM — closes the last dedup
     modality (text ✓, embeddings ✓, images ✓ mm_image_phash_neardup):
@@ -1100,6 +1270,60 @@ ORACLE_SQL["mm_audio_fp_fake"] = """
     SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 7
 """
 
+# the fake-twin video near-dup restated: per-frame quadratic grids →
+# dHash bits → band keys → frame-level banded join → per-video-pair
+# matched-frame counts. The fid packing is implicit: frames key on
+# (media_id, fi) directly.
+ORACLE_SQL["mm_video_phash_fake"] = """
+    WITH vids AS (
+        SELECT doc_id AS media_id, doc_id AS src, 0 AS is_dup
+        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 2
+        UNION ALL
+        SELECT doc_id + 10000, doc_id, 1
+        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 2 AND doc_id % 2 = 0
+    ),
+    fr AS (SELECT unnest(range(4)) AS fi),
+    idx AS (SELECT unnest(range(72)) AS i),
+    cells AS (
+        SELECT media_id, fi, i,
+               ((((src % 251 + 1) * i * i + (src % 241 + 13 * fi) * i + src) % 256)
+                + CASE WHEN is_dup = 1 AND i = 0 THEN 128 ELSE 0 END) % 256 AS v
+        FROM vids CROSS JOIN fr CROSS JOIN idx
+    ),
+    bits AS (
+        SELECT c1.media_id, c1.fi, c1.i // 9 AS y, c1.i % 9 AS x,
+               CASE WHEN c2.v > c1.v THEN 1 ELSE 0 END AS bit
+        FROM cells c1
+        JOIN cells c2 ON c2.media_id = c1.media_id AND c2.fi = c1.fi
+                     AND c2.i = c1.i + 1
+        WHERE c1.i % 9 < 8
+    ),
+    bands AS (
+        SELECT media_id, fi, y AS band_id,
+               CAST(SUM(bit * (1 << x)) AS BIGINT) AS band_key
+        FROM bits GROUP BY media_id, fi, y
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS va, a.fi AS fa, b.media_id AS vb, b.fi AS fb
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.media_id < b.media_id
+    ),
+    ham AS (
+        SELECT c.va, c.fa, c.vb, c.fb,
+               SUM(bit_count(xor(ba.band_key, bb.band_key))) AS h
+        FROM cand c
+        JOIN bands ba ON ba.media_id = c.va AND ba.fi = c.fa
+        JOIN bands bb ON bb.media_id = c.vb AND bb.fi = c.fb
+                     AND bb.band_id = ba.band_id
+        GROUP BY c.va, c.fa, c.vb, c.fb
+    )
+    SELECT va AS media_a, vb AS media_b,
+           CAST(COUNT(DISTINCT fa) AS BIGINT) AS matched_a,
+           CAST(COUNT(DISTINCT fb) AS BIGINT) AS matched_b
+    FROM ham WHERE h <= 7 GROUP BY va, vb
+"""
+
 QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_cosine_neardup": emb_cosine_neardup,
@@ -1122,4 +1346,6 @@ QUERIES = {
     "mm_phash_neardup_fake": mm_phash_neardup_fake,
     "mm_audio_fp_neardup": mm_audio_fp_neardup,
     "mm_audio_fp_fake": mm_audio_fp_fake,
+    "mm_video_phash_neardup": mm_video_phash_neardup,
+    "mm_video_phash_fake": mm_video_phash_fake,
 }
