@@ -72,6 +72,7 @@ HEADLINE = [
     # fingerprint + banded Hamming join)
     "mm_image_phash_neardup",
     "mm_audio_fp_neardup",
+    "mm_video_phash_neardup",
 ]
 
 
