@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # containers (MJPEG/AVI/MP4) + matched-frame aggregation
         "mm_video_phash_fake",
         "mm_video_phash_neardup",
+        # leakage-safe image split: dHash components -> component-keyed
+        # split, cross-split audit 0 by construction (full hash oracle)
+        "mm_phash_leakage_split",
         # -- the remaining r3-era rows (oldest evidence after the head) --
         "mm_meta_stats",
         "emb_pca_stats",

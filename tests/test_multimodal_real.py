@@ -534,3 +534,20 @@ def test_video_pair_overlap_containment(spark):
     df = spark.createDataFrame(rows, "media_id long, frame_idx int, bands array<int>")
     got = {tuple(r) for r in video_pair_overlap(df, max_hamming=0).collect()}
     assert got == {(1, 2, 2, 2)}  # both of clip 1's frames matched; 2 of video 2's
+
+
+def test_phash_leakage_split_no_cross_pairs(spark, sf_dir):
+    """Component-keyed split: every dHash near-dup pair lands in ONE split
+    (n_cross_pairs recomputed from the pair table is zero), and the split
+    covers the whole roster."""
+    from vers_spark.operators.pipeline_queries import mm_phash_leakage_split
+    from vers_spark.sources.tables import load_table
+
+    rows = mm_phash_leakage_split(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["n_cross_pairs"] == 0 for r in rows)
+    imgs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0)
+    )
+    n_roster = imgs.count() + imgs.filter(F.col("doc_id") % 2 == 0).count()
+    assert sum(r["n_media"] for r in rows) == n_roster

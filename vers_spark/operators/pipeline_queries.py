@@ -824,6 +824,68 @@ def mm_video_phash_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_pair_overlap(fps, max_hamming=7)
 
 
+def mm_phash_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split for the IMAGE corpus — the
+    within-modality complement of neardup_leakage_split (text): assignment
+    keys on the dHash near-dup COMPONENT, so a near-duplicate of a training
+    image can never land in eval (the image-benchmark contamination path).
+    Runs on the fake-mode fingerprint corpus so the WHOLE composition —
+    dHash bits → banded pairs → connected components → component-keyed
+    split hash → cross-split audit — carries a full DuckDB hash oracle
+    (recursive-CTE transitive closure, the neardup_leakage_split pattern);
+    the real-decode corpus runs the same code on mm_image_phash_neardup's
+    fingerprints. n_cross_pairs is recomputed from the pair table and is 0
+    BY CONSTRUCTION — a regression in the component build or the
+    assignment breaks the hash. Scale shape: one broadcast join of the
+    component table, one hash per image; no all-pairs work."""
+    from vers_spark.functions.text import stable_hash60
+    from vers_spark.operators.graph import connected_components
+
+    pairs = mm_phash_neardup_fake(spark, sf_dir).localCheckpoint(eager=False)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0)
+    )
+    roster = _phash_roster(docs, 10000).select("media_id")
+    comp = connected_components(pairs, src="media_a", dst="media_b")
+    asg = (
+        roster.join(comp.withColumnRenamed("node", "media_id"), "media_id", "left")
+        .select(
+            "media_id", F.coalesce("component", F.col("media_id")).alias("component")
+        )
+    )
+    bucket = (
+        stable_hash60(F.concat(F.lit("msplit:"), F.col("component").cast("string")))
+        % 100
+    )
+    asg = asg.withColumn(
+        "split",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    ).localCheckpoint(eager=False)
+    cross = (
+        pairs.join(
+            asg.select(F.col("media_id").alias("media_a"), F.col("split").alias("_sa")),
+            "media_a",
+        )
+        .join(
+            asg.select(F.col("media_id").alias("media_b"), F.col("split").alias("_sb")),
+            "media_b",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross_pairs"))
+    )
+    return (
+        asg.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.countDistinct("component").cast("long").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(cross))
+        .orderBy("split")
+    )
+
+
 def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-fingerprint near-dup over REAL PCM — closes the last dedup
     modality (text ✓, embeddings ✓, images ✓ mm_image_phash_neardup):
@@ -1324,6 +1386,60 @@ ORACLE_SQL["mm_video_phash_fake"] = """
     FROM ham WHERE h <= 7 GROUP BY va, vb
 """
 
+# the image leakage-split restated: the phash-fake pair CTE → recursive-CTE
+# transitive closure → component-keyed split hash → cross-split audit
+# (0 by construction) — the neardup_leakage_split oracle pattern.
+from vers_spark.operators.text_analysis import D_HASH60 as _D_H60
+
+_D_MSPLIT_HASH = _D_H60.format(x="'msplit:' || CAST(component AS VARCHAR)")
+ORACLE_SQL["mm_phash_leakage_split"] = f"""
+    WITH RECURSIVE
+    pairs AS MATERIALIZED ({ORACLE_SQL["mm_phash_neardup_fake"]}),
+    edges AS (
+        SELECT media_a AS src, media_b AS dst FROM pairs
+        UNION ALL
+        SELECT media_b AS src, media_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    ids AS (
+        SELECT doc_id AS media_id FROM documents
+        WHERE doc_id < 200 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 10000 FROM documents
+        WHERE doc_id < 200 AND doc_id % 3 = 0 AND doc_id % 2 = 0
+    ),
+    asg AS MATERIALIZED (
+        SELECT media_id, component,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT media_id, component, ({_D_MSPLIT_HASH}) % 100 AS b
+            FROM (SELECT i.media_id,
+                         coalesce(c.component, i.media_id) AS component
+                  FROM ids i LEFT JOIN comp c ON c.node = i.media_id)
+        )
+    ),
+    crossed AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cross_pairs
+        FROM pairs p
+        JOIN asg a ON a.media_id = p.media_a
+        JOIN asg b ON b.media_id = p.media_b
+        WHERE a.split <> b.split
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_media,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+           n_cross_pairs
+    FROM asg, crossed
+    GROUP BY split, n_cross_pairs
+    ORDER BY split
+"""
+
 QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_cosine_neardup": emb_cosine_neardup,
@@ -1348,4 +1464,5 @@ QUERIES = {
     "mm_audio_fp_fake": mm_audio_fp_fake,
     "mm_video_phash_neardup": mm_video_phash_neardup,
     "mm_video_phash_fake": mm_video_phash_fake,
+    "mm_phash_leakage_split": mm_phash_leakage_split,
 }
