@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-safe image split: dHash components -> component-keyed
         # split, cross-split audit 0 by construction (full hash oracle)
         "mm_phash_leakage_split",
+        # streaming image NEAR-dup gate: banded-Hamming store lookup per
+        # micro-batch, quarantine-not-drop store (full hash oracle)
+        "stream_phash_gate",
         # -- the remaining r3-era rows (oldest evidence after the head) --
         "mm_meta_stats",
         "emb_pca_stats",

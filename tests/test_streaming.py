@@ -179,3 +179,22 @@ def test_stream_markov_equals_batch(spark, sf_dir):
     streamed = sorted(map(tuple, stream_markov_merge(spark, sf_dir).collect()))
     batch = sorted(map(tuple, evt_markov_transitions(spark, sf_dir).collect()))
     assert streamed == batch
+
+
+def test_stream_phash_gate_end_state(spark, sf_dir):
+    """The streaming NEAR-dup image gate admits every original and
+    quarantines every +10000 near-copy (which arrives in a LATER batch by
+    the range-partitioned staging), never dropping fingerprints."""
+    from vers_spark.operators.streaming_queries import stream_phash_gate_q
+    from vers_spark.sources.tables import load_table
+
+    rows = stream_phash_gate_q(spark, sf_dir).collect()
+    imgs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0)
+    )
+    n_orig = imgs.count()
+    n_dup = imgs.filter(F.col("doc_id") % 2 == 0).count()
+    assert len(rows) == n_orig + n_dup  # quarantine-not-drop
+    by_id = {r["media_id"]: r["admitted"] for r in rows}
+    assert all(by_id[m] == 1 for m in by_id if m < 10000)
+    assert all(by_id[m] == 0 for m in by_id if m >= 10000)

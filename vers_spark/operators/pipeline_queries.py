@@ -471,7 +471,10 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def phash_neardup_pairs(
-    fps: DataFrame, max_hamming: int = 7, max_bucket: int | None = None
+    fps: DataFrame,
+    max_hamming: int = 7,
+    max_bucket: int | None = None,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Banded Hamming self-join over dHash fingerprints — the image-modality
     near-dup joiner (text: simhash_neardup_pairs; embeddings:
@@ -485,7 +488,12 @@ def phash_neardup_pairs(
     skew guard as text_dedup.band_candidates: band values shared by more
     than max_bucket images are dropped before the self-join (a degenerate
     band — all-flat images — carries no signal, and every true pair still
-    has the other bands)."""
+    has the other bands).
+
+    ``probe`` restricts the RIGHT side of the candidate join to the probe
+    rows (micro-batch ingest: new arrivals verify against the accumulated
+    store without re-verifying store-store pairs); the left side stays the
+    full ``fps`` set, and media_a < media_b still canonicalizes pairs."""
     chunks = fps.select(
         "media_id", "bands", F.posexplode("bands").alias("band_id", "band_key")
     )
@@ -498,11 +506,18 @@ def phash_neardup_pairs(
             ["band_id", "band_key"],
             "left_semi",
         )
+    pchunks = (
+        chunks
+        if probe is None
+        else probe.select(
+            "media_id", "bands", F.posexplode("bands").alias("band_id", "band_key")
+        )
+    )
     a = chunks.select(
         F.col("media_id").alias("media_a"), F.col("bands").alias("bands_a"),
         "band_id", "band_key",
     )
-    b = chunks.select(
+    b = pchunks.select(
         F.col("media_id").alias("media_b"), F.col("bands").alias("bands_b"),
         "band_id", "band_key",
     )
@@ -524,6 +539,26 @@ def phash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
     )
+
+
+def phash_fake_bands(src: int, is_dup: bool) -> list[int]:
+    """The fake-mode dHash fingerprint — ONE definition of the quadratic
+    grid shared by mm_phash_neardup_fake, the leakage split, and the
+    streaming gate (and restated verbatim in their SQL oracles):
+    v(i) = ((src%251 + 1)·i² + (src%241)·i + src) mod 256 over an 8×9 grid,
+    through the REAL dHash kernel; a duplicate copy perturbs cell 0 by
+    +128 (≤1 bit flips)."""
+    import numpy as np
+
+    from vers_spark.operators import media_codecs as MC
+
+    i = np.arange(72, dtype=np.int64)
+    v = ((src % 251 + 1) * i * i + (src % 241) * i + src) % 256
+    if is_dup:
+        v = v.copy()
+        v[0] = (v[0] + 128) % 256
+    g = v.reshape(8, 9)
+    return MC.dhash_bands(np.stack([g, g, g], axis=-1).astype(np.uint8))
 
 
 def _phash_roster(docs: DataFrame, dup_offset: int) -> DataFrame:
@@ -623,7 +658,6 @@ def mm_phash_neardup_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     The injected duplicate (src + 10000) perturbs only cell 0 by +128 mod
     256, flipping at most bit (0,0) — Hamming ≤ 1, so the pigeonhole
     recovery guarantee is certified by the oracle, not just asserted."""
-    import numpy as np
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -632,23 +666,16 @@ def mm_phash_neardup_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     roster = _phash_roster(docs, 10000)
 
     def fingerprint(batches):
-        from vers_spark.operators import media_codecs as MC
-
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = []
-            for m, s, d in zip(pdf["media_id"], pdf["src_id"], pdf["is_dup"]):
-                src = int(s)
-                i = np.arange(72, dtype=np.int64)
-                v = ((src % 251 + 1) * i * i + (src % 241) * i + src) % 256
-                if int(d):
-                    v = v.copy()
-                    v[0] = (v[0] + 128) % 256
-                g = v.reshape(8, 9)
-                arr = np.stack([g, g, g], axis=-1).astype(np.uint8)
-                rows.append((int(m), MC.dhash_bands(arr)))
-            yield pd.DataFrame(rows, columns=["media_id", "bands"])
+            yield pd.DataFrame(
+                [
+                    (int(m), phash_fake_bands(int(s), bool(d)))
+                    for m, s, d in zip(pdf["media_id"], pdf["src_id"], pdf["is_dup"])
+                ],
+                columns=["media_id", "bands"],
+            )
 
     fps = roster.mapInPandas(fingerprint, "media_id long, bands array<int>")
     return phash_neardup_pairs(fps, max_hamming=7)

@@ -229,6 +229,33 @@ def stream_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def stream_phash_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming image NEAR-dup gate (streaming.events.stream_phash_gate):
+    micro-batched dHash fingerprints, banded-Hamming store lookup, every
+    arrival appended with an admitted flag. End state ≡ pairwise-to-earlier
+    admission over the whole corpus, so the stream result hash-matches the
+    SQL restatement of the fingerprint + near-pair + NOT EXISTS rule. The
+    two 32-bit fingerprint halves certify the stored bands themselves."""
+    sink = scratch_dir("vs_phash_gate_store_")
+    from vers_spark.streaming.events import stream_phash_gate
+
+    store = stream_phash_gate(spark, sf_dir, f"{sink}/store")
+    lo = sum(
+        (F.element_at("bands", i).cast("long") * (1 << (8 * (i - 1))))
+        for i in range(1, 5)
+    )
+    hi = sum(
+        (F.element_at("bands", i).cast("long") * (1 << (8 * (i - 5))))
+        for i in range(5, 9)
+    )
+    return store.select(
+        "media_id",
+        F.col("admitted").cast("int").alias("admitted"),
+        lo.alias("fp_lo"),
+        hi.alias("fp_hi"),
+    ).orderBy("media_id")
+
+
 def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quality gate (streaming.events.stream_quality_gate):
     micro-batched corpus routed to accept/quarantine stores by the
@@ -845,12 +872,74 @@ ORACLE_SQL["stream_dedup_ingest"] = """
     ORDER BY doc_id
 """
 
+ORACLE_SQL["stream_phash_gate"] = """
+    WITH imgs AS (
+        SELECT doc_id AS media_id, doc_id AS src, 0 AS is_dup
+        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 10000, doc_id, 1
+        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0 AND doc_id % 2 = 0
+    ),
+    idx AS (SELECT unnest(range(72)) AS i),
+    cells AS (
+        SELECT media_id, i,
+               CASE WHEN is_dup = 1 AND i = 0
+                    THEN (((src % 251 + 1) * i * i + (src % 241) * i + src) % 256 + 128) % 256
+                    ELSE ((src % 251 + 1) * i * i + (src % 241) * i + src) % 256
+               END AS v
+        FROM imgs CROSS JOIN idx
+    ),
+    bits AS (
+        SELECT c1.media_id, c1.i // 9 AS y, c1.i % 9 AS x,
+               CASE WHEN c2.v > c1.v THEN 1 ELSE 0 END AS bit
+        FROM cells c1
+        JOIN cells c2 ON c2.media_id = c1.media_id AND c2.i = c1.i + 1
+        WHERE c1.i % 9 < 8
+    ),
+    bands AS (
+        SELECT media_id, y AS band_id,
+               CAST(SUM(bit * (1 << x)) AS BIGINT) AS band_key
+        FROM bits GROUP BY media_id, y
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.media_id < b.media_id
+    ),
+    near AS (
+        SELECT c.media_a, c.media_b
+        FROM cand c
+        JOIN bands ba ON ba.media_id = c.media_a
+        JOIN bands bb ON bb.media_id = c.media_b AND bb.band_id = ba.band_id
+        GROUP BY c.media_a, c.media_b
+        HAVING SUM(bit_count(xor(ba.band_key, bb.band_key))) <= 7
+    ),
+    fp AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN band_id < 4
+                             THEN band_key * (1 << (8 * band_id)) ELSE 0 END)
+                    AS BIGINT) AS fp_lo,
+               CAST(SUM(CASE WHEN band_id >= 4
+                             THEN band_key * (1 << (8 * (band_id - 4))) ELSE 0 END)
+                    AS BIGINT) AS fp_hi
+        FROM bands GROUP BY media_id
+    )
+    SELECT f.media_id,
+           CAST(CASE WHEN EXISTS (SELECT 1 FROM near n WHERE n.media_b = f.media_id)
+                THEN 0 ELSE 1 END AS INT) AS admitted,
+           f.fp_lo, f.fp_hi
+    FROM fp f
+    ORDER BY media_id
+"""
+
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
     "stream_interval_join": stream_interval_join,
     "stream_static_enrich": stream_static_enrich,
     "stream_dedup_users": stream_dedup_users,
     "stream_dedup_ingest": stream_dedup_ingest_q,
+    "stream_phash_gate": stream_phash_gate_q,
     "stream_quality_gate": stream_quality_gate_q,
     "stream_funnel": stream_funnel_q,
     "stream_retention": stream_retention_q,

@@ -288,6 +288,116 @@ def stream_dedup_ingest(
     return spark.read.parquet(store_dir)
 
 
+def stream_phash_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-dup gate for the image modality — stream_dedup_ingest
+    with the exact-fingerprint store lookup replaced by a banded Hamming
+    join (the gate a training pipeline puts in front of an image corpus:
+    re-encodes and near-copies must be caught, not just byte-dups).
+
+    Arrivals are the fake-mode dHash corpus (pipeline_queries
+    .phash_fake_bands — originals plus +10000 near-copies), micro-batched
+    in media_id order (range-partitioned files, pinned ascending mtimes),
+    so the END STATE carries a full hash oracle. Admission rule: an arrival
+    is admitted iff NO earlier-arrived image is within Hamming ≤ 7
+    (pairwise-to-earlier — well-defined on duplicate CHAINS, unlike
+    admitted-only greedy). EVERY fingerprint is appended to the store with
+    an `admitted` flag (the quarantine-not-drop policy), which is exactly
+    what makes the rule restatable: rejected images cannot hide later
+    members of their chain.
+
+    Scale notes: the per-batch lookup is phash_neardup_pairs with
+    ``probe=batch`` — store-store pairs are never re-verified; for a real
+    deploy, partition the store by band buckets so each micro-batch prunes
+    to the band keys it actually carries (the stream_dedup_ingest store
+    note, banded)."""
+    from pyspark.sql import functions as F
+
+    from vers_spark.operators.pipeline_queries import (
+        _phash_roster,
+        phash_fake_bands,
+        phash_neardup_pairs,
+    )
+    from vers_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0)
+    )
+    arriving = _phash_roster(docs, 10000)
+    src_dir = scratch_dir("vs_phash_gate_src_")
+    arriving.repartitionByRange(n_files, "media_id").write.mode("overwrite").parquet(
+        src_dir
+    )
+    import glob as _glob
+    import time as _time
+
+    base = _time.time() - 3600
+    for i, f in enumerate(sorted(_glob.glob(f"{src_dir}/part-*.parquet"))):
+        os.utime(f, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema("media_id long, src_id long, is_dup int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def ingest(bdf: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
+        def fp(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                yield pd.DataFrame(
+                    [
+                        (int(m), phash_fake_bands(int(s), bool(d)))
+                        for m, s, d in zip(
+                            pdf["media_id"], pdf["src_id"], pdf["is_dup"]
+                        )
+                    ],
+                    columns=["media_id", "bands"],
+                )
+
+        b = bdf.mapInPandas(fp, "media_id long, bands array<int>").localCheckpoint(
+            eager=True  # read three times below; the batch is small
+        )
+        sess = bdf.sparkSession
+        if os.path.exists(store_dir):
+            prior = sess.read.parquet(store_dir).select("media_id", "bands")
+            allfp = prior.unionByName(b)
+        else:
+            allfp = b
+        # earlier = smaller media_id: arrival order IS id order (range
+        # partitioning + pinned mtimes), and within a batch the canonical
+        # media_a < media_b orientation makes media_b the later arrival
+        rejected = (
+            phash_neardup_pairs(allfp, max_hamming=7, probe=b)
+            .select(F.col("media_b").alias("media_id"))
+            .distinct()
+        )
+        admitted = b.join(rejected, "media_id", "left_anti").withColumn(
+            "admitted", F.lit(1)
+        )
+        quarantined = b.join(rejected, "media_id", "left_semi").withColumn(
+            "admitted", F.lit(0)
+        )
+        admitted.unionByName(quarantined).write.mode("append").parquet(store_dir)
+
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{store_dir}_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(store_dir)
+
+
 def stream_quality_gate(
     spark: SparkSession,
     sf_dir: str,
