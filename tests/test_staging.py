@@ -59,3 +59,29 @@ def test_ephemeral_dir_unique_per_call():
     a = ephemeral_dir("vs_test_eph_")
     b = ephemeral_dir("vs_test_eph_")
     assert a != b and os.path.isdir(a) and os.path.isdir(b)
+
+
+def test_ephemeral_dir_prunes_dead_owner_orphans():
+    """A killed process never runs atexit; its pid-tagged ephemeral dirs are
+    pruned by the next caller. Live-owner and unparseable (pre-pid-format)
+    names are never touched."""
+    import tempfile as _tf
+
+    base = "/dev/shm/vs-scratch" if os.path.isdir("/dev/shm") else _tf.gettempdir()
+    os.makedirs(base, exist_ok=True)
+    dead = os.path.join(base, "vs_test_pid4194309.orphan")
+    live = os.path.join(base, "vs_test_pid%d.mine" % os.getpid())
+    legacy = os.path.join(base, "vs_test_nopid_suffix")
+    for d in (dead, live, legacy):
+        os.makedirs(d, exist_ok=True)
+    ephemeral_dir("vs_test_prune_")
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
+    assert os.path.exists(legacy)
+    for d in (live, legacy):
+        os.rmdir(d)
+
+
+def test_ephemeral_dir_name_embeds_pid():
+    d = ephemeral_dir("vs_test_tag_")
+    assert f"pid{os.getpid()}." in os.path.basename(d)

@@ -46,9 +46,29 @@ _JIT_FLAGS = (
 def _local_dirs() -> str:
     """Shuffle/spill dirs: prefer tmpfs (/dev/shm) in the local harness — the
     backing disk here is slow and shared, and shuffle blocks are small; on a
-    real cluster spark.local.dir is provisioned NVMe and this is a no-op."""
+    real cluster spark.local.dir is provisioned NVMe and this is a no-op.
+
+    A KILLED JVM (OOM killer, SIGKILL) never runs its shutdown hooks, so its
+    blockmgr-*/spark-* spill survives on tmpfs — one dead 1M-scale run left
+    72 GB behind. When no other JVM is alive on the box, a starting session
+    sweeps the leftovers (a live concurrent JVM suppresses the sweep: its
+    spill dirs are indistinguishable from orphans without pids in the
+    names)."""
     shm = "/dev/shm/spark-local"
     if os.path.isdir("/dev/shm"):
+        if os.path.isdir(shm):
+            import shutil
+            import subprocess
+
+            try:
+                alive = subprocess.run(
+                    ["pgrep", "-x", "java"], capture_output=True, timeout=5
+                ).returncode == 0
+            except Exception:
+                alive = True  # can't tell → never delete
+            if not alive:
+                for d in os.listdir(shm):
+                    shutil.rmtree(os.path.join(shm, d), ignore_errors=True)
         return shm
     return os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import atexit
 import hashlib
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -95,13 +96,39 @@ def ephemeral_dir(prefix: str, tmpfs: bool = True) -> str:
     sinks) rather than reusable staged table copies. tmpfs when available:
     micro-batch checkpoints fsync many tiny files, which on a slow shared
     disk dominates small-stream wall time; on a real cluster these live on
-    provisioned fast storage and this is a no-op choice."""
+    provisioned fast storage and this is a no-op choice.
+
+    atexit never fires for a KILLED process (OOM killer), so the dir name
+    embeds the owner pid (``<prefix>pid<pid>.<rand>``) and every call prunes
+    dead-owner siblings — the staging_dir liveness discipline; a 2285-dir /
+    16 GB tmpfs residue from crashed runs motivated it. Unparseable names
+    (pre-pid format, foreign files) are never touched."""
     base = "/dev/shm/vs-scratch" if tmpfs and os.path.isdir("/dev/shm") else None
     if base is not None:
         os.makedirs(base, exist_ok=True)
-    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    d = tempfile.mkdtemp(prefix=f"{prefix}pid{os.getpid()}.", dir=base)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
+    parent = base or tempfile.gettempdir()
+    try:
+        for sib in os.listdir(parent):
+            m = re.search(r"pid(\d+)\.", sib)
+            if m is None or int(m.group(1)) == os.getpid():
+                continue
+            if not _pid_alive(int(m.group(1))):
+                shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
+    except OSError:
+        pass
     return d
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True  # exists / can't signal → treat as live
 
 
 def fresh_subdir(spark: SparkSession, kind: str, token: str, name: str) -> str:
