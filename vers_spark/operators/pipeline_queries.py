@@ -685,29 +685,32 @@ def video_pair_overlap(
     frame_fps: DataFrame, max_hamming: int = 7
 ) -> DataFrame:
     """Video-level near-dup from FRAME fingerprints: band-join all frames
-    (the shared phash_neardup_pairs, frame ids packed as media_id·16 +
-    frame_idx — frame counts are bounded by the container header), then
-    aggregate matched frames per video pair. Returns (media_a, media_b,
-    matched_a, matched_b): how many DISTINCT frames of each side found a
-    ≤max_hamming partner in the other. Callers compare matched_* against
-    the videos' frame counts (containment semantics — a clip wholly inside
-    a longer video still scores matched_a = n_frames(a)).
+    (the shared phash_neardup_pairs, frame ids packed as media_id·2²⁰ +
+    frame_idx — room for 1M-frame videos and media ids to 2⁴³; the packing
+    also preserves (video, frame) order, so media_a < media_b still means
+    "earlier video"), then aggregate matched frames per video pair.
+    Returns (media_a, media_b, matched_a, matched_b): how many DISTINCT
+    frames of each side found a ≤max_hamming partner in the other. Callers
+    compare matched_* against the videos' frame counts (containment
+    semantics — a clip wholly inside a longer video still scores
+    matched_a = n_frames(a)).
 
     Scale shape: the frame join inherits the banded join's properties
     (band-key buckets, skew guard); the video aggregation is one groupBy
     over surviving frame pairs — no all-pairs video work ever happens."""
+    _P = 1 << 20
     packed = frame_fps.select(
-        (F.col("media_id") * 16 + F.col("frame_idx")).alias("media_id"), "bands"
+        (F.col("media_id") * _P + F.col("frame_idx")).alias("media_id"), "bands"
     )
     fpairs = phash_neardup_pairs(packed, max_hamming)
-    va = F.expr("media_a div 16")
-    vb = F.expr("media_b div 16")
+    va = F.expr(f"media_a div {_P}")
+    vb = F.expr(f"media_b div {_P}")
     return (
         fpairs.select(
             va.alias("va"),
-            F.expr("media_a % 16").alias("fa"),
+            F.expr(f"media_a % {_P}").alias("fa"),
             vb.alias("vb"),
-            F.expr("media_b % 16").alias("fb"),
+            F.expr(f"media_b % {_P}").alias("fb"),
         )
         .filter(F.col("va") != F.col("vb"))
         .groupBy(F.col("va").alias("media_a"), F.col("vb").alias("media_b"))
