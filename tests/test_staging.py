@@ -67,7 +67,11 @@ def test_ephemeral_dir_prunes_dead_owner_orphans():
     names are never touched."""
     import tempfile as _tf
 
-    base = "/dev/shm/vs-scratch" if os.path.isdir("/dev/shm") else _tf.gettempdir()
+    base = (
+        "/dev/shm/vs-scratch"
+        if os.path.isdir("/dev/shm")
+        else os.path.join(_tf.gettempdir(), "vs-scratch")
+    )
     os.makedirs(base, exist_ok=True)
     dead = os.path.join(base, "vs_test_pid4194309.orphan")
     live = os.path.join(base, "vs_test_pid%d.mine" % os.getpid())

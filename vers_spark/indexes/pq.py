@@ -160,15 +160,28 @@ class PQCodec:
                     continue
                 c_ids = pdf["vec_id"].to_numpy(np.int64)
                 C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
-                # gather: dist[q, b] = Σ_j tables[q, j, C[b, j]]
-                d = tables[:, np.arange(C.shape[1])[None, :], C].sum(axis=2)
+                # gather: dist[q, b] = Σ_j tables[q, j, C[b, j]] — folded
+                # SEQUENTIALLY to be bit-equal to the declarative
+                # aggregate's left fold (the ivfpq_search_blocked fix:
+                # numpy pairwise summation can differ by ulps and flip
+                # near-tie orderings across engines)
+                g = tables[:, np.arange(C.shape[1])[None, :], C]  # (Q, B, m)
+                d = np.zeros(g.shape[:2], dtype=np.float64)
+                for j in range(g.shape[2]):
+                    d = d + g[:, :, j]
                 take = min(kk, d.shape[1])
                 part = np.argpartition(d, take - 1, axis=1)[:, :take]
                 out = []
                 for qi in range(d.shape[0]):
                     cols = part[qi]
-                    order = np.lexsort((c_ids[cols], d[qi, cols]))
-                    sel = cols[order]
+                    # ADC distance ties at the take boundary are COMMON
+                    # (identical codes sum identical LUT entries); re-admit
+                    # boundary ties and truncate on the (distance, id)
+                    # composite key — the serving-kernel discipline
+                    thr = d[qi, cols].max()
+                    cand = np.nonzero(d[qi] <= thr)[0]
+                    order = np.lexsort((c_ids[cand], d[qi, cand]))
+                    sel = cand[order][:take]
                     out.append(
                         pd.DataFrame(
                             {
@@ -483,10 +496,8 @@ def ivfpq_search_blocked(
                 for j in range(g.shape[2]):
                     d = d + g[:, :, j]
                 take = min(kk, d.shape[1])
-                if take < d.shape[1]:
-                    part = np.argpartition(d, take - 1, axis=1)[:, :take]
-                else:
-                    part = np.tile(np.arange(d.shape[1]), (d.shape[0], 1))
+                # argpartition accepts kth == n-1, so no full-take branch
+                part = np.argpartition(d, take - 1, axis=1)[:, :take]
                 for row, qi in enumerate(qsel):
                     cols = part[row]
                     # argpartition selected by distance alone; ADC distance

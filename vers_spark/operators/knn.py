@@ -114,14 +114,19 @@ def exact_knn_blocked(
             c_mat = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
             d = VN.pairwise_distances(mat, c_mat, m)  # (Q, B)
             take = min(kk, d.shape[1])
-            # per-query partial top-k inside the batch: argpartition then
-            # exact sort of the k survivors (ties by corpus id)
+            # per-query partial top-k inside the batch: argpartition, then
+            # re-admit candidates tying the boundary distance (duplicate
+            # vectors tie exactly; argpartition alone would keep an
+            # arbitrary one and could drop the smaller-id neighbour) and
+            # truncate on the (distance, id) composite key
             part = np.argpartition(d, take - 1, axis=1)[:, :take]
             out_q, out_c, out_d = [], [], []
             for qi in range(d.shape[0]):
                 cols = part[qi]
-                order = np.lexsort((c_ids[cols], d[qi, cols]))
-                sel = cols[order]
+                thr = d[qi, cols].max()
+                cand = np.nonzero(d[qi] <= thr)[0]
+                order = np.lexsort((c_ids[cand], d[qi, cand]))
+                sel = cand[order][:take]
                 out_q.append(np.full(take, ids[qi]))
                 out_c.append(c_ids[sel])
                 out_d.append(d[qi, sel])

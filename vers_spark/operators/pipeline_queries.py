@@ -541,24 +541,68 @@ def phash_neardup_pairs(
     )
 
 
-def phash_fake_bands(src: int, is_dup: bool) -> list[int]:
+def phash_fake_bands(src: int, is_dup: bool, fi: int = 0) -> list[int]:
     """The fake-mode dHash fingerprint — ONE definition of the quadratic
-    grid shared by mm_phash_neardup_fake, the leakage split, and the
-    streaming gate (and restated verbatim in their SQL oracles):
-    v(i) = ((src%251 + 1)·i² + (src%241)·i + src) mod 256 over an 8×9 grid,
-    through the REAL dHash kernel; a duplicate copy perturbs cell 0 by
-    +128 (≤1 bit flips)."""
+    grid shared by mm_phash_neardup_fake, mm_video_phash_fake, the leakage
+    split, and the streaming gate (its SQL twin is _phash_bands_cte):
+    v(i) = ((src%251 + 1)·i² + (src%241 + 13·fi)·i + src) mod 256 over an
+    8×9 grid, through the REAL dHash kernel; ``fi`` is the video frame
+    index bending the linear term (fi=0 ≡ the single-image formula); a
+    duplicate copy perturbs cell 0 by +128 (≤1 bit flips per frame)."""
     import numpy as np
 
     from vers_spark.operators import media_codecs as MC
 
     i = np.arange(72, dtype=np.int64)
-    v = ((src % 251 + 1) * i * i + (src % 241) * i + src) % 256
+    v = ((src % 251 + 1) * i * i + (src % 241 + 13 * fi) * i + src) % 256
     if is_dup:
         v = v.copy()
         v[0] = (v[0] + 128) % 256
     g = v.reshape(8, 9)
     return MC.dhash_bands(np.stack([g, g, g], axis=-1).astype(np.uint8))
+
+
+def _phash_bands_cte(kind_rem: int, frames: int | None = None) -> str:
+    """The SQL restatement of :func:`phash_fake_bands` — the ONE oracle-side
+    definition composed into every fake-fingerprint oracle (image pairs,
+    video, streaming gate; the leakage split composes the pairs oracle).
+    ``frames=N`` adds the frame dimension: fi bends the linear term by
+    13·fi and the duplicate perturbs cell 0 of EVERY frame. Yields the CTE
+    chain ``imgs → [fr] → idx → cells → bits → bands`` (bands carry fi when
+    framed)."""
+    fr = f"fr AS (SELECT unnest(range({frames})) AS fi),\n    " if frames else ""
+    fi_col = "fi, " if frames else ""
+    fi_cross = " CROSS JOIN fr" if frames else ""
+    fi_eq = " AND c2.fi = c1.fi" if frames else ""
+    fi_c1 = "c1.fi, " if frames else ""
+    lin = "(src % 241 + 13 * fi)" if frames else "(src % 241)"
+    return f"""imgs AS (
+        SELECT doc_id AS media_id, doc_id AS src, 0 AS is_dup
+        FROM documents WHERE doc_id < 200 AND doc_id % 3 = {kind_rem}
+        UNION ALL
+        SELECT doc_id + 10000, doc_id, 1
+        FROM documents
+        WHERE doc_id < 200 AND doc_id % 3 = {kind_rem} AND doc_id % 2 = 0
+    ),
+    {fr}idx AS (SELECT unnest(range(72)) AS i),
+    cells AS (
+        SELECT media_id, {fi_col}i,
+               ((((src % 251 + 1) * i * i + {lin} * i + src) % 256)
+                + CASE WHEN is_dup = 1 AND i = 0 THEN 128 ELSE 0 END) % 256 AS v
+        FROM imgs{fi_cross} CROSS JOIN idx
+    ),
+    bits AS (
+        SELECT c1.media_id, {fi_c1}c1.i // 9 AS y, c1.i % 9 AS x,
+               CASE WHEN c2.v > c1.v THEN 1 ELSE 0 END AS bit
+        FROM cells c1
+        JOIN cells c2 ON c2.media_id = c1.media_id{fi_eq} AND c2.i = c1.i + 1
+        WHERE c1.i % 9 < 8
+    ),
+    bands AS (
+        SELECT media_id, {fi_col}y AS band_id,
+               CAST(SUM(bit * (1 << x)) AS BIGINT) AS band_key
+        FROM bits GROUP BY media_id, {fi_col}y
+    )"""
 
 
 def _phash_roster(docs: DataFrame, dup_offset: int) -> DataFrame:
@@ -818,7 +862,6 @@ def mm_video_phash_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     The injected duplicate (src + 10000) perturbs cell 0 of every frame by
     +128 — ≤1 bit per frame, so all 4 frames must match under the
     pigeonhole bound, restated in SQL."""
-    import numpy as np
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -827,25 +870,14 @@ def mm_video_phash_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     roster = _phash_roster(docs, 10000)
 
     def fingerprint(batches):
-        from vers_spark.operators import media_codecs as MC
-
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = []
-            for m, s, d in zip(pdf["media_id"], pdf["src_id"], pdf["is_dup"]):
-                src = int(s)
-                i = np.arange(72, dtype=np.int64)
-                for fi in range(4):
-                    v = (
-                        (src % 251 + 1) * i * i + (src % 241 + 13 * fi) * i + src
-                    ) % 256
-                    if int(d):
-                        v = v.copy()
-                        v[0] = (v[0] + 128) % 256
-                    g = v.reshape(8, 9)
-                    arr = np.stack([g, g, g], axis=-1).astype(np.uint8)
-                    rows.append((int(m), fi, MC.dhash_bands(arr)))
+            rows = [
+                (int(m), fi, phash_fake_bands(int(s), bool(d), fi))
+                for m, s, d in zip(pdf["media_id"], pdf["src_id"], pdf["is_dup"])
+                for fi in range(4)
+            ]
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "bands"])
 
     fps = roster.mapInPandas(
@@ -1265,35 +1297,9 @@ ORACLE_SQL["mm_audio_resample"] = """
 # the fake-twin dHash restated: grid → horizontal-gradient bits → per-row
 # band keys → banded self-join → exact bit_count(xor) Hamming verify.
 # Integer arithmetic end-to-end, so the hash must match bit-for-bit.
-ORACLE_SQL["mm_phash_neardup_fake"] = """
-    WITH imgs AS (
-        SELECT doc_id AS media_id, doc_id AS src, 0 AS is_dup
-        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
-        UNION ALL
-        SELECT doc_id + 10000, doc_id, 1
-        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0 AND doc_id % 2 = 0
-    ),
-    idx AS (SELECT unnest(range(72)) AS i),
-    cells AS (
-        SELECT media_id, i,
-               CASE WHEN is_dup = 1 AND i = 0
-                    THEN (((src % 251 + 1) * i * i + (src % 241) * i + src) % 256 + 128) % 256
-                    ELSE ((src % 251 + 1) * i * i + (src % 241) * i + src) % 256
-               END AS v
-        FROM imgs CROSS JOIN idx
-    ),
-    bits AS (
-        SELECT c1.media_id, c1.i // 9 AS y, c1.i % 9 AS x,
-               CASE WHEN c2.v > c1.v THEN 1 ELSE 0 END AS bit
-        FROM cells c1
-        JOIN cells c2 ON c2.media_id = c1.media_id AND c2.i = c1.i + 1
-        WHERE c1.i % 9 < 8
-    ),
-    bands AS (
-        SELECT media_id, y AS band_id,
-               CAST(SUM(bit * (1 << x)) AS BIGINT) AS band_key
-        FROM bits GROUP BY media_id, y
-    ),
+# The grid/bits/bands chain is the SHARED _phash_bands_cte definition.
+ORACLE_SQL["mm_phash_neardup_fake"] = f"""
+    WITH {_phash_bands_cte(0)},
     cand AS (
         SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
         FROM bands a
@@ -1366,35 +1372,8 @@ ORACLE_SQL["mm_audio_fp_fake"] = """
 # dHash bits → band keys → frame-level banded join → per-video-pair
 # matched-frame counts. The fid packing is implicit: frames key on
 # (media_id, fi) directly.
-ORACLE_SQL["mm_video_phash_fake"] = """
-    WITH vids AS (
-        SELECT doc_id AS media_id, doc_id AS src, 0 AS is_dup
-        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 2
-        UNION ALL
-        SELECT doc_id + 10000, doc_id, 1
-        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 2 AND doc_id % 2 = 0
-    ),
-    fr AS (SELECT unnest(range(4)) AS fi),
-    idx AS (SELECT unnest(range(72)) AS i),
-    cells AS (
-        SELECT media_id, fi, i,
-               ((((src % 251 + 1) * i * i + (src % 241 + 13 * fi) * i + src) % 256)
-                + CASE WHEN is_dup = 1 AND i = 0 THEN 128 ELSE 0 END) % 256 AS v
-        FROM vids CROSS JOIN fr CROSS JOIN idx
-    ),
-    bits AS (
-        SELECT c1.media_id, c1.fi, c1.i // 9 AS y, c1.i % 9 AS x,
-               CASE WHEN c2.v > c1.v THEN 1 ELSE 0 END AS bit
-        FROM cells c1
-        JOIN cells c2 ON c2.media_id = c1.media_id AND c2.fi = c1.fi
-                     AND c2.i = c1.i + 1
-        WHERE c1.i % 9 < 8
-    ),
-    bands AS (
-        SELECT media_id, fi, y AS band_id,
-               CAST(SUM(bit * (1 << x)) AS BIGINT) AS band_key
-        FROM bits GROUP BY media_id, fi, y
-    ),
+ORACLE_SQL["mm_video_phash_fake"] = f"""
+    WITH {_phash_bands_cte(2, frames=4)},
     cand AS (
         SELECT DISTINCT a.media_id AS va, a.fi AS fa, b.media_id AS vb, b.fi AS fb
         FROM bands a

@@ -872,35 +872,14 @@ ORACLE_SQL["stream_dedup_ingest"] = """
     ORDER BY doc_id
 """
 
-ORACLE_SQL["stream_phash_gate"] = """
-    WITH imgs AS (
-        SELECT doc_id AS media_id, doc_id AS src, 0 AS is_dup
-        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
-        UNION ALL
-        SELECT doc_id + 10000, doc_id, 1
-        FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0 AND doc_id % 2 = 0
-    ),
-    idx AS (SELECT unnest(range(72)) AS i),
-    cells AS (
-        SELECT media_id, i,
-               CASE WHEN is_dup = 1 AND i = 0
-                    THEN (((src % 251 + 1) * i * i + (src % 241) * i + src) % 256 + 128) % 256
-                    ELSE ((src % 251 + 1) * i * i + (src % 241) * i + src) % 256
-               END AS v
-        FROM imgs CROSS JOIN idx
-    ),
-    bits AS (
-        SELECT c1.media_id, c1.i // 9 AS y, c1.i % 9 AS x,
-               CASE WHEN c2.v > c1.v THEN 1 ELSE 0 END AS bit
-        FROM cells c1
-        JOIN cells c2 ON c2.media_id = c1.media_id AND c2.i = c1.i + 1
-        WHERE c1.i % 9 < 8
-    ),
-    bands AS (
-        SELECT media_id, y AS band_id,
-               CAST(SUM(bit * (1 << x)) AS BIGINT) AS band_key
-        FROM bits GROUP BY media_id, y
-    ),
+# the streaming gate restated from the SHARED fake-fingerprint CTE
+# (pipeline_queries._phash_bands_cte — one definition, three oracles):
+# near pairs at Hamming <= 7, pairwise-to-earlier admission, fingerprint
+# halves certifying the stored bands.
+from vers_spark.operators.pipeline_queries import _phash_bands_cte as _ph_cte
+
+ORACLE_SQL["stream_phash_gate"] = f"""
+    WITH {_ph_cte(0)},
     cand AS (
         SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
         FROM bands a

@@ -51,14 +51,15 @@ def _local_dirs() -> str:
     A KILLED JVM (OOM killer, SIGKILL) never runs its shutdown hooks, so its
     blockmgr-*/spark-* spill survives on tmpfs — one dead 1M-scale run left
     72 GB behind. When no other JVM is alive on the box, a starting session
-    sweeps the leftovers (a live concurrent JVM suppresses the sweep: its
-    spill dirs are indistinguishable from orphans without pids in the
-    names)."""
+    sweeps leftovers OLDER THAN 10 MINUTES (a live concurrent JVM suppresses
+    the sweep — its spill dirs carry no pid to attribute — and the age floor
+    closes the pgrep-then-delete race against a JVM launched in between)."""
     shm = "/dev/shm/spark-local"
     if os.path.isdir("/dev/shm"):
         if os.path.isdir(shm):
             import shutil
             import subprocess
+            import time
 
             try:
                 alive = subprocess.run(
@@ -67,8 +68,14 @@ def _local_dirs() -> str:
             except Exception:
                 alive = True  # can't tell → never delete
             if not alive:
+                cutoff = time.time() - 600
                 for d in os.listdir(shm):
-                    shutil.rmtree(os.path.join(shm, d), ignore_errors=True)
+                    p = os.path.join(shm, d)
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except OSError:
+                        pass
         return shm
     return os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
 

@@ -103,19 +103,25 @@ def ephemeral_dir(prefix: str, tmpfs: bool = True) -> str:
     dead-owner siblings — the staging_dir liveness discipline; a 2285-dir /
     16 GB tmpfs residue from crashed runs motivated it. Unparseable names
     (pre-pid format, foreign files) are never touched."""
-    base = "/dev/shm/vs-scratch" if tmpfs and os.path.isdir("/dev/shm") else None
-    if base is not None:
-        os.makedirs(base, exist_ok=True)
+    # always a NAMESPACED parent ("vs-scratch"), never the bare system temp
+    # dir: the dead-owner prune below must only ever see entries this module
+    # created — a loose pid regex over a shared /tmp could match (and
+    # delete) unrelated software's files
+    base = (
+        "/dev/shm/vs-scratch"
+        if tmpfs and os.path.isdir("/dev/shm")
+        else os.path.join(tempfile.gettempdir(), "vs-scratch")
+    )
+    os.makedirs(base, exist_ok=True)
     d = tempfile.mkdtemp(prefix=f"{prefix}pid{os.getpid()}.", dir=base)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
-    parent = base or tempfile.gettempdir()
     try:
-        for sib in os.listdir(parent):
+        for sib in os.listdir(base):
             m = re.search(r"pid(\d+)\.", sib)
             if m is None or int(m.group(1)) == os.getpid():
                 continue
             if not _pid_alive(int(m.group(1))):
-                shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
+                shutil.rmtree(os.path.join(base, sib), ignore_errors=True)
     except OSError:
         pass
     return d
