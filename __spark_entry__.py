@@ -148,14 +148,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming image NEAR-dup gate: banded-Hamming store lookup per
         # micro-batch, quarantine-not-drop store (full hash oracle)
         "stream_phash_gate",
+        # -- queries whose serving KERNELS changed this round (boundary-tie
+        # re-admission + sequential ADC fold in PQCodec.search,
+        # exact_knn_blocked, ivfpq_search_blocked) — changed code paths
+        # head the sweep, per the r8 discipline --
+        "knn_blocked_euclidean",
+        "knn_pq_fixed",
+        "knn_pq_euclidean",
+        "ivfpq_blocked_serve",
         # -- the remaining r3-era rows (oldest evidence after the head) --
         "mm_meta_stats",
         "emb_pca_stats",
         "emb_pca_knn_recall",
         "emb_similarity_join",
         "mm_real_pipeline",
-        # -- the r4-era cohort, oracle-backed first (37) — clears the
-        # freshness tail: after this sweep nothing is older than r4 --
+        # -- the r4-era cohort, oracle-backed first — clears the freshness
+        # tail toward "nothing older than r4". The sweep truncates at 50:
+        # with the 12 head slots above, the cohort tail past position 50
+        # (stream_quality_gate onward) keeps its exactly-r4 rows and
+        # rotates first in r10 --
         "bpe_train_merges",
         "doc_cms_heavy_hitters",
         "doc_curation_pipeline",
@@ -175,7 +186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_topk",
         "graph_ppr_customer_affinity",
         "ivf_build_fixed",
-        "knn_pq_fixed",
         "mm_audio_resample",
         "mm_resize",
         "neardup_components",

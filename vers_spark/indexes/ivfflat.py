@@ -633,6 +633,8 @@ class IVFFlatIndex:
                         # truncate on the composite (distance, id) key.
                         thr = dd[row, cols].max()
                         cand = np.nonzero(dd[row] <= thr)[0]
+                        if len(cand) < take:  # NaN distances → fixed width
+                            cand = cols
                         order = np.lexsort((b_ids[cand], dd[row, cand]))
                         sel = cand[order][:take]
                         out.append(

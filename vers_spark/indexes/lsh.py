@@ -1262,7 +1262,9 @@ class LSHForestIndex:
             # policy, made safe here by checking the layout itself).
             import glob as _glob
 
-            pps = _glob.glob(os.path.join(path, "leaves", "tree_id=*", "_pp=*"))
+            pps = _glob.glob(
+                os.path.join(_glob.escape(os.path.join(path, "leaves")), "tree_id=*", "_pp=*")
+            )
             current = bool(pps) and all(
                 os.path.basename(p).startswith("_pp=p") for p in pps[:8]
             )

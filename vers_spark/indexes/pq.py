@@ -168,7 +168,7 @@ class PQCodec:
                 g = tables[:, np.arange(C.shape[1])[None, :], C]  # (Q, B, m)
                 d = np.zeros(g.shape[:2], dtype=np.float64)
                 for j in range(g.shape[2]):
-                    d = d + g[:, :, j]
+                    d += g[:, :, j]  # in-place: same left fold, no temporaries
                 take = min(kk, d.shape[1])
                 part = np.argpartition(d, take - 1, axis=1)[:, :take]
                 out = []
@@ -180,6 +180,8 @@ class PQCodec:
                     # composite key — the serving-kernel discipline
                     thr = d[qi, cols].max()
                     cand = np.nonzero(d[qi] <= thr)[0]
+                    if len(cand) < take:  # NaN distances → keep fixed width
+                        cand = cols
                     order = np.lexsort((c_ids[cand], d[qi, cand]))
                     sel = cand[order][:take]
                     out.append(
@@ -494,7 +496,7 @@ def ivfpq_search_blocked(
                 # near-tie orderings across engines (cf. lsh._leaf_order)
                 d = np.zeros(g.shape[:2], dtype=np.float64)
                 for j in range(g.shape[2]):
-                    d = d + g[:, :, j]
+                    d += g[:, :, j]  # in-place: same left fold, no temporaries
                 take = min(kk, d.shape[1])
                 # argpartition accepts kth == n-1, so no full-take branch
                 part = np.argpartition(d, take - 1, axis=1)[:, :take]
@@ -508,6 +510,8 @@ def ivfpq_search_blocked(
                     # key — the ivfflat serving-kernel discipline.
                     thr = d[row, cols].max()
                     cand = np.nonzero(d[row] <= thr)[0]
+                    if len(cand) < take:  # NaN distances → keep fixed width
+                        cand = cols
                     order = np.lexsort((n_ids[cand], d[row, cand]))
                     sel = cand[order][:take]
                     out.append(

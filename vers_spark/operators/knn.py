@@ -125,6 +125,8 @@ def exact_knn_blocked(
                 cols = part[qi]
                 thr = d[qi, cols].max()
                 cand = np.nonzero(d[qi] <= thr)[0]
+                if len(cand) < take:  # NaN distances → keep the fixed width
+                    cand = cols
                 order = np.lexsort((c_ids[cand], d[qi, cand]))
                 sel = cand[order][:take]
                 out_q.append(np.full(take, ids[qi]))

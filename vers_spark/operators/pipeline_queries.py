@@ -527,15 +527,10 @@ def phash_neardup_pairs(
         .select("media_a", "media_b", "bands_a", "bands_b")
         .dropDuplicates(["media_a", "media_b"])
     )
-    hamming = F.aggregate(
-        F.zip_with(
-            "bands_a", "bands_b", lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    from vers_spark.functions.vector import hamming_words
+
     return (
-        cands.withColumn("hamming", hamming)
+        cands.withColumn("hamming", hamming_words(F.col("bands_a"), F.col("bands_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
     )
