@@ -699,6 +699,32 @@ def image_features(arr: np.ndarray, dim: int) -> np.ndarray:
     return f.astype(np.float32)
 
 
+# Auto band-width threshold (VERDICT r9 #1): below this many fingerprints
+# the 64-bit layouts (8×9 dHash grid / 65 audio windows → 8×8-bit bands)
+# keep band buckets small; at or above it the 256-bit layouts (16×17 grid /
+# 257 windows → 16×16-bit bands) are REQUIRED — tools/phash_scale_probe.py
+# measured 8-bit bands going ~n²/256 (OOM at 1M) while 16-bit bands serve
+# 1M in 22 s. The same corpus-count auto-dial discipline as the LSH
+# serving engine's 4096-leaf threshold (indexes/lsh.py _FRONTIER_MIN_LEAVES).
+WIDE_FP_MIN_COUNT = 100_000
+
+
+def auto_dhash_grid(n_fingerprints: int) -> tuple[int, int]:
+    """(rows, cols) for :func:`dhash_bands`, selected by corpus size: 8×9
+    (64-bit, 8×8-bit bands) below WIDE_FP_MIN_COUNT fingerprints, 16×17
+    (256-bit, 16×16-bit bands) above. Pigeonhole recall holds at either
+    width (Hamming ≤ bands−1); band-key CARDINALITY is what bounds bucket
+    skew, so width must grow with the corpus."""
+    return (8, 9) if n_fingerprints < WIDE_FP_MIN_COUNT else (16, 17)
+
+
+def auto_audio_windows(n_fingerprints: int) -> tuple[int, int]:
+    """(n_windows, band_bits) for :func:`audio_energy_bands` by corpus size
+    — the audio twin of :func:`auto_dhash_grid`: 65×8 below
+    WIDE_FP_MIN_COUNT, 257×16 above."""
+    return (65, 8) if n_fingerprints < WIDE_FP_MIN_COUNT else (257, 16)
+
+
 def dhash_bands(arr: np.ndarray, rows: int = 8, cols: int = 9) -> list[int]:
     """Perceptual difference hash (dHash) of an (H, W, 3) uint8 image,
     returned as ``rows`` band keys of ``cols-1`` bits each (one band per
@@ -720,9 +746,11 @@ def dhash_bands(arr: np.ndarray, rows: int = 8, cols: int = 9) -> list[int]:
     Pigeonhole: two fingerprints within Hamming distance ``rows - 1``
     (default 7) agree on at least one full band, so the banded join is
     recall-complete at that threshold. At web scale use a wider hash
-    (e.g. 16×17 → 256 bits as 16×16-bit bands): band-key cardinality, not
-    the kernel, bounds bucket skew — the same max_bucket guard as
-    band_candidates applies."""
+    (16×17 → 256 bits as 16×16-bit bands): band-key cardinality, not the
+    kernel, bounds bucket skew. :func:`auto_dhash_grid` selects the width
+    from the corpus count (wired at the shipped decode queries, r10), and
+    the banded join's max_bucket guard is ON by default
+    (pipeline_queries.PHASH_MAX_BUCKET)."""
     a = arr.astype(np.int64)
     gray = (a[:, :, 0] + a[:, :, 1] + a[:, :, 2]) // 3
     H, W = gray.shape
@@ -758,10 +786,12 @@ def audio_energy_bands(
     Integer arithmetic end-to-end: a fake-mode corpus whose "samples" are
     text bytes runs this exact kernel and restates in SQL.
 
-    Web scale: widen the fingerprint, not the buckets — e.g.
-    ``n_windows=257, band_bits=16`` gives 256 bits as 16×16-bit bands
-    (65k-value band keys bound bucket skew the way the wider dHash grid
-    does for images); the banded join is width-agnostic."""
+    Web scale: widen the fingerprint, not the buckets — ``n_windows=257,
+    band_bits=16`` gives 256 bits as 16×16-bit bands (65k-value band keys
+    bound bucket skew the way the wider dHash grid does for images); the
+    banded join is width-agnostic. :func:`auto_audio_windows` selects the
+    width from the corpus count (wired at the shipped decode queries,
+    r10)."""
     s = samples.astype(np.int64)
     w_len = max(len(s) // n_windows, 1)
     use = s[: n_windows * w_len]

@@ -43,6 +43,32 @@ _JIT_FLAGS = (
 )
 
 
+def _jvm_alive() -> bool | None:
+    """True if any OTHER process looks like a JVM (java argv[0] or an
+    org.apache.spark class anywhere on the command line — catches renamed
+    JDK wrapper binaries, ADVICE r9); None when /proc can't be read (the
+    caller treats that as alive). argv[0]-only for the 'java' marker so a
+    python process whose script path merely contains 'spark' (this repo)
+    doesn't permanently suppress the sweep."""
+    me = os.getpid()
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit() and int(p) != me]
+    except OSError:
+        return None
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read()
+        except OSError:
+            continue  # raced exit / unreadable — not attributable
+        if not cmd:
+            continue
+        argv0 = os.path.basename(cmd.split(b"\x00", 1)[0]).lower()
+        if b"java" in argv0 or b"org.apache.spark" in cmd:
+            return True
+    return False
+
+
 def _local_dirs() -> str:
     """Shuffle/spill dirs: prefer tmpfs (/dev/shm) in the local harness — the
     backing disk here is slow and shared, and shuffle blocks are small; on a
@@ -53,19 +79,19 @@ def _local_dirs() -> str:
     72 GB behind. When no other JVM is alive on the box, a starting session
     sweeps leftovers OLDER THAN 10 MINUTES (a live concurrent JVM suppresses
     the sweep — its spill dirs carry no pid to attribute — and the age floor
-    closes the pgrep-then-delete race against a JVM launched in between)."""
+    closes the scan-then-delete race against a JVM launched in between).
+    Liveness scans /proc cmdlines for a java argv[0] OR an
+    org.apache.spark marker anywhere in argv (ADVICE r9: a Spark JVM under
+    a renamed launcher binary still carries SparkSubmit/executor classes on
+    its command line); any scan failure counts as alive → never delete."""
     shm = "/dev/shm/spark-local"
     if os.path.isdir("/dev/shm"):
         if os.path.isdir(shm):
             import shutil
-            import subprocess
             import time
 
-            try:
-                alive = subprocess.run(
-                    ["pgrep", "-x", "java"], capture_output=True, timeout=5
-                ).returncode == 0
-            except Exception:
+            alive = _jvm_alive()
+            if alive is None:
                 alive = True  # can't tell → never delete
             if not alive:
                 cutoff = time.time() - 600

@@ -367,13 +367,18 @@ def stream_phash_gate(
         )
         sess = bdf.sparkSession
         if os.path.exists(store_dir):
+            # a retried batch's own partial batch=N dir may be visible here;
+            # harmless — duplicate fingerprint rows add no pairs (self-id
+            # pairs are filtered) and the overwrite below replaces the dir
             prior = sess.read.parquet(store_dir).select("media_id", "bands")
             allfp = prior.unionByName(b)
         else:
             allfp = b
-        # earlier = smaller media_id: arrival order IS id order (range
-        # partitioning + pinned mtimes), and within a batch the canonical
-        # media_a < media_b orientation makes media_b the later arrival
+        # earlier = smaller media_id: arrival order IS id order here (range
+        # partitioning + pinned mtimes). Probe mode canonicalizes
+        # least/greatest over BOTH orientations (ADVICE r9), so media_b is
+        # the later-BY-ID side regardless of arrival order; a batch row is
+        # rejected iff some smaller-id row (store or in-batch) matches it
         rejected = (
             phash_neardup_pairs(allfp, max_hamming=7, probe=b)
             .select(F.col("media_b").alias("media_id"))
@@ -385,7 +390,12 @@ def stream_phash_gate(
         quarantined = b.join(rejected, "media_id", "left_semi").withColumn(
             "admitted", F.lit(0)
         )
-        admitted.unionByName(quarantined).write.mode("append").parquet(store_dir)
+        # batch_id-keyed subdir + overwrite = idempotent on foreachBatch
+        # retry (ADVICE r9: a plain append after a successful write but
+        # before checkpoint commit would duplicate store rows on replay)
+        admitted.unionByName(quarantined).write.mode("overwrite").parquet(
+            f"{store_dir}/batch={batch_id}"
+        )
 
     with _stream_conf(spark):
         q = (
