@@ -95,15 +95,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vers_spark.operators import bpe, rag
 
     # Registration order IS the driver's sweep order, and the sweep has
-    # truncated at exactly 50 queries in every prior round. Round-9 order
-    # (VERDICT r8 item 1, executed exactly):
-    #   1. mm_mp4_frames — the only registered query with no driver row
-    #      (landed after the r8 sweep), then mm_feature_extract — its r8
-    #      rows-only→hash-oracle conversion needs an official green row;
-    #   2. new round-9 queries (never swept);
-    #   3. the remaining r3-era rows;
-    #   4. the r4-era cohort, oracle-backed first — after this sweep no
-    #      query's newest row is older than r4.
+    # truncated at exactly 50 queries in every prior round. Round-10 order
+    # (VERDICT r9 items 1-3, executed exactly):
+    #   1. the fingerprint near-dup family — its JOIN KERNEL changed this
+    #      round (distinct-first restructure + default caps + auto band
+    #      width), so every query through phash_neardup_pairs re-certifies
+    #      at the head (changed-kernel discipline);
+    #   2. the two rows-only→hash-oracle conversions (emb_similarity_join,
+    #      ivf_cluster_stats) — new oracles need official green rows;
+    #   3. the 7 queries whose newest row is exactly r4 (the cohort tail the
+    #      r9 sweep's 50-cap displaced), then the 18 r5-era rows (TPC-H
+    #      q12-q22 + the window/JSON cohort) — after this sweep nothing on
+    #      the board is older than r6;
+    #   4. the oldest r6-era rows fill the remaining slots (TPC-H q1-q11 +
+    #      text-analysis heads), thinning the r6 cohort for r11.
     modules = [
         vector_queries.QUERIES,
         index_queries.QUERIES,
@@ -124,88 +129,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(m)
 
     priority = [
-        # -- r9 #1: the only registry row with no driver evidence (landed
-        # 199th, after the r8 sweep ran), then the r8 rows-only→hash-oracle
-        # conversion whose green row isn't official yet --
-        "mm_mp4_frames",
-        "mm_feature_extract",
-        # -- r9 NEW operators (never swept): image-modality perceptual-hash
-        # near-dup — real JPEG decode path (rows-only, recovery-gated) and
-        # its fake twin carrying the full hash oracle --
+        # -- r10 #1: the fingerprint family whose shared join kernel changed
+        # (phash_neardup_pairs: distinct-first + default caps + auto band
+        # width) — oracle-backed twins first, then the real-decode paths --
         "mm_phash_neardup_fake",
-        "mm_image_phash_neardup",
-        # audio-modality twin: windowed-energy-delta fingerprint through
-        # the same banded join (real WAV path + hash-oracle fake twin)
         "mm_audio_fp_fake",
-        "mm_audio_fp_neardup",
-        # video-modality composition: per-frame dHash over sniffed MIXED
-        # containers (MJPEG/AVI/MP4) + matched-frame aggregation
         "mm_video_phash_fake",
-        "mm_video_phash_neardup",
-        # leakage-safe image split: dHash components -> component-keyed
-        # split, cross-split audit 0 by construction (full hash oracle)
         "mm_phash_leakage_split",
-        # streaming image NEAR-dup gate: banded-Hamming store lookup per
-        # micro-batch, quarantine-not-drop store (full hash oracle)
         "stream_phash_gate",
-        # -- queries whose serving KERNELS changed this round (boundary-tie
-        # re-admission + sequential ADC fold in PQCodec.search,
-        # exact_knn_blocked, ivfpq_search_blocked) — changed code paths
-        # head the sweep, per the r8 discipline --
-        "knn_blocked_euclidean",
-        "knn_pq_fixed",
-        "knn_pq_euclidean",
-        "ivfpq_blocked_serve",
-        # -- the remaining r3-era rows (oldest evidence after the head) --
-        "mm_meta_stats",
-        "emb_pca_stats",
-        "emb_pca_knn_recall",
+        "mm_image_phash_neardup",
+        "mm_audio_fp_neardup",
+        "mm_video_phash_neardup",
+        # -- r10 #2: rows-only→hash-oracle conversions (new oracles + new
+        # deterministic builds behind them) --
         "emb_similarity_join",
-        "mm_real_pipeline",
-        # -- the r4-era cohort, oracle-backed first — clears the freshness
-        # tail toward "nothing older than r4". The sweep truncates at 50:
-        # with the 12 head slots above, the cohort tail past position 50
-        # (stream_quality_gate onward) keeps its exactly-r4 rows and
-        # rotates first in r10 --
-        "bpe_train_merges",
-        "doc_cms_heavy_hitters",
-        "doc_curation_pipeline",
-        "doc_decontaminate_bloom",
-        "doc_mixture_sample",
-        "doc_pretrain_batches",
-        "doc_version_diff",
-        "doc_weighted_sample",
-        "evt_error_context",
-        "evt_funnel_conversion",
-        "evt_gapfill_locf",
-        "evt_hourly_rollup_serve",
-        "evt_purchase_asof_click",
-        "evt_sessionize_batch",
-        "evt_user_trend",
-        "evt_zorder_range_scan",
-        "graph_pagerank_topk",
-        "graph_ppr_customer_affinity",
-        "ivf_build_fixed",
-        "mm_audio_resample",
-        "mm_resize",
-        "neardup_components",
-        "neardup_triangles",
-        "q_events_hourly",
-        "rag_retrieve_chunks",
-        "stream_dedup_ingest",
-        "stream_events_hourly",
-        "stream_events_sliding",
-        "stream_funnel",
-        "stream_ivf_assign_fixed",
-        "stream_merge_versioned",
+        "ivf_cluster_stats",
+        # -- r10 #3a: the 7 queries whose newest row is exactly r4 --
         "stream_quality_gate",
         "stream_retention",
         "stream_rollup_serve",
         "stream_sessions",
         "stream_sessions_tws",
-        # -- r4 rows-only tail --
         "ivfpq_residual_search",
         "stream_ivf_assign_stats",
+        # -- r10 #3b: the 18 r5-era rows (TPC-H q12-q22 + window/JSON) --
+        "q12_priority_classes",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_count",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q19_disjunctive_revenue",
+        "q20_bulk_suppliers",
+        "q21_sole_late_supplier",
+        "q22_idle_rich_customers",
+        "q_customer_value_windows",
+        "q_doc_length_percentiles",
+        "q_events_grouping_sets",
+        "q_events_props_json",
+        "q_events_range_window",
+        "q_events_user_stats",
+        "q_top_customers_per_nation",
+        # -- r10 #4: oldest r6-era rows fill to the 50-cap (TPC-H q1-q11 +
+        # text heads); the rest of the r6 cohort rotates first in r11 --
+        "q1_pricing_summary",
+        "q2_cheapest_supplier",
+        "q3_shipping_priority",
+        "q4_late_orders",
+        "q5_revenue_by_nation",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_part_value_concentration",
+        "doc_bm25_topk",
+        "doc_fingerprint",
+        "doc_hll_distinct",
+        "minhash_neardup",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"

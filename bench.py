@@ -259,19 +259,24 @@ def main() -> None:
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     _journal_sample(timings, spin)
     minima = _minima(timings)
+    # Field ORDER is load-bearing (VERDICT r9 minor): the driver's artifact
+    # keeps only the last ~2,000 chars of stdout, i.e. the TAIL of this line.
+    # Big per-line maps go first; the self-contained summary (minima +
+    # totals + metric) goes LAST so any tail truncation still carries the
+    # per-line floors and both totals.
     print(
         json.dumps(
             {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
-                "minima": minima,
-                "minima_total": round(sum(minima.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "spin_base_ms": spin_base,
                 "contention": spin,
                 "extra": extra,
+                "minima": minima,
+                "minima_total": round(sum(minima.values()), 3),
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "metric": "headline_total_wall",
             }
         )
     )

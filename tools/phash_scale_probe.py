@@ -13,7 +13,11 @@ band WIDTH, not the join, is what must change at scale.
 Fingerprints are hash-derived (deterministic, partitioning-independent);
 injected copies at id+10^7 flip 3 fixed bit positions derived from the id.
 
-Usage: python tools/phash_scale_probe.py [n] [band_bits]
+Usage: python tools/phash_scale_probe.py [n] [band_bits|auto]
+
+"auto" (the default) selects the layout the shipped queries use
+(media_codecs.auto_dhash_grid), with phash_neardup_pairs' DEFAULT caps —
+i.e. exactly the registered code path at scale.
 """
 
 from __future__ import annotations
@@ -33,8 +37,17 @@ def main() -> None:
     from vers_spark.session import get_spark
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    band_bits = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    n_bands = 16 if band_bits == 16 else 8
+    sel = sys.argv[2] if len(sys.argv) > 2 else "auto"
+    if sel == "auto":
+        # the shipped dial (r10): auto_dhash_grid(corpus) -> (rows, cols) =
+        # rows bands of cols-1 bits; 1M lands on 16x16-bit
+        from vers_spark.operators.media_codecs import auto_dhash_grid
+
+        g_rows, g_cols = auto_dhash_grid(n)
+        n_bands, band_bits = g_rows, g_cols - 1
+    else:
+        band_bits = int(sel)
+        n_bands = 16 if band_bits == 16 else 8
     dup_every = 100  # 1% near-copies
     spark = get_spark(app_name="phash_scale", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -85,7 +98,9 @@ def main() -> None:
 
     max_ham = n_bands - 1
     t0 = time.perf_counter()
-    pairs = phash_neardup_pairs(fps, max_hamming=max_ham)
+    # one materialization for both counts — the join runs ONCE (the two
+    # original actions each re-ran the whole candidate pipeline)
+    pairs = phash_neardup_pairs(fps, max_hamming=max_ham).localCheckpoint()
     injected_found = (
         pairs.filter(F.col("media_b") == F.col("media_a") + 10_000_000)
         .filter(F.col("media_a") % dup_every == 0)

@@ -92,10 +92,44 @@ def _simjoin_ivf(spark: SparkSession, sf_dir: str, num_clusters: int):
 
 
 def emb_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cluster-co-located approximate top-3 similarity self-join —
-    rows-only (k-means clustering not SQL-expressible)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_similarity_join(emb, k=3, index=_simjoin_ivf(spark, sf_dir, 16))
+    """IVF cluster-co-located approximate top-3 COSINE similarity self-join.
+
+    r10 rows-only→hash-oracle conversion (VERDICT r9 #3): the cluster
+    assignment now comes from the deterministic fixed-point build
+    (index_queries._lloyd_fixed — hash init, f64 fold argmin, BIGINT mean
+    updates; the build ivf_build_fixed already hash-certifies), so the
+    ENTIRE query is engine-exact and carries a full DuckDB oracle
+    (index_queries._emb_simjoin_cos_sql: the same unrolled Lloyd CTEs + the
+    declared-order cosine fold knn_exact_cosine hash-matches). The
+    mllib-built variant this replaces stays covered via emb_brp_neardup /
+    doc_mllib_exactdup (mllib build path) and emb_knn_selfjoin_exact (the
+    degenerate 1-cluster exact twin). Distance is cosine — the sibling
+    emb_similarity_join_fixed serves the sq-euclidean top-5 shape.
+
+    Scale: co-located join — candidates per query bounded by cluster size,
+    never corpus²; payload columns dropped before the rank window so the
+    top-k shuffle moves (id, id, double) rows only."""
+    from pyspark.sql import Window as W
+
+    from vers_spark.functions import vector as V
+    from vers_spark.operators.index_queries import _lloyd_fixed
+
+    _, assignments = _lloyd_fixed(spark, sf_dir)
+    a = assignments.select(
+        "cluster_id", F.col("id").alias("query_id"), F.col("emb").alias("qv")
+    )
+    b = assignments.select(
+        "cluster_id", F.col("id").alias("neighbour_id"), F.col("emb").alias("cv")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbour_id"))
+        .withColumn("distance", V.cosine_distance(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbour_id", "distance")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
 
 
 def emb_knn_selfjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,15 +530,19 @@ def phash_neardup_pairs(
     media_id per row.
 
     r10 scale restructure (distinct-first): identical fingerprints are
-    grouped FIRST (groupBy the bands array, representative = min media_id),
-    the banded candidate join runs over DISTINCT fingerprints only, and
-    member pairs are expanded back afterwards — an exact-duplicate
-    mega-cluster (the common case at 100 TB: blank frames, logos) puts ONE
-    row in each band bucket instead of making the self-join quadratic.
-    Candidates collide on at least one (band_id, band_key); pigeonhole makes
-    the join recall-complete for Hamming ≤ len(bands) - 1 (default 8 bands →
-    7). Verification is exact: Σ bit_count(xor) over the zipped band arrays,
-    all integer, whole-stage codegen.
+    collapsed FIRST (ONE window shuffle on the bands array: representative =
+    min media_id, gsize = partition count), the banded candidate join runs
+    over DISTINCT fingerprints only, and member pairs are expanded back
+    afterwards — an exact-duplicate mega-cluster (the common case at 100 TB:
+    blank frames, logos) puts ONE row in each band bucket instead of making
+    the self-join quadratic. Candidates collide on at least one (band_id,
+    band_key); pigeonhole makes the join recall-complete for Hamming ≤
+    len(bands) - 1 (default 8 bands → 7). Verification is exact: Σ
+    bit_count(xor) over the zipped band arrays, all integer, whole-stage
+    codegen — and it runs BEFORE the pair dedup, so the dedup shuffle moves
+    only the (ultra-selective) surviving scalar triples, never the ~n²/2^bits
+    candidate set with its two band arrays per row (1M probe: this ordering
+    plus the windowed collapse is the difference between 22 s and minutes).
 
     ``max_bucket`` (default ON) is the text_dedup.band_candidates skew
     guard, now over DISTINCT fingerprints: band values shared by more than
@@ -531,21 +569,34 @@ def phash_neardup_pairs(
     arrival-order-equals-id-order precondition); max_bucket applies to the
     store side at member level, max_group does not apply (output is bounded
     by the micro-batch size)."""
+    from pyspark.sql import Window as W
+
     from vers_spark.functions.vector import hamming_words
 
-    if probe is not None:
-        chunks = fps.select(
-            "media_id", "bands", F.posexplode("bands").alias("band_id", "band_key")
+    def _drop_big_buckets(chunks: DataFrame) -> DataFrame:
+        """Skew guard as a broadcastable ANTI-join: the oversized-bucket
+        list is near-empty in a healthy corpus (avg bucket = n/2^bits), so
+        AQE turns this into a broadcast anti-join — the exploded chunk set
+        is never shuffled for the cap."""
+        if max_bucket is None:
+            return chunks
+        sizes = chunks.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_bsz")
         )
-        if max_bucket is not None:
-            sizes = chunks.groupBy("band_id", "band_key").agg(
-                F.count(F.lit(1)).alias("_bsz")
+        return chunks.join(
+            sizes.filter(F.col("_bsz") > max_bucket).drop("_bsz"),
+            ["band_id", "band_key"],
+            "left_anti",
+        )
+
+    if probe is not None:
+        chunks = _drop_big_buckets(
+            fps.select(
+                "media_id",
+                "bands",
+                F.posexplode("bands").alias("band_id", "band_key"),
             )
-            chunks = chunks.join(
-                sizes.filter(F.col("_bsz") <= max_bucket).drop("_bsz"),
-                ["band_id", "band_key"],
-                "left_semi",
-            )
+        )
         a = chunks.select(
             F.col("media_id").alias("_id_x"), F.col("bands").alias("bands_x"),
             "band_id", "band_key",
@@ -556,70 +607,63 @@ def phash_neardup_pairs(
             F.col("media_id").alias("_id_p"), F.col("bands").alias("bands_p"),
             "band_id", "band_key",
         )
-        cands = (
+        return (
             a.join(p, ["band_id", "band_key"])
             .filter(F.col("_id_x") != F.col("_id_p"))
+            .withColumn("hamming", hamming_words(F.col("bands_x"), F.col("bands_p")))
+            .filter(F.col("hamming") <= max_hamming)
             .select(
                 F.least("_id_x", "_id_p").alias("media_a"),
                 F.greatest("_id_x", "_id_p").alias("media_b"),
-                "bands_x",
-                "bands_p",
+                "hamming",
             )
             .dropDuplicates(["media_a", "media_b"])
         )
-        return (
-            cands.withColumn(
-                "hamming", hamming_words(F.col("bands_x"), F.col("bands_p"))
-            )
-            .filter(F.col("hamming") <= max_hamming)
-            .select("media_a", "media_b", "hamming")
-        )
 
-    # -- stage 1: collapse exact-duplicate fingerprints (array group key is
-    # exact — no hash-collision risk) --
-    groups = fps.groupBy("bands").agg(
-        F.min("media_id").alias("rep"), F.count(F.lit(1)).alias("gsize")
+    # -- stage 1: collapse exact-duplicate fingerprints with ONE window
+    # shuffle (array partition key is exact — no hash-collision risk); the
+    # distinct set is the rep's own row, so no second join is needed --
+    wb = W.partitionBy("bands")
+    members = fps.select(
+        "media_id",
+        "bands",
+        F.min("media_id").over(wb).alias("rep"),
+        F.count(F.lit(1)).over(wb).alias("gsize"),
     )
-    members = fps.join(groups, "bands").select("media_id", "rep", "gsize")
+    groups = members.filter(F.col("media_id") == F.col("rep"))
 
     # -- stage 2: banded candidate join over DISTINCT fingerprints --
-    chunks = groups.select(
-        F.col("rep").alias("media_id"),
-        "bands",
-        F.posexplode("bands").alias("band_id", "band_key"),
+    chunks = _drop_big_buckets(
+        groups.select(
+            "rep", "bands", F.posexplode("bands").alias("band_id", "band_key")
+        )
     )
-    if max_bucket is not None:
-        sizes = chunks.groupBy("band_id", "band_key").agg(
-            F.count(F.lit(1)).alias("_bsz")
-        )
-        chunks = chunks.join(
-            sizes.filter(F.col("_bsz") <= max_bucket).drop("_bsz"),
-            ["band_id", "band_key"],
-            "left_semi",
-        )
     a = chunks.select(
-        F.col("media_id").alias("rep_a"), F.col("bands").alias("bands_a"),
+        F.col("rep").alias("rep_a"), F.col("bands").alias("bands_a"),
         "band_id", "band_key",
     )
     b = chunks.select(
-        F.col("media_id").alias("rep_b"), F.col("bands").alias("bands_b"),
+        F.col("rep").alias("rep_b"), F.col("bands").alias("bands_b"),
         "band_id", "band_key",
     )
     rpairs = (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("rep_a") < F.col("rep_b"))
-        .select("rep_a", "rep_b", "bands_a", "bands_b")
-        .dropDuplicates(["rep_a", "rep_b"])
+        # hamming BEFORE the pair dedup: the verify filter is ultra-selective,
+        # so dedup shuffles surviving scalar triples, not array-carrying
+        # candidates (a duplicated candidate costs one extra codegen'd fold,
+        # not a shuffle write)
         .withColumn("hamming", hamming_words(F.col("bands_a"), F.col("bands_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("rep_a", "rep_b", "hamming")
+        .dropDuplicates(["rep_a", "rep_b"])
     )
 
     # -- stage 3: expand back to member pairs (output-size-bound work) --
     big = (
         F.lit(False) if max_group is None else (F.col("gsize") > F.lit(max_group))
     )
-    m = members.withColumn("_big", big)
+    m = members.select("media_id", "rep", "gsize").withColumn("_big", big)
     sm = m.filter(~F.col("_big"))
     xa = sm.select(F.col("rep").alias("_r"), F.col("media_id").alias("media_a"))
     xb = sm.select(F.col("rep").alias("_r"), F.col("media_id").alias("media_b"))
@@ -1292,6 +1336,12 @@ ORACLE_SQL["emb_knn_selfjoin_exact"] = f"""
         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
     ) WHERE rank <= 3
 """
+
+# r10 (VERDICT r9 #3): the cosine co-located join over the deterministic
+# fixed-point build — oracle lives next to the Lloyd CTE machinery it unrolls
+from vers_spark.operators.index_queries import _emb_simjoin_cos_sql  # noqa: E402
+
+ORACLE_SQL["emb_similarity_join"] = _emb_simjoin_cos_sql()
 
 ORACLE_SQL["mm_meta_stats"] = """
     WITH m AS (
