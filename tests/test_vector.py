@@ -82,6 +82,32 @@ def test_binary_sign_words_pack_and_hamming(spark):
     assert h[(1, 2)] == 32 and h[(2, 1)] == 32
 
 
+def test_hamming_words_fixed_equals_fold(spark):
+    """The statically unrolled hamming (hamming_words_fixed, the banded
+    join's codegen fast path) is bit-equal to the higher-order fold on
+    random word arrays of every width it's shipped with (8/16)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    for n_words in (8, 16):
+        rows = [
+            (
+                i,
+                [rng.randrange(1 << 16) for _ in range(n_words)],
+                [rng.randrange(1 << 16) for _ in range(n_words)],
+            )
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "id long, a array<int>, b array<int>")
+        got = df.select(
+            V.hamming_words(F.col("a"), F.col("b")).alias("fold"),
+            V.hamming_words_fixed(F.col("a"), F.col("b"), n_words).alias("flat"),
+        ).collect()
+        assert all(r["fold"] == r["flat"] for r in got)
+
+
 def test_normalize_degenerate_guard(spark):
     """normalize() is the identity below the 1e-6 magnitude guard (base.rs:99-105)."""
     df = spark.createDataFrame(

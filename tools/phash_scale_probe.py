@@ -100,7 +100,9 @@ def main() -> None:
     t0 = time.perf_counter()
     # one materialization for both counts — the join runs ONCE (the two
     # original actions each re-ran the whole candidate pipeline)
-    pairs = phash_neardup_pairs(fps, max_hamming=max_ham).localCheckpoint()
+    pairs = phash_neardup_pairs(
+        fps, max_hamming=max_ham, n_bands=n_bands
+    ).localCheckpoint()
     injected_found = (
         pairs.filter(F.col("media_b") == F.col("media_a") + 10_000_000)
         .filter(F.col("media_a") % dup_every == 0)

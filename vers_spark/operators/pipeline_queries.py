@@ -522,6 +522,7 @@ def phash_neardup_pairs(
     max_bucket: int | None = PHASH_MAX_BUCKET,
     probe: DataFrame | None = None,
     max_group: int | None = PHASH_MAX_GROUP,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Banded Hamming self-join over dHash fingerprints — the image-modality
     near-dup joiner (text: simhash_neardup_pairs; embeddings:
@@ -571,7 +572,16 @@ def phash_neardup_pairs(
     by the micro-batch size)."""
     from pyspark.sql import Window as W
 
-    from vers_spark.functions.vector import hamming_words
+    from vers_spark.functions.vector import hamming_words, hamming_words_fixed
+
+    if n_bands is not None:
+        # the verify fold runs on every banded candidate (~n²/2^bits rows);
+        # a statically unrolled sum stays in whole-stage codegen — ~5× over
+        # the higher-order fold at 1M (tools/phash_scale_probe.py)
+        def _ham(x, y):
+            return hamming_words_fixed(x, y, n_bands)
+    else:
+        _ham = hamming_words
 
     def _drop_big_buckets(chunks: DataFrame) -> DataFrame:
         """Skew guard as a broadcastable ANTI-join: the oversized-bucket
@@ -610,7 +620,7 @@ def phash_neardup_pairs(
         return (
             a.join(p, ["band_id", "band_key"])
             .filter(F.col("_id_x") != F.col("_id_p"))
-            .withColumn("hamming", hamming_words(F.col("bands_x"), F.col("bands_p")))
+            .withColumn("hamming", _ham(F.col("bands_x"), F.col("bands_p")))
             .filter(F.col("hamming") <= max_hamming)
             .select(
                 F.least("_id_x", "_id_p").alias("media_a"),
@@ -653,7 +663,7 @@ def phash_neardup_pairs(
         # so dedup shuffles surviving scalar triples, not array-carrying
         # candidates (a duplicated candidate costs one extra codegen'd fold,
         # not a shuffle write)
-        .withColumn("hamming", hamming_words(F.col("bands_a"), F.col("bands_b")))
+        .withColumn("hamming", _ham(F.col("bands_a"), F.col("bands_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("rep_a", "rep_b", "hamming")
         .dropDuplicates(["rep_a", "rep_b"])
@@ -841,7 +851,7 @@ def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "bands"])
 
     fps = media.mapInPandas(fingerprint, "media_id long, bands array<int>")
-    pairs = phash_neardup_pairs(fps, max_hamming=g_rows - 1)
+    pairs = phash_neardup_pairs(fps, max_hamming=g_rows - 1, n_bands=g_rows)
     injected = F.col("media_b") == F.col("media_a") + 100000
     return (
         pairs.select(
@@ -889,11 +899,11 @@ def mm_phash_neardup_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     fps = roster.mapInPandas(fingerprint, "media_id long, bands array<int>")
-    return phash_neardup_pairs(fps, max_hamming=7)
+    return phash_neardup_pairs(fps, max_hamming=7, n_bands=8)
 
 
 def video_pair_overlap(
-    frame_fps: DataFrame, max_hamming: int = 7
+    frame_fps: DataFrame, max_hamming: int = 7, n_bands: int | None = None
 ) -> DataFrame:
     """Video-level near-dup from FRAME fingerprints: band-join all frames
     (the shared phash_neardup_pairs, frame ids packed as media_id·2²⁰ +
@@ -913,7 +923,7 @@ def video_pair_overlap(
     packed = frame_fps.select(
         (F.col("media_id") * _P + F.col("frame_idx")).alias("media_id"), "bands"
     )
-    fpairs = phash_neardup_pairs(packed, max_hamming)
+    fpairs = phash_neardup_pairs(packed, max_hamming, n_bands=n_bands)
     va = F.expr(f"media_a div {_P}")
     vb = F.expr(f"media_b div {_P}")
     return (
@@ -1002,7 +1012,7 @@ def mm_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = roster.mapInPandas(
         fingerprint, "media_id long, frame_idx int, bands array<int>"
     )
-    pairs = video_pair_overlap(fps, max_hamming=g_rows - 1)
+    pairs = video_pair_overlap(fps, max_hamming=g_rows - 1, n_bands=g_rows)
     # every video here has 4 frames (doc_id ≡ 2 mod 3 → n_frames = 4)
     full = pairs.filter((F.col("matched_a") == 4) & (F.col("matched_b") == 4))
     container = F.col("media_b") == F.col("media_a") + 100000
@@ -1054,7 +1064,7 @@ def mm_video_phash_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = roster.mapInPandas(
         fingerprint, "media_id long, frame_idx int, bands array<int>"
     )
-    return video_pair_overlap(fps, max_hamming=7)
+    return video_pair_overlap(fps, max_hamming=7, n_bands=8)
 
 
 def mm_phash_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1178,7 +1188,7 @@ def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "bands"])
 
     fps = media.mapInPandas(fingerprint, "media_id long, bands array<int>")
-    pairs = phash_neardup_pairs(fps, max_hamming=n_bands - 1)
+    pairs = phash_neardup_pairs(fps, max_hamming=n_bands - 1, n_bands=n_bands)
     injected = F.col("media_b") == F.col("media_a") + 100000
     return (
         pairs.select(
@@ -1241,7 +1251,7 @@ def mm_audio_fp_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "bands"])
 
     fps = roster.mapInPandas(fingerprint, "media_id long, bands array<int>")
-    return phash_neardup_pairs(fps, max_hamming=7)
+    return phash_neardup_pairs(fps, max_hamming=7, n_bands=8)
 
 
 _SQE = (

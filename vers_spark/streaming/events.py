@@ -380,7 +380,7 @@ def stream_phash_gate(
         # the later-BY-ID side regardless of arrival order; a batch row is
         # rejected iff some smaller-id row (store or in-batch) matches it
         rejected = (
-            phash_neardup_pairs(allfp, max_hamming=7, probe=b)
+            phash_neardup_pairs(allfp, max_hamming=7, probe=b, n_bands=8)
             .select(F.col("media_b").alias("media_id"))
             .distinct()
         )
