@@ -194,10 +194,15 @@ def main() -> None:
     # the timed run executes compiled code. Data/index state stays cold: the
     # warmup runs on different (tiny) inputs and all caches/checkpoints are
     # dropped before timing.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+    headline = [n for n in HEADLINE if n in only] if only else HEADLINE
+
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(SF_DIR):
         t0 = time.perf_counter()
-        for name in HEADLINE:
+        for name in headline:
             try:
                 qmap[name](spark, warm_dir).count()
             except Exception as exc:  # a warmup failure must never kill bench
@@ -205,11 +210,13 @@ def main() -> None:
             _clear_state(spark)
         print(f"# warmup pass: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # (SPARK_GRAFT_BENCH_ONLY: iteration aid — times a subset with the full
+    # bench methodology. Unset for driver runs; the artifact is the full set.)
     spin_base = min(_spin_ms() for _ in range(3))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     spin: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qmap[name]
         # best-of-2, state cleared between attempts: each attempt is a full
         # cold run (index builds included); the min removes scheduler/GC

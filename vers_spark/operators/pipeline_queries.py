@@ -586,8 +586,12 @@ def phash_neardup_pairs(
     def _drop_big_buckets(chunks: DataFrame) -> DataFrame:
         """Skew guard as a broadcastable ANTI-join: the oversized-bucket
         list is near-empty in a healthy corpus (avg bucket = n/2^bits), so
-        AQE turns this into a broadcast anti-join — the exploded chunk set
-        is never shuffled for the cap."""
+        AQE turns this into a broadcast anti-join and the exploded chunk
+        set is never shuffled for the cap — only the narrow (band_id,
+        band_key) pairs flow through the size aggregation. A/B'd at 1M
+        against a window-count guard (whose partitioning the join could
+        reuse): the window's full-width sort costs ~10 s more than the
+        join exchange it saves (53.4 s vs 62-65 s, BASELINE.md §r10)."""
         if max_bucket is None:
             return chunks
         sizes = chunks.groupBy("band_id", "band_key").agg(
