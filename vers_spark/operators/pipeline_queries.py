@@ -678,11 +678,15 @@ def phash_neardup_pairs(
         F.lit(False) if max_group is None else (F.col("gsize") > F.lit(max_group))
     )
     m = members.select("media_id", "rep", "gsize").withColumn("_big", big)
-    sm = m.filter(~F.col("_big"))
-    xa = sm.select(F.col("rep").alias("_r"), F.col("media_id").alias("media_a"))
-    xb = sm.select(F.col("rep").alias("_r"), F.col("media_id").alias("media_b"))
+    # intra pairs self-join on the BANDS key, not rep: both sides inherit
+    # the stage-1 window's hash partitioning and sort on bands, so the SMJ
+    # needs no exchange and no re-sort (rep is a function of bands — the
+    # join sets are identical)
+    sms = members.filter(~big).select("bands", "media_id")
+    xa = sms.select("bands", F.col("media_id").alias("media_a"))
+    xb = sms.select("bands", F.col("media_id").alias("media_b"))
     intra = (
-        xa.join(xb, "_r")
+        xa.join(xb, "bands")
         .filter(F.col("media_a") < F.col("media_b"))
         .select("media_a", "media_b")
     )
