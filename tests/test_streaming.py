@@ -198,3 +198,49 @@ def test_stream_phash_gate_end_state(spark, sf_dir):
     by_id = {r["media_id"]: r["admitted"] for r in rows}
     assert all(by_id[m] == 1 for m in by_id if m < 10000)
     assert all(by_id[m] == 0 for m in by_id if m >= 10000)
+
+
+def test_phash_gate_ingest_replay_idempotent(spark, tmp_path):
+    """ADVICE r9: a foreachBatch RETRY (re-delivery of the same batch_id
+    after a successful write but before checkpoint commit) must not change
+    the store — the batch_id-keyed overwrite makes replay a no-op. Also
+    pins the admission rule across batches: a later arrival within
+    Hamming ≤ 7 of ANY earlier store row is quarantined, not dropped."""
+    from vers_spark.streaming.events import _phash_gate_ingest
+
+    store = str(tmp_path / "gate_store")
+
+    def fps(rows):
+        return spark.createDataFrame(rows, "media_id long, bands array<int>")
+
+    def state():
+        return {
+            int(r["media_id"]): int(r["admitted"])
+            for r in spark.read.parquet(store).collect()
+        }
+
+    b0 = fps([(1, [1, 2, 3, 4, 5, 6, 7, 8]), (2, [90, 91, 92, 93, 94, 95, 96, 97])])
+    _phash_gate_ingest(b0, store, 0)
+    s1 = state()
+    assert s1 == {1: 1, 2: 1}
+    _phash_gate_ingest(b0, store, 0)  # retry of the SAME batch
+    assert state() == s1
+
+    # batch 1: 11 is an exact dup of store row 1 (quarantined, kept);
+    # 12 is novel (admitted)
+    b1 = fps([(11, [1, 2, 3, 4, 5, 6, 7, 8]), (12, [50, 51, 52, 53, 54, 55, 56, 57])])
+    _phash_gate_ingest(b1, store, 1)
+    s2 = state()
+    assert s2 == {1: 1, 2: 1, 11: 0, 12: 1}
+    _phash_gate_ingest(b1, store, 1)  # retry with the store already ahead
+    assert state() == s2
+
+
+def test_jvm_liveness_probe_sees_running_spark(spark):
+    """session._jvm_alive (the tmpfs orphan-sweep suppressor, ADVICE r9)
+    must report alive while a Spark JVM runs — the live session's own JVM
+    is exactly the process the sweep must never pull spill dirs from."""
+    from vers_spark.session import _jvm_alive
+
+    spark.range(1).count()  # ensure the JVM is up
+    assert _jvm_alive() is True

@@ -288,6 +288,49 @@ def stream_dedup_ingest(
     return spark.read.parquet(store_dir)
 
 
+def _phash_gate_ingest(b: DataFrame, store_dir: str, batch_id: int) -> None:
+    """One micro-batch of the near-dup admission gate, IDEMPOTENT on
+    foreachBatch retry (ADVICE r9): the batch's rows — admitted flag set by
+    verifying against the accumulated store in probe mode — land in a
+    batch_id-keyed subdir with overwrite, so a retry after a successful
+    write but before checkpoint commit re-produces the identical dir
+    instead of appending duplicates. Determinism on retry: a visible
+    partial/complete own-batch dir only adds store-side copies of the
+    batch's own rows, which yield the same canonicalized pair set (self-id
+    pairs are filtered; in-batch pairs are found through ``allfp`` ⊇ batch
+    either way), so the rejection set — and the rewritten dir — are
+    identical. Replay-gated in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from vers_spark.operators.pipeline_queries import phash_neardup_pairs
+
+    sess = b.sparkSession
+    if os.path.exists(store_dir):
+        prior = sess.read.parquet(store_dir).select("media_id", "bands")
+        allfp = prior.unionByName(b)
+    else:
+        allfp = b
+    # earlier = smaller media_id: arrival order IS id order here (range
+    # partitioning + pinned mtimes). Probe mode canonicalizes least/greatest
+    # over BOTH orientations (ADVICE r9), so media_b is the later-BY-ID side
+    # regardless of arrival order; a batch row is rejected iff some
+    # smaller-id row (store or in-batch) matches it
+    rejected = (
+        phash_neardup_pairs(allfp, max_hamming=7, probe=b, n_bands=8)
+        .select(F.col("media_b").alias("media_id"))
+        .distinct()
+    )
+    admitted = b.join(rejected, "media_id", "left_anti").withColumn(
+        "admitted", F.lit(1)
+    )
+    quarantined = b.join(rejected, "media_id", "left_semi").withColumn(
+        "admitted", F.lit(0)
+    )
+    admitted.unionByName(quarantined).write.mode("overwrite").parquet(
+        f"{store_dir}/batch={batch_id}"
+    )
+
+
 def stream_phash_gate(
     spark: SparkSession,
     sf_dir: str,
@@ -365,37 +408,7 @@ def stream_phash_gate(
         b = bdf.mapInPandas(fp, "media_id long, bands array<int>").localCheckpoint(
             eager=True  # read three times below; the batch is small
         )
-        sess = bdf.sparkSession
-        if os.path.exists(store_dir):
-            # a retried batch's own partial batch=N dir may be visible here;
-            # harmless — duplicate fingerprint rows add no pairs (self-id
-            # pairs are filtered) and the overwrite below replaces the dir
-            prior = sess.read.parquet(store_dir).select("media_id", "bands")
-            allfp = prior.unionByName(b)
-        else:
-            allfp = b
-        # earlier = smaller media_id: arrival order IS id order here (range
-        # partitioning + pinned mtimes). Probe mode canonicalizes
-        # least/greatest over BOTH orientations (ADVICE r9), so media_b is
-        # the later-BY-ID side regardless of arrival order; a batch row is
-        # rejected iff some smaller-id row (store or in-batch) matches it
-        rejected = (
-            phash_neardup_pairs(allfp, max_hamming=7, probe=b, n_bands=8)
-            .select(F.col("media_b").alias("media_id"))
-            .distinct()
-        )
-        admitted = b.join(rejected, "media_id", "left_anti").withColumn(
-            "admitted", F.lit(1)
-        )
-        quarantined = b.join(rejected, "media_id", "left_semi").withColumn(
-            "admitted", F.lit(0)
-        )
-        # batch_id-keyed subdir + overwrite = idempotent on foreachBatch
-        # retry (ADVICE r9: a plain append after a successful write but
-        # before checkpoint commit would duplicate store rows on replay)
-        admitted.unionByName(quarantined).write.mode("overwrite").parquet(
-            f"{store_dir}/batch={batch_id}"
-        )
+        _phash_gate_ingest(b, store_dir, batch_id)
 
     with _stream_conf(spark):
         q = (
