@@ -102,7 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      width), so every query through phash_neardup_pairs re-certifies
     #      at the head (changed-kernel discipline);
     #   2. the two rows-only→hash-oracle conversions (emb_similarity_join,
-    #      ivf_cluster_stats) — new oracles need official green rows;
+    #      ivf_cluster_stats) plus the NEW hash-gated residual IVF×PQ twin
+    #      (knn_pq_residual_fixed) — new oracles need official green rows;
     #   3. the 7 queries whose newest row is exactly r4 (the cohort tail the
     #      r9 sweep's 50-cap displaced), then the 18 r5-era rows (TPC-H
     #      q12-q22 + the window/JSON cohort) — after this sweep nothing on
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic builds behind them) --
         "emb_similarity_join",
         "ivf_cluster_stats",
+        "knn_pq_residual_fixed",
         # -- r10 #3a: the 7 queries whose newest row is exactly r4 --
         "stream_quality_gate",
         "stream_retention",
@@ -187,7 +189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk",
         "doc_fingerprint",
         "doc_hll_distinct",
-        "minhash_neardup",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"

@@ -378,6 +378,8 @@ def test_fixed_lloyd_oracles(spark, sf_dir):
         "ivf_search_fixed_p4",
         "emb_similarity_join_fixed",
         "knn_pq_fixed",
+        "knn_pq_residual_fixed",
+        "ivf_cluster_stats",
     ):
         assert_oracle_match(spark, sf_dir, name, IQ.QUERIES[name], IQ.ORACLE_SQL[name])
 

@@ -671,6 +671,126 @@ _LSH_DEGENERATE_SQL = """
 _PQ_CACHE: dict[tuple, tuple] = {}
 
 
+_PQRF_SEED = 2000
+_PQRF_CACHE: dict[str, list] = {}
+
+
+def _residual_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual vectors of the coarse fixed-point build: r = x − centroid
+    [cluster(x)], computed float→double exactly as the DuckDB restatement
+    (list_transform(list_zip(emb, centroid), s -> CAST(s[1] AS DOUBLE) −
+    s[2]))."""
+    cents, assigned = _lloyd_fixed(spark, sf_dir)
+    return assigned.join(cents.select("cluster_id", "centroid"), "cluster_id").select(
+        "id",
+        "cluster_id",
+        F.zip_with(
+            F.col("emb"), F.col("centroid"), lambda x, c: x.cast("double") - c
+        ).alias("remb"),
+    )
+
+
+def _pq_residual_fixed(spark: SparkSession, sf_dir: str) -> list:
+    """Per-subspace RESIDUAL codebooks (FAISS by_residual layout, pq.rs
+    analogue of the reference's coarse+fine decomposition) from the fused
+    fixed-point Lloyd over residual slices — engine-exact like _pq_fixed,
+    trained on x − coarse_centroid instead of x."""
+    if sf_dir not in _PQRF_CACHE:
+        from vers_spark.indexes.ivfflat import lloyd_fixed_multi
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        dims = len(emb.select("embedding").first()[0])
+        dsub = dims // _PQF_M
+        cents = lloyd_fixed_multi(
+            _residual_df(spark, sf_dir),
+            k=_PQF_K,
+            iters=_PQF_ITERS,
+            seed_base=_PQRF_SEED,
+            slices=[(j * dsub, dsub) for j in range(_PQF_M)],
+            id_col="id",
+            vec_col="remb",
+        ).collect()
+        runs: list[list] = [[] for _ in range(_PQF_M)]
+        for r in cents:
+            runs[r["j"]].append((int(r["cluster_id"]), [float(x) for x in r["centroid"]]))
+        _PQRF_CACHE[sf_dir] = [sorted(sub) for sub in runs]
+    return _PQRF_CACHE[sf_dir]
+
+
+def knn_pq_residual_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ with RESIDUAL codes under the HARD oracle gate (r10): the
+    by_residual decomposition — coarse fixed-point Lloyd (the certified
+    ivf_build_fixed build), per-subspace codebooks trained on x − coarse
+    centroid, ADC looked up per (query, COARSE CLUSTER) in 1e-8 fixed-point
+    BIGINT, shortlist re-ranked exactly. Full-corpus ADC (every coarse
+    cluster probed) so the DuckDB twin — coarse unroll + residual CTE + 4
+    residual-subspace unrolls + per-cluster LUTs + integer ADC — states the
+    same search exactly. The realistic pruned/serving variants of the same
+    layout are ivfpq_residual_search / ivfpq_blocked_serve (rows-only,
+    recall- and parity-gated); this is their hash-certified twin, the same
+    relationship knn_pq_fixed has to ivfpq_search.
+
+    Scale shape: codebooks collected once (k·dsub doubles) and embedded as
+    literal expressions; the LUT table is Q×8 rows broadcast; one scan of
+    the (id, coarse, 4 codes) table; WindowGroupLimit prunes the shortlist
+    before the exchange."""
+    from pyspark.sql import Window as W
+
+    from vers_spark.functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    dsub = dims // _PQF_M
+    runs = _pq_residual_fixed(spark, sf_dir)
+    cents, _ = _lloyd_fixed(spark, sf_dir)
+
+    res = _residual_df(spark, sf_dir)
+    codes = res.selectExpr(
+        "id",
+        "cluster_id",
+        *[f"{_pqf_code_sql('remb', j, runs, dsub)} AS c{j}" for j in range(_PQF_M)],
+    )
+    q = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qres = (
+        q.crossJoin(F.broadcast(cents.select("cluster_id", "centroid")))
+        .withColumn(
+            "qr",
+            F.zip_with(F.col("qv"), F.col("centroid"), lambda x, c: x.cast("double") - c),
+        )
+        .selectExpr(
+            "query_id",
+            "cluster_id",
+            *[f"{_pqf_dtab_sql('qr', j, runs, dsub)} AS d{j}" for j in range(_PQF_M)],
+        )
+    )
+    adc_expr = sum(
+        F.element_at(F.col(f"d{j}"), F.col(f"c{j}") + 1) for j in range(_PQF_M)
+    )
+    adc = codes.join(F.broadcast(qres), "cluster_id").select(
+        "query_id", "id", adc_expr.cast("long").alias("adc_fp")
+    )
+    sw = W.partitionBy("query_id").orderBy(F.asc("adc_fp"), F.asc("id"))
+    short = (
+        adc.withColumn("_rn", F.row_number().over(sw))
+        .filter(F.col("_rn") <= _PQF_SHORTLIST)
+        .select("query_id", F.col("id").alias("neighbour_id"))
+    )
+    rerank = (
+        emb.select(F.col("vec_id").alias("neighbour_id"), F.col("embedding").alias("cv"))
+        .join(F.broadcast(short), "neighbour_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("distance", V.sq_euclidean(F.col("qv"), F.col("cv")))
+    )
+    rw = W.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbour_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbour_id", "distance", "rank")
+    )
+
+
 def _ivfpq(spark: SparkSession, sf_dir: str):
     """Codec + PERSISTED-PARTITIONED codes: the codes are written once,
     joined with their coarse (k=8) assignment and partitioned by
@@ -876,20 +996,28 @@ _D_SQE_FOLD = (
 
 
 def _lloyd_fixed_cte_list(
-    k: int, iters: int, seed: int, prefix: str = "", emb_sql: str = "embedding"
+    k: int,
+    iters: int,
+    seed: int,
+    prefix: str = "",
+    emb_sql: str = "embedding",
+    from_sql: str = "embeddings",
+    id_sql: str = "vec_id",
 ) -> list[str]:
     """CTE list for one unrolled Lloyd run over ``emb_sql`` (a list-valued
-    expression over the embeddings table, e.g. a subspace slice). All CTE
-    names carry ``prefix`` so several runs (PQ subspaces) compose in one
-    WITH-clause. The hash-init key embeds ``seed``, matching
-    ivfflat.lloyd_fixed's ``"{id}:ivf:{seed}"`` contract."""
+    expression over the ``from_sql`` relation, e.g. a subspace slice). All
+    CTE names carry ``prefix`` so several runs (PQ subspaces) compose in one
+    WITH-clause; ``from_sql``/``id_sql`` let a run train on a DERIVED
+    relation (r10: the residual vectors of knn_pq_residual_fixed). The
+    hash-init key embeds ``seed``, matching ivfflat.lloyd_fixed's
+    ``"{id}:ivf:{seed}"`` contract."""
     from vers_spark.operators.text_analysis import D_HASH60
 
     p = prefix
     h = D_HASH60.format(x=f"CAST(id AS VARCHAR) || ':ivf:{seed}'")
     dist = _D_SQE_FOLD.format(a="v.emb", b="c.centroid")
     ctes = [
-        f"{p}v AS MATERIALIZED (SELECT vec_id AS id, {emb_sql} AS emb FROM embeddings)",
+        f"{p}v AS MATERIALIZED (SELECT {id_sql} AS id, {emb_sql} AS emb FROM {from_sql})",
         f"{p}z AS MATERIALIZED (SELECT list_transform(generate_series(1, len(emb)), y -> 0.0) AS zc"
         f" FROM {p}v ORDER BY id LIMIT 1)",
         f"""{p}c0 AS MATERIALIZED (
@@ -1023,6 +1151,87 @@ def _ivf_cluster_stats_sql(
         SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors
         FROM a{iters + 1} GROUP BY cluster_id ORDER BY cluster_id
     """
+
+
+def _knn_pq_residual_fixed_sql() -> str:
+    """DuckDB twin of knn_pq_residual_fixed (r10): the coarse whole-vector
+    Lloyd unroll, the residual relation, four residual-subspace unrolls,
+    per-(query, coarse-cluster) integer LUTs, fixed-point ADC keyed on the
+    point's own coarse cluster, shortlist, exact rerank."""
+    ctes: list[str] = list(_lloyd_fixed_cte_list(_FIXED_K, _FIXED_ITERS, _FIXED_SEED, prefix="co_"))
+    fin_co = _FIXED_ITERS + 1
+    ctes.append(
+        f"""res AS MATERIALIZED (
+        SELECT a.id, a.cluster_id,
+               list_transform(list_zip(a.emb, c.centroid), s -> CAST(s[1] AS DOUBLE) - s[2]) AS remb
+        FROM co_a{fin_co} a JOIN co_c{_FIXED_ITERS} c USING (cluster_id))"""
+    )
+    fin = _PQF_ITERS + 1
+    code_sel, dtab_sel = [], []
+    for j in range(_PQF_M):
+        p = f"rsub{j}_"
+        lo = f"(len(remb) // {_PQF_M}) * {j} + 1"
+        hi = f"(len(remb) // {_PQF_M}) * {j + 1}"
+        ctes.extend(
+            _lloyd_fixed_cte_list(
+                _PQF_K,
+                _PQF_ITERS,
+                _PQRF_SEED + j,
+                prefix=p,
+                emb_sql=f"remb[{lo}:{hi}]",
+                from_sql="res",
+                id_sql="id",
+            )
+        )
+        code_sel.append(
+            f"""SELECT {j} AS j, s.id, r.cluster_id AS coarse, s.cluster_id AS code
+            FROM {p}a{fin} s JOIN res r USING (id)"""
+        )
+        qslice = f"q.qr[{lo.replace('remb', 'q.qr')}:{hi.replace('remb', 'q.qr')}]"
+        fold = _D_SQE_FOLD.format(a=qslice, b="c.centroid")
+        dtab_sel.append(
+            f"""SELECT q.query_id, q.coarse, {j} AS j, c.cluster_id AS code,
+                   CAST(round(({fold}) * 100000000.0) AS BIGINT) AS d_fp
+            FROM qres q CROSS JOIN {p}c{_PQF_ITERS} c"""
+        )
+    ctes.append(
+        "qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv"
+        " FROM embeddings WHERE vec_id % 101 = 0)"
+    )
+    ctes.append(
+        f"""qres AS MATERIALIZED (
+        SELECT qs.query_id, c.cluster_id AS coarse,
+               list_transform(list_zip(qs.qv, c.centroid), s -> CAST(s[1] AS DOUBLE) - s[2]) AS qr
+        FROM qs CROSS JOIN co_c{_FIXED_ITERS} c)"""
+    )
+    ctes.append("rcodes AS MATERIALIZED (" + "\nUNION ALL\n".join(code_sel) + ")")
+    ctes.append("rdtab AS MATERIALIZED (" + "\nUNION ALL\n".join(dtab_sel) + ")")
+    ctes.append(
+        """radc AS MATERIALIZED (
+        SELECT query_id, id, CAST(sum(d_fp) AS BIGINT) AS adc_fp
+        FROM rcodes JOIN rdtab USING (coarse, j, code) GROUP BY query_id, id)"""
+    )
+    ctes.append(
+        f"""rshort AS MATERIALIZED (
+        SELECT query_id, id AS neighbour_id FROM (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adc_fp ASC, id ASC) AS rn
+            FROM radc) WHERE rn <= {_PQF_SHORTLIST})"""
+    )
+    rerank_fold = _D_SQE_FOLD.format(a="qs.qv", b="e.embedding")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, neighbour_id, distance, CAST(rank AS INT) AS rank FROM (
+            SELECT query_id, neighbour_id, distance,
+                   row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbour_id ASC) AS rank
+            FROM (SELECT s.query_id, s.neighbour_id, {rerank_fold} AS distance
+                  FROM rshort s JOIN embeddings e ON s.neighbour_id = e.vec_id
+                  JOIN qs ON s.query_id = qs.query_id))
+        WHERE rank <= 10
+    """
+    )
 
 
 def _emb_simjoin_cos_sql(
@@ -1352,6 +1561,7 @@ ORACLE_SQL: dict[str, str] = {
     "emb_similarity_join_fixed": _emb_simjoin_fixed_sql(),
     "emb_triplet_mining": _emb_triplet_sql(),
     "knn_pq_fixed": _knn_pq_fixed_sql(),
+    "knn_pq_residual_fixed": _knn_pq_residual_fixed_sql(),
     "hnsw_layer_stats": _hnsw_layer_sql(),
     "ivf_search_all": _KNN_ALL_SQL,
     "ivf_search_filtered": _KNN_FILTERED_SQL,
@@ -1376,6 +1586,7 @@ QUERIES = {
     "emb_similarity_join_fixed": emb_similarity_join_fixed,
     "emb_triplet_mining": emb_triplet_mining,
     "knn_pq_fixed": knn_pq_fixed,
+    "knn_pq_residual_fixed": knn_pq_residual_fixed,
     "ivf_search_p4": ivf_search_p4,
     "ivf_cluster_stats": ivf_cluster_stats,
     "ivf_build_ref": ivf_build_ref,
