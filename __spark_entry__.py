@@ -66,7 +66,8 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 
     wrapper.__name__ = getattr(fn, "__name__", "query")
     wrapper.__doc__ = fn.__doc__
-    return wrapper
+    wrapper.__wrapped__ = fn  # bench.py resolves the defining module for
+    return wrapper  # its per-line code fingerprints through this
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -95,21 +96,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vers_spark.operators import bpe, rag
 
     # Registration order IS the driver's sweep order, and the sweep has
-    # truncated at exactly 50 queries in every prior round. Round-10 order
-    # (VERDICT r9 items 1-3, executed exactly):
-    #   1. the fingerprint near-dup family — its JOIN KERNEL changed this
-    #      round (distinct-first restructure + default caps + auto band
-    #      width), so every query through phash_neardup_pairs re-certifies
-    #      at the head (changed-kernel discipline);
-    #   2. the two rows-only→hash-oracle conversions (emb_similarity_join,
-    #      ivf_cluster_stats) plus the NEW hash-gated residual IVF×PQ twin
-    #      (knn_pq_residual_fixed) — new oracles need official green rows;
-    #   3. the 7 queries whose newest row is exactly r4 (the cohort tail the
-    #      r9 sweep's 50-cap displaced), then the 18 r5-era rows (TPC-H
-    #      q12-q22 + the window/JSON cohort) — after this sweep nothing on
-    #      the board is older than r6;
-    #   4. the oldest r6-era rows fill the remaining slots (TPC-H q1-q11 +
-    #      text-analysis heads), thinning the r6 cohort for r11.
+    # truncated at exactly 50 queries in every prior round. Round-11 order
+    # (VERDICT r10 item 2, executed exactly):
+    #   1. the fingerprint near-dup family — its JOIN KERNEL changed again
+    #      this round (small-corpus n_hint bypass + hamming_words_fixed
+    #      width guard + NULL-band filter), so every query through
+    #      phash_neardup_pairs re-certifies at the head (changed-kernel
+    #      discipline, third round running);
+    #   2. the 27 rows whose newest driver row is r6 — the current oldest
+    #      evidence on the board (hnsw/doc/evt/stream sketch cohorts; the
+    #      hnsw queries also re-certify this round's insert-kernel
+    #      vectorization);
+    #   3. oldest r7 rows fill to the 50-cap, kernel-adjacent first (the
+    #      knn/vector cohort shares functions/vector.py, which changed;
+    #      lsh/hnsw serving shares the index modules). After this sweep
+    #      nothing on the board is older than r7.
     modules = [
         vector_queries.QUERIES,
         index_queries.QUERIES,
@@ -130,9 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(m)
 
     priority = [
-        # -- r10 #1: the fingerprint family whose shared join kernel changed
-        # (phash_neardup_pairs: distinct-first + default caps + auto band
-        # width) — oracle-backed twins first, then the real-decode paths --
+        # -- r11 #1: the fingerprint family whose shared join kernel changed
+        # again (n_hint small-corpus bypass + width-guarded unrolled
+        # hamming + NULL-band filter) — oracle-backed twins first, then the
+        # real-decode paths --
         "mm_phash_neardup_fake",
         "mm_audio_fp_fake",
         "mm_video_phash_fake",
@@ -141,54 +143,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_phash_neardup",
         "mm_audio_fp_neardup",
         "mm_video_phash_neardup",
-        # -- r10 #2: rows-only→hash-oracle conversions (new oracles + new
-        # deterministic builds behind them) --
-        "emb_similarity_join",
-        "ivf_cluster_stats",
-        "knn_pq_residual_fixed",
-        # -- r10 #3a: the 7 queries whose newest row is exactly r4 --
-        "stream_quality_gate",
-        "stream_retention",
-        "stream_rollup_serve",
-        "stream_sessions",
-        "stream_sessions_tws",
-        "ivfpq_residual_search",
-        "stream_ivf_assign_stats",
-        # -- r10 #3b: the 18 r5-era rows (TPC-H q12-q22 + window/JSON) --
-        "q12_priority_classes",
-        "q13_customer_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_supplier_count",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_customers",
-        "q19_disjunctive_revenue",
-        "q20_bulk_suppliers",
-        "q21_sole_late_supplier",
-        "q22_idle_rich_customers",
-        "q_customer_value_windows",
-        "q_doc_length_percentiles",
-        "q_events_grouping_sets",
-        "q_events_props_json",
-        "q_events_range_window",
-        "q_events_user_stats",
-        "q_top_customers_per_nation",
-        # -- r10 #4: oldest r6-era rows fill to the 50-cap (TPC-H q1-q11 +
-        # text heads); the rest of the r6 cohort rotates first in r11 --
-        "q1_pricing_summary",
-        "q2_cheapest_supplier",
-        "q3_shipping_priority",
-        "q4_late_orders",
-        "q5_revenue_by_nation",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q11_part_value_concentration",
-        "doc_bm25_topk",
-        "doc_fingerprint",
-        "doc_hll_distinct",
+        # -- r11 #2: the 27 rows whose newest driver row is r6 (the board's
+        # oldest); hnsw_* also re-certify the vectorized insert kernel --
+        "hnsw_layer_stats",
+        "hnsw_search",
+        "hnsw_search_frontier",
+        "ivf_range_search",
+        "ivf_search_fixed_p4",
+        "emb_dbscan_clusters",
+        "emb_cluster_outliers",
+        "minhash_neardup",
+        "simhash_neardup",
+        "neardup_components_star",
+        "neardup_kcore",
+        "neardup_leakage_split",
+        "graph_hits_topk",
+        "rag_mmr_rerank",
+        "doc_quality_budget_curve",
+        "doc_sample_quantiles",
+        "doc_window_dups",
+        "evt_anomaly_mad",
+        "evt_hll_hourly",
+        "evt_hll_setops",
+        "evt_hll_sliding",
+        "evt_markov_transitions",
+        "q_skew_salted_agg",
+        "stream_cms_merge",
+        "stream_hll_merge",
+        "stream_markov_merge",
+        "stream_neardup_pairs",
+        # -- r11 #3: oldest r7 rows to the 50-cap, kernel-adjacent first
+        # (vector.py / index-module changes this round) --
+        "hnsw_search_filtered",
+        "lsh_search_forest",
+        "lsh_search_backup",
+        "vk_vector_ops",
+        "knn_exact_cosine",
+        "knn_exact_euclidean",
+        "knn_int8_euclidean",
+        "knn_binary_rerank",
+        "knn_matryoshka_rerank",
+        "dedup_vectors_stats",
+        "dedup_docs_first_wins",
+        "ann_recall_report",
+        "ivf_build_ref",
+        "ivf_search_all",
+        "ivf_search_filtered",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"

@@ -119,54 +119,199 @@ def _clear_state(spark) -> None:
         pass
 
 
-def _minima(current: dict[str, float]) -> dict[str, float]:
-    """Per-line best across every recorded sample: prior ``BENCH_r*.json``
-    (their ``queries`` and their own ``minima``), the local samples journal
-    (every bench run appends, driver-run or not), and this run. Makes the
-    bench artifact self-contained: the driver may overwrite BENCH_rN.json
-    with a contended re-run (r8: 92.9 s recorded vs 71.5 s clean window), and
-    per-line minima are the established regression-read methodology
-    (BASELINE.md) — so the floor travels WITH the sample instead of living
-    only in prose. Keys are restricted to the current headline set."""
+# Lines whose kernel deliberately changed BEFORE per-line fingerprint
+# stamps existed (r10's distinct-first restructure traded 1.1-1.5 s floors
+# for the mega-cluster guarantee; r11's n_hint bypass changed them again).
+# Their un-stamped legacy floors are STALE BY DECLARATION (VERDICT r10
+# What's-wrong #1): samples without a matching fingerprint are ignored for
+# these lines, so the artifact's minima never claim a wall the shipped
+# code no longer targets. Stamped samples (r11+) reset themselves — a
+# kernel change flips the fingerprint and orphans the old floor — so this
+# ledger only ever covers the pre-stamp era and never grows.
+LEGACY_FLOOR_RESET = {
+    "mm_image_phash_neardup",
+    "mm_audio_fp_neardup",
+    "mm_video_phash_neardup",
+}
+
+
+def _module_code_sha(path: str, _cache: dict = {}) -> str:
+    """sha1 of the module's docstring-stripped AST dump: comment and
+    docstring edits don't move it, any executable-code edit does — the
+    granularity a 'kernel deliberately changed' floor reset wants."""
+    import ast
+    import hashlib
+
+    if path in _cache:
+        return _cache[path]
+    try:
+        tree = ast.parse(open(path).read())
+        for node in ast.walk(tree):
+            body = getattr(node, "body", None)
+            if (
+                isinstance(node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef))
+                and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] or [ast.Pass()]
+        sha = hashlib.sha1(ast.dump(tree).encode()).hexdigest()[:12]
+    except Exception:
+        sha = "unparsed"
+    _cache[path] = sha
+    return sha
+
+
+def _vers_import_closure(module_name: str) -> list[str]:
+    """Transitive vers_spark-internal import closure of a module (file
+    paths, sorted): the code that can change a query's plan or kernels.
+    Imports inside function bodies count — the hot kernels are imported
+    lazily at most call sites."""
+    import ast
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def mod_path(mod: str) -> str | None:
+        p = os.path.join(here, *mod.split(".")) + ".py"
+        if os.path.isfile(p):
+            return p
+        p = os.path.join(here, *mod.split("."), "__init__.py")
+        return p if os.path.isfile(p) else None
+
+    seen: set[str] = set()
+    stack = [module_name]
+    paths: list[str] = []
+    while stack:
+        mod = stack.pop()
+        if mod in seen or not mod.startswith("vers_spark"):
+            continue
+        seen.add(mod)
+        p = mod_path(mod)
+        if p is None:
+            continue
+        paths.append(p)
+        try:
+            tree = ast.parse(open(p).read())
+        except Exception:
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                stack.extend(a.name for a in node.names)
+            elif isinstance(node, ast.ImportFrom) and node.module:
+                stack.append(node.module)
+                # `from vers_spark.operators import media_codecs` names the
+                # submodule in the alias, not the module field
+                stack.extend(f"{node.module}.{a.name}" for a in node.names)
+    return sorted(paths)
+
+
+def _line_fps(qmap: dict, names: list[str]) -> dict[str, str]:
+    """Per-line code fingerprint: sha1 over the module-code shas of the
+    query's defining module plus its transitive vers_spark import closure.
+    A deliberate kernel change flips the line's fingerprint, which RESETS
+    its cross-round floor (_minima ignores samples stamped differently) —
+    the r10 verdict's minima-map fix. Comment/docstring edits don't flip
+    it; a change in a shared kernel module (functions/vector.py) flips
+    every line that can execute it, which is exactly when those floors
+    stop being attested."""
+    import hashlib
+
+    out: dict[str, str] = {}
+    closures: dict[str, list[str]] = {}
+    for name in names:
+        fn = qmap.get(name)
+        fn = getattr(fn, "__wrapped__", fn)
+        mod = getattr(fn, "__module__", None) or "vers_spark"
+        if mod not in closures:
+            closures[mod] = _vers_import_closure(mod)
+        shas = [_module_code_sha(p) for p in closures[mod]]
+        out[name] = hashlib.sha1("|".join(shas).encode()).hexdigest()[:12]
+    return out
+
+
+def _floor_sources() -> list[tuple[dict, dict | None]]:
+    """(queries-or-minima map, fingerprint map or None) per recorded
+    sample: prior ``BENCH_r*.json`` (their ``queries``, their own
+    ``minima`` + ``minima_fp``) and the local samples journal. None marks
+    a pre-stamp legacy sample."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    minima = dict(current)
-    sources: list[dict] = []
+    sources: list[tuple[dict, dict | None]] = []
     for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             with open(f) as fh:
                 d = json.load(fh)
             # the driver wraps bench stdout under "parsed"
             for node in (d, d.get("parsed") or {}):
-                sources.append(node.get("queries") or {})
-                sources.append(node.get("minima") or {})
+                fp = node.get("minima_fp")
+                sources.append((node.get("queries") or {}, fp))
+                sources.append((node.get("minima") or {}, fp))
         except Exception:
             continue
     try:
         with open(os.path.join(here, ".bench_samples.jsonl")) as fh:
             for line in fh:
                 try:
-                    sources.append(json.loads(line).get("queries") or {})
+                    d = json.loads(line)
+                    sources.append((d.get("queries") or {}, d.get("fp")))
                 except Exception:
                     continue
     except OSError:
         pass
-    for qmap in sources:
+    return sources
+
+
+def _minima(
+    current: dict[str, float],
+    fps: dict[str, str],
+    sources: list[tuple[dict, dict | None]] | None = None,
+) -> dict[str, float]:
+    """Per-line best across every recorded sample WHOSE CODE PATH MATCHES
+    the current one. Makes the bench artifact self-contained (the driver
+    may overwrite BENCH_rN.json with a contended re-run; per-line minima
+    are the established regression-read methodology, BASELINE.md) without
+    the r10 trap: a floor recorded for a kernel the repo no longer ships
+    is not a floor. Merge rule per line k: a sample's value counts iff
+    its stamp equals the current fingerprint, or the sample is pre-stamp
+    legacy AND k is not in LEGACY_FLOOR_RESET. Keys are restricted to the
+    current headline set. (tests/test_bench_minima.py pins the reset.)"""
+    if sources is None:
+        sources = _floor_sources()
+    minima = dict(current)
+    for qmap, fp in sources:
         for k, v in qmap.items():
-            if k in minima and isinstance(v, (int, float)) and v < minima[k]:
+            if k not in minima or not isinstance(v, (int, float)):
+                continue
+            if fp is None:
+                if k in LEGACY_FLOOR_RESET:
+                    continue  # stale-by-declaration legacy floor
+            elif fp.get(k) != fps.get(k):
+                continue  # stamped for a different kernel
+            if v < minima[k]:
                 minima[k] = v
     return minima
 
 
-def _journal_sample(timings: dict[str, float], spin: dict[str, float]) -> None:
-    """Append this run's per-line timings to the samples journal so manual
-    runs between driver rounds also feed the minima floor."""
+def _journal_sample(
+    timings: dict[str, float], spin: dict[str, float], fps: dict[str, str]
+) -> None:
+    """Append this run's per-line timings (stamped with their code
+    fingerprints) to the samples journal so manual runs between driver
+    rounds also feed the minima floor."""
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, ".bench_samples.jsonl"), "a") as fh:
             fh.write(
-                json.dumps({"ts": round(time.time()), "queries": timings, "contention": spin})
+                json.dumps(
+                    {
+                        "ts": round(time.time()),
+                        "queries": timings,
+                        "contention": spin,
+                        "fp": fps,
+                    }
+                )
                 + "\n"
             )
     except OSError:
@@ -264,29 +409,32 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    _journal_sample(timings, spin)
-    minima = _minima(timings)
+    fps = _line_fps(qmap, headline)
+    _journal_sample(timings, spin, fps)
+    minima = _minima(timings, fps)
     # Field ORDER is load-bearing (VERDICT r9 minor): the driver's artifact
     # keeps only the last ~2,000 chars of stdout, i.e. the TAIL of this line.
     # Big per-line maps go first; the self-contained summary (minima +
     # totals + metric) goes LAST so any tail truncation still carries the
-    # per-line floors and both totals.
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "spin_base_ms": spin_base,
-                "contention": spin,
-                "extra": extra,
-                "minima": minima,
-                "minima_total": round(sum(minima.values()), 3),
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "metric": "headline_total_wall",
-            }
-        )
-    )
+    # per-line floors and both totals. A SPARK_GRAFT_BENCH_ONLY subset run
+    # is marked ("only" + its own metric name, ADVICE r10) so it can never
+    # masquerade as a full-headline artifact.
+    out = {
+        "queries": timings,
+        "spin_base_ms": spin_base,
+        "contention": spin,
+        "extra": extra,
+        "minima_fp": fps,
+        "minima": minima,
+        "minima_total": round(sum(minima.values()), 3),
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if only:
+        out["only"] = sorted(only)  # before metric: survives tail truncation
+    out["metric"] = "headline_subset_wall" if only else "headline_total_wall"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

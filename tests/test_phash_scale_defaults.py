@@ -174,6 +174,46 @@ def test_probe_mode_finds_pairs_regardless_of_id_order(spark):
     assert all(a in (7, 5) or b in (7, 2000) for a, b, _ in got)
 
 
+def test_n_hint_bypass_equals_staged_path(spark):
+    """r11 small-corpus bypass: with n_hint ≤ min(caps) the direct banded
+    join must produce EXACTLY the staged (collapse + expand) output —
+    including intra-duplicate-group hamming-0 pairs — and its plan must
+    carry no Window (the collapse stage is gone)."""
+    rows = [
+        (10, [1, 2, 3, 4, 5, 6, 7, 8]),
+        (11, [1, 2, 3, 4, 5, 6, 7, 8]),
+        (12, [1, 2, 3, 4, 5, 6, 7, 8]),
+        (20, [1, 2, 3, 4, 5, 6, 7, 9]),
+        (30, [100, 200, 300, 400, 500, 600, 700, 800]),
+        (31, [100, 200, 300, 400, 500, 600, 700, 800]),
+        (40, [11, 12, 13, 14, 15, 16, 17, 18]),
+    ]
+    df = _fp_df(spark, rows)
+    fast = phash_neardup_pairs(df, max_hamming=7, n_hint=len(rows))
+    slow = phash_neardup_pairs(df, max_hamming=7)
+    key = lambda r: (r.media_a, r.media_b, r.hamming)  # noqa: E731
+    assert {key(r) for r in fast.collect()} == {key(r) for r in slow.collect()}
+    assert {key(r) for r in fast.collect()} == _brute_pairs(rows, 7)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # collapse stage bypassed
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in slow_plan  # staged path still collapses
+
+
+def test_n_hint_above_caps_engages_staged_guarantee(spark):
+    """n_hint ABOVE a cap must NOT bypass: the mega-cluster star guarantee
+    engages exactly as if no hint were given."""
+    big = [(i, [1, 2, 3, 4, 5, 6, 7, 8]) for i in range(50, 60)]
+    df = _fp_df(spark, big)
+    got = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in phash_neardup_pairs(
+            df, max_hamming=7, max_group=4, n_hint=len(big)
+        ).collect()
+    }
+    assert got == {(50, m, 0) for m in range(51, 60)}  # star, not clique
+
+
 def test_auto_width_selection_thresholds():
     """Band width auto-selects from the corpus count (the lsh.py _leaf_order
     auto-threshold discipline): 64-bit narrow below WIDE_FP_MIN_COUNT,

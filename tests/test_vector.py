@@ -108,6 +108,26 @@ def test_hamming_words_fixed_equals_fold(spark):
         assert all(r["fold"] == r["flat"] for r in got)
 
 
+def test_hamming_words_fixed_raises_on_width_mismatch(spark):
+    """ADVICE r10: an unguarded unroll would silently UNDER-count arrays
+    longer than n_words (admitting pairs above max_hamming) and NULL-drop
+    shorter ones. The guard fails loudly on either mismatch and stays
+    bit-equal on matching widths."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4], [5, 6, 7, 8])], "id long, a array<int>, b array<int>"
+    )
+    ok = df.select(V.hamming_words_fixed(F.col("a"), F.col("b"), 4).alias("h"))
+    expect = sum(bin(x ^ y).count("1") for x, y in zip([1, 2, 3, 4], [5, 6, 7, 8]))
+    assert ok.collect()[0]["h"] == expect
+    for bad_n in (3, 5):
+        with pytest.raises(Exception, match="hamming_words_fixed"):
+            df.select(
+                V.hamming_words_fixed(F.col("a"), F.col("b"), bad_n).alias("h")
+            ).collect()
+
+
 def test_normalize_degenerate_guard(spark):
     """normalize() is the identity below the 1e-6 magnitude guard (base.rs:99-105)."""
     df = spark.createDataFrame(

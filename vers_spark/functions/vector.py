@@ -175,11 +175,30 @@ def hamming_words_fixed(wa: Column, wb: Column, n_words: int) -> Column:
     higher-order fold is interpreted per row — measured ~5× faster on a
     60M-pair scan, bit-equal by integer associativity (property-tested in
     tests/test_vector.py). Use in verify-heavy joins (the banded fingerprint
-    join evaluates this on ~n²/2^bits candidates)."""
+    join evaluates this on ~n²/2^bits candidates).
+
+    Width-guarded (ADVICE r10): a row whose array length differs from
+    ``n_words`` raises instead of silently miscounting — an unguarded
+    unroll under-counts LONGER arrays (extra words never XOR'd), which
+    would ADMIT pairs above max_hamming, and NULLs shorter ones (pair
+    silently dropped by any ``<=`` filter). The two ``size`` probes are
+    negligible next to the ``n_words`` bit_count terms and the whole
+    expression stays in codegen (CASE WHEN with a lazily-evaluated
+    raise_error arm)."""
     out: Column = F.lit(0).cast("long")
     for i in range(n_words):
         out = out + F.bit_count(wa[i].bitwiseXOR(wb[i])).cast("long")
-    return out
+    return F.when(
+        (F.size(wa) == n_words) & (F.size(wb) == n_words), out
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"hamming_words_fixed: expected {n_words}-word arrays, got %s/%s",
+                F.size(wa).cast("string"),
+                F.size(wb).cast("string"),
+            )
+        ).cast("long")
+    )
 
 
 DISTANCE_FNS = {

@@ -523,6 +523,7 @@ def phash_neardup_pairs(
     probe: DataFrame | None = None,
     max_group: int | None = PHASH_MAX_GROUP,
     n_bands: int | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Banded Hamming self-join over dHash fingerprints — the image-modality
     near-dup joiner (text: simhash_neardup_pairs; embeddings:
@@ -561,6 +562,20 @@ def phash_neardup_pairs(
     match by construction (tests/test_phash_scale_defaults.py pins both
     behaviors).
 
+    ``n_hint`` (r11) is an UPPER BOUND on the number of fingerprint rows,
+    supplied by callers that already know it (the auto_dhash_grid /
+    auto_audio_windows call sites count the roster anyway; fake-mode
+    corpora have static bounds). When ``n_hint ≤ min(max_bucket,
+    max_group)`` NEITHER cap can bind — a duplicate group and a band
+    bucket are both ≤ n — so the staged path's output provably equals the
+    direct member-level banded join, and the collapse + expansion stages
+    (one window shuffle + two expansion joins) buy nothing: we emit the
+    direct join (VERDICT r10 #3). The bypass is a plan simplification
+    under a proven-equal precondition, never a semantics switch: at 1M
+    fingerprints n_hint exceeds the caps and the staged mega-cluster
+    guarantee engages unchanged (tests/test_phash_scale_defaults.py pins
+    both the equality and the engagement).
+
     ``probe`` restricts the RIGHT side of the candidate join to the probe
     rows (micro-batch ingest: new arrivals verify against the accumulated
     store without re-verifying store-store pairs); the left side stays the
@@ -591,7 +606,16 @@ def phash_neardup_pairs(
         band_key) pairs flow through the size aggregation. A/B'd at 1M
         against a window-count guard (whose partitioning the join could
         reuse): the window's full-width sort costs ~10 s more than the
-        join exchange it saves (53.4 s vs 62-65 s, BASELINE.md §r10)."""
+        join exchange it saves (53.4 s vs 62-65 s, BASELINE.md §r10).
+
+        NULL band keys are dropped up front (ADVICE r10): no shipped
+        fingerprint kernel emits them, but a NULL key matches in NEITHER
+        the candidate equi-join (contributing nothing) NOR this anti-join
+        (surviving it), so without the filter the retained-vs-dropped
+        fate of a NULL-key row would silently depend on which guard shape
+        is active. The explicit filter makes the contract
+        partitioning-independent: NULL band → no candidacy, ever."""
+        chunks = chunks.filter(F.col("band_key").isNotNull())
         if max_bucket is None:
             return chunks
         sizes = chunks.groupBy("band_id", "band_key").agg(
@@ -629,6 +653,40 @@ def phash_neardup_pairs(
             .select(
                 F.least("_id_x", "_id_p").alias("media_a"),
                 F.greatest("_id_x", "_id_p").alias("media_b"),
+                "hamming",
+            )
+            .dropDuplicates(["media_a", "media_b"])
+        )
+
+    if (
+        n_hint is not None
+        and (max_bucket is None or n_hint <= max_bucket)
+        and (max_group is None or n_hint <= max_group)
+    ):
+        # small-corpus bypass (see n_hint in the docstring): caps provably
+        # can't bind at n ≤ min(caps), so the direct member-level banded
+        # join IS the staged path's output — minus one window shuffle and
+        # two expansion joins. No skew guard either: a bucket holds ≤ n ≤
+        # max_bucket members by the same bound.
+        chunks = fps.select(
+            "media_id", "bands", F.posexplode("bands").alias("band_id", "band_key")
+        ).filter(F.col("band_key").isNotNull())
+        da = chunks.select(
+            F.col("media_id").alias("_ida"), F.col("bands").alias("bands_a"),
+            "band_id", "band_key",
+        )
+        db = chunks.select(
+            F.col("media_id").alias("_idb"), F.col("bands").alias("bands_b"),
+            "band_id", "band_key",
+        )
+        return (
+            da.join(db, ["band_id", "band_key"])
+            .filter(F.col("_ida") < F.col("_idb"))
+            .withColumn("hamming", _ham(F.col("bands_a"), F.col("bands_b")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(
+                F.col("_ida").alias("media_a"),
+                F.col("_idb").alias("media_b"),
                 "hamming",
             )
             .dropDuplicates(["media_a", "media_b"])
@@ -827,8 +885,11 @@ def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     roster = _phash_roster(docs, 100000)
     # corpus-count auto band width (r10: VERDICT r9 #1 — one cheap count
-    # over the slim roster picks the 64- vs 256-bit layout)
-    g_rows, g_cols = auto_dhash_grid(roster.count())
+    # over the slim roster picks the 64- vs 256-bit layout); the same count
+    # is the n_hint that lets the banded join skip its collapse stages
+    # below the caps (r11)
+    n_fp = roster.count()
+    g_rows, g_cols = auto_dhash_grid(n_fp)
     roster = roster.repartition(16, "media_id")
 
     def synth(batches):
@@ -859,7 +920,9 @@ def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "bands"])
 
     fps = media.mapInPandas(fingerprint, "media_id long, bands array<int>")
-    pairs = phash_neardup_pairs(fps, max_hamming=g_rows - 1, n_bands=g_rows)
+    pairs = phash_neardup_pairs(
+        fps, max_hamming=g_rows - 1, n_bands=g_rows, n_hint=n_fp
+    )
     injected = F.col("media_b") == F.col("media_a") + 100000
     return (
         pairs.select(
@@ -907,11 +970,16 @@ def mm_phash_neardup_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     fps = roster.mapInPandas(fingerprint, "media_id long, bands array<int>")
-    return phash_neardup_pairs(fps, max_hamming=7, n_bands=8)
+    # n_hint: static bound — doc_id < 200 caps the base roster at 200 and
+    # the injected dups at 100 (every second), so ≤ 300 fingerprints
+    return phash_neardup_pairs(fps, max_hamming=7, n_bands=8, n_hint=300)
 
 
 def video_pair_overlap(
-    frame_fps: DataFrame, max_hamming: int = 7, n_bands: int | None = None
+    frame_fps: DataFrame,
+    max_hamming: int = 7,
+    n_bands: int | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Video-level near-dup from FRAME fingerprints: band-join all frames
     (the shared phash_neardup_pairs, frame ids packed as media_id·2²⁰ +
@@ -925,13 +993,15 @@ def video_pair_overlap(
     matched_a = n_frames(a)).
 
     Scale shape: the frame join inherits the banded join's properties
-    (band-key buckets, skew guard); the video aggregation is one groupBy
-    over surviving frame pairs — no all-pairs video work ever happens."""
+    (band-key buckets, skew guard, small-corpus bypass — ``n_hint`` here
+    bounds the FRAME count, videos × frames); the video aggregation is one
+    groupBy over surviving frame pairs — no all-pairs video work ever
+    happens."""
     _P = 1 << 20
     packed = frame_fps.select(
         (F.col("media_id") * _P + F.col("frame_idx")).alias("media_id"), "bands"
     )
-    fpairs = phash_neardup_pairs(packed, max_hamming, n_bands=n_bands)
+    fpairs = phash_neardup_pairs(packed, max_hamming, n_bands=n_bands, n_hint=n_hint)
     va = F.expr(f"media_a div {_P}")
     vb = F.expr(f"media_b div {_P}")
     return (
@@ -991,7 +1061,8 @@ def mm_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     roster = base.unionByName(container_dups).unionByName(reencode_dups)
     # auto band width keyed on the FRAME count (4 frames/video here) — the
     # banded join runs over frame fingerprints, so frames are the corpus
-    g_rows, g_cols = auto_dhash_grid(roster.count() * 4)
+    n_frames = roster.count() * 4
+    g_rows, g_cols = auto_dhash_grid(n_frames)
     roster = roster.repartition(16, "media_id")
 
     def fingerprint(batches):
@@ -1020,7 +1091,9 @@ def mm_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = roster.mapInPandas(
         fingerprint, "media_id long, frame_idx int, bands array<int>"
     )
-    pairs = video_pair_overlap(fps, max_hamming=g_rows - 1, n_bands=g_rows)
+    pairs = video_pair_overlap(
+        fps, max_hamming=g_rows - 1, n_bands=g_rows, n_hint=n_frames
+    )
     # every video here has 4 frames (doc_id ≡ 2 mod 3 → n_frames = 4)
     full = pairs.filter((F.col("matched_a") == 4) & (F.col("matched_b") == 4))
     container = F.col("media_b") == F.col("media_a") + 100000
@@ -1072,7 +1145,10 @@ def mm_video_phash_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = roster.mapInPandas(
         fingerprint, "media_id long, frame_idx int, bands array<int>"
     )
-    return video_pair_overlap(fps, max_hamming=7, n_bands=8)
+    # n_hint: doc_id < 200 ∧ doc_id ≡ 2 (mod 3) caps the base roster at 67
+    # videos (+ ≤ 34 every-second dups) = ≤ 101 videos × 4 frames ≤ 404
+    # frame fingerprints — static bound, below the default caps
+    return video_pair_overlap(fps, max_hamming=7, n_bands=8, n_hint=404)
 
 
 def mm_phash_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1161,7 +1237,8 @@ def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     roster = _phash_roster(docs, 100000)
     # corpus-count auto band width (r10) — 65×8 below 100k clips, 257×16 at
     # scale; same dial as the image path's auto_dhash_grid
-    n_win, b_bits = auto_audio_windows(roster.count())
+    n_fp = roster.count()
+    n_win, b_bits = auto_audio_windows(n_fp)
     n_bands = (n_win - 1) // b_bits
     roster = roster.repartition(16, "media_id")
 
@@ -1196,7 +1273,9 @@ def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "bands"])
 
     fps = media.mapInPandas(fingerprint, "media_id long, bands array<int>")
-    pairs = phash_neardup_pairs(fps, max_hamming=n_bands - 1, n_bands=n_bands)
+    pairs = phash_neardup_pairs(
+        fps, max_hamming=n_bands - 1, n_bands=n_bands, n_hint=n_fp
+    )
     injected = F.col("media_b") == F.col("media_a") + 100000
     return (
         pairs.select(
@@ -1259,7 +1338,9 @@ def mm_audio_fp_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "bands"])
 
     fps = roster.mapInPandas(fingerprint, "media_id long, bands array<int>")
-    return phash_neardup_pairs(fps, max_hamming=7, n_bands=8)
+    # n_hint: doc_id < 200 ∧ doc_id ≡ 1 (mod 3) → ≤ 67 base + ≤ 34 dups
+    # = ≤ 101 fingerprints (static bound, below the default caps)
+    return phash_neardup_pairs(fps, max_hamming=7, n_bands=8, n_hint=300)
 
 
 _SQE = (
