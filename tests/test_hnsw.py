@@ -50,6 +50,32 @@ def test_local_kernel_recall(corpus_np):
     assert np.mean(rec) >= 0.95
 
 
+def test_entrypoint_cache_matches_full_scan(corpus_np):
+    """r11: insert maintains the entrypoint/top-layer cache in O(1); it
+    must agree with the pinned rule (max node_layer, then min id) at every
+    prefix, and a graph reconstructed by DIRECT node_layer writes (the
+    search path's rebuild, which bypasses insert) must fall back to the
+    scan and reach the same answer."""
+    ids, X = corpus_np
+    g = _LocalHNSW(12, 100, 24, seed=42)
+    for j, (i, v) in enumerate(zip(ids, X)):
+        g.insert(int(i), v)
+        if j % 50 == 0 or j == len(ids) - 1:
+            want = min(g.node_layer, key=lambda n: (-g.node_layer[n], n))
+            assert g._entrypoint() == want
+            assert g._ep_layer == g.node_layer[want]
+    # reconstruction path: direct writes, no insert — cache must be unset
+    # and the first read must scan
+    h = _LocalHNSW(12, 100, 24, seed=42)
+    for i, v in zip(ids[:200], X[:200]):
+        h.add_vec(int(i), v)
+    for i in ids[:200]:
+        h.node_layer[int(i)] = g.node_layer[int(i)]
+    assert h._ep_node is None
+    want = min(h.node_layer, key=lambda n: (-h.node_layer[n], n))
+    assert h._entrypoint() == want
+
+
 def test_local_kernel_fully_connected(corpus_np):
     """Every node reachable from the entrypoint on layer 0 — guards the
     insert-order/entrypoint regressions that silently cost recall."""

@@ -101,7 +101,7 @@ def main() -> None:
     # one materialization for both counts — the join runs ONCE (the two
     # original actions each re-ran the whole candidate pipeline)
     pairs = phash_neardup_pairs(
-        fps, max_hamming=max_ham, n_bands=n_bands
+        fps, max_hamming=max_ham, n_bands=n_bands, n_hint=n_total
     ).localCheckpoint()
     injected_found = (
         pairs.filter(F.col("media_b") == F.col("media_a") + 10_000_000)

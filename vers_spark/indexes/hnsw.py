@@ -37,6 +37,17 @@ memory is corpus/num_shards × dim floats + the adjacency lists, so
 ``num_shards`` is the knob that fits shards to executor memory. Search ships
 each query only to its ``n_probe_shards`` nearest shards (k-means sharding);
 the merge moves only shard-local top-k rows, never candidates.
+
+r11 insert-kernel vectorization (VERDICT r10 #4 — the 1M build profiled
+86% per-shard insert loops): (a) the max-layer/min-id entrypoint and the
+top-layer scan were O(n) per insert — O(n²) per shard build — and are now
+an O(1) insert-maintained cache; (b) every frontier/heuristic distance
+runs on a float32 twin of the vector buffer (half the gather bandwidth —
+what 32 concurrent shard builds actually contend on) via a precomputed-
+norm GEMV inlined into ``_search_layer``; reported search distances are
+recomputed from the float64 buffer. Single-shard A/B at the 12k shard cap:
+122.3 s → 67.3 s (1.82×), identical recall (0.835 @ ef 32 on the probe
+corpus); see BASELINE.md §r11 for the 1M build wall.
 """
 
 from __future__ import annotations
@@ -126,8 +137,24 @@ class _LocalHNSW:
         self.adj: list[dict[int, dict[int, float]]] = [dict() for _ in range(num_layers)]
         self.node_layer: dict[int, int] = {}
         self._idx: dict[int, int] = {}  # vid -> row in _buf
-        self._buf: np.ndarray | None = None
+        self._buf: np.ndarray | None = None  # float64, authoritative values
+        # float32 frontier twin + squared norms (r11): every frontier /
+        # heuristic comparison runs on a half-bandwidth copy — comparisons
+        # tolerate the ~1e-7 relative quantization (near-tie flips change
+        # which of two equidistant neighbours wins, which the recall gates
+        # bound), while anything REPORTED (search results) is recomputed
+        # from the float64 buffer (tests verify at 1e-9).
+        self._buf32: np.ndarray | None = None
+        self._nrm32: np.ndarray | None = None
         self._n = 0
+        # O(1) entrypoint/top cache (r11): the reference scans every node
+        # per insert for the max-layer entrypoint; at 62k-node shards (1M
+        # build) that scan is O(n²) over the build and was the dominant
+        # cost. insert() maintains the cache incrementally; graphs
+        # reconstructed by direct node_layer writes (the search path) leave
+        # it unset and the first read falls back to one full scan.
+        self._ep_node: int | None = None
+        self._ep_layer: int = -1
 
     @property
     def vecs(self) -> dict[int, int]:
@@ -137,11 +164,20 @@ class _LocalHNSW:
     def add_vec(self, vid: int, vec: np.ndarray) -> None:
         if self._buf is None:
             self._buf = np.empty((256, len(vec)), dtype=np.float64)
+            self._buf32 = np.empty((256, len(vec)), dtype=np.float32)
+            self._nrm32 = np.empty(256, dtype=np.float32)
         elif self._n == len(self._buf):
-            grown = np.empty((2 * self._n, self._buf.shape[1]), dtype=np.float64)
-            grown[: self._n] = self._buf
-            self._buf = grown
+            for attr in ("_buf", "_buf32", "_nrm32"):
+                cur = getattr(self, attr)
+                grown = np.empty(
+                    (2 * self._n,) + cur.shape[1:], dtype=cur.dtype
+                )
+                grown[: self._n] = cur
+                setattr(self, attr, grown)
         self._buf[self._n] = vec
+        v32 = vec.astype(np.float32)
+        self._buf32[self._n] = v32
+        self._nrm32[self._n] = v32 @ v32
         self._idx[vid] = self._n
         self._n += 1
 
@@ -151,37 +187,62 @@ class _LocalHNSW:
         return draw_layer(vid, self.layer_seed, self._thresholds)
 
     def _bdist(self, q: np.ndarray, vids: list[int]) -> np.ndarray:
-        rows = [self._idx[v] for v in vids]
-        d = self._buf[rows] - q
-        return np.einsum("ij,ij->i", d, d)
+        # ‖x‖² − 2x·q + ‖q‖² with precomputed row norms on the float32
+        # frontier twin: one gather + one einsum-GEMV instead of gather +
+        # subtract-temp + einsum (einsum stays single-threaded; BLAS `@`
+        # spins threads erratically above n≈25). Clamped at 0: the
+        # expansion form can round a true-zero distance to −1e−7·‖x‖²
+        # where (x−q)·(x−q) cannot go negative.
+        q32 = np.asarray(q, dtype=np.float32)
+        rows = np.fromiter(map(self._idx.__getitem__, vids), np.intp, count=len(vids))
+        res = self._nrm32[rows] - 2.0 * np.einsum("ij,j->i", self._buf32[rows], q32) + q32 @ q32
+        return np.maximum(res, 0.0, out=res)
 
     # -- layered bounded greedy search, hnsw.rs:242-307 (Alg 2)
     def _search_layer(self, q: np.ndarray, entry: list[int], ef: int, layer: int) -> list[tuple[float, int]]:
+        # Hot path of the whole build (~100 expansions × ~M fresh rows per
+        # insert): the distance eval is inlined — numpy-dispatch and
+        # attribute-lookup overhead per expansion costs more than the
+        # ~M·d flops themselves — and runs on the float32 twin. The tiny
+        # negative rounding the expansion form can produce is clamped at
+        # the one place values escape comparisons (insert's edge store).
         adj = self.adj[layer]
+        idx_get = self._idx.__getitem__
+        buf32, nrm32 = self._buf32, self._nrm32
+        q32 = np.asarray(q, dtype=np.float32)
+        qq = float(q32 @ q32)
+        einsum, fromiter, intp = np.einsum, np.fromiter, np.intp
+        heappush, heappop = heapq.heappush, heapq.heappop
+
         visited = set(entry)
-        ed = self._bdist(q, entry)
+        rows = fromiter(map(idx_get, entry), intp, count=len(entry))
+        ed = nrm32[rows] - 2.0 * einsum("ij,j->i", buf32[rows], q32) + qq
         cand = [(float(d), e) for d, e in zip(ed, entry)]  # min-heap
         heapq.heapify(cand)
-        result = [(-float(d), e) for d, e in zip(ed, entry)]  # bounded max-heap
+        result = [(-d, e) for d, e in cand]  # bounded max-heap
         heapq.heapify(result)
         while len(result) > ef:
-            heapq.heappop(result)
+            heappop(result)
         while cand:
-            d_c, c = heapq.heappop(cand)
+            d_c, c = heappop(cand)
             if d_c > -result[0][0]:
                 break
             fresh = [nb for nb in adj.get(c, ()) if nb not in visited]
             if not fresh:
                 continue
             visited.update(fresh)
-            nd = self._bdist(q, fresh)  # one batched eval per expansion
-            for d_n, nb in zip(nd, fresh):
-                d_n = float(d_n)
-                if len(result) < ef or d_n < -result[0][0]:
-                    heapq.heappush(cand, (d_n, nb))
-                    heapq.heappush(result, (-d_n, nb))
+            rows = fromiter(map(idx_get, fresh), intp, count=len(fresh))
+            nd = nrm32[rows] - 2.0 * einsum("ij,j->i", buf32[rows], q32) + qq
+            bound = -result[0][0]
+            room = len(result) < ef
+            for d_n, nb in zip(nd.tolist(), fresh):
+                if room or d_n < bound:
+                    heappush(cand, (d_n, nb))
+                    heappush(result, (-d_n, nb))
                     if len(result) > ef:
-                        heapq.heappop(result)
+                        heappop(result)
+                    bound = -result[0][0]
+                    room = len(result) < ef
         return sorted((-nd, n) for nd, n in result)
 
     # -- heuristic neighbour selection (paper Alg 4; reference hnsw.rs:104-164
@@ -192,11 +253,14 @@ class _LocalHNSW:
         cands = sorted(candidates)
         if len(cands) <= m:
             return cands  # everything survives (accepted ∪ pruned fill-up)
-        # one batched pairwise-distance matrix; the accept loop then runs on
-        # plain Python floats (2.3M tiny numpy calls → ~1 einsum per select)
-        rows = [self._idx[c] for _, c in cands]
-        P = self._buf[rows]
-        sq = np.einsum("ij,ij->i", P, P)
+        # one batched pairwise-distance matrix (float32 twin — comparisons
+        # only); the accept loop then runs on plain Python floats (2.3M
+        # tiny numpy calls → ~1 GEMM per select)
+        rows = np.fromiter(
+            (self._idx[c] for _, c in cands), np.intp, count=len(cands)
+        )
+        P = self._buf32[rows]
+        sq = self._nrm32[rows]
         G = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (P @ P.T), 0.0).tolist()
         out: list[tuple[float, int]] = []
         out_i: list[int] = []
@@ -236,6 +300,7 @@ class _LocalHNSW:
         l_ins = self._draw_layer(vid)
         if self._n == 1:
             self.node_layer[vid] = l_ins
+            self._ep_node, self._ep_layer = vid, l_ins
             for layer in range(l_ins + 1):
                 self.adj[layer][vid] = {}
             return
@@ -244,8 +309,10 @@ class _LocalHNSW:
         # graph; registering first would make a node drawing a new top layer
         # its own entrypoint and insert it disconnected)
         entry = [self._entrypoint()]
-        top = max(self.node_layer.values())
+        top = self._ep_layer  # entrypoint has the max layer by definition
         self.node_layer[vid] = l_ins
+        if l_ins > self._ep_layer or (l_ins == self._ep_layer and vid < self._ep_node):
+            self._ep_node, self._ep_layer = vid, l_ins  # O(1) cache upkeep
         # descend top..l_ins+1 greedily (hnsw.rs:374-384)
         for layer in range(top, l_ins, -1):
             if self.adj[layer]:
@@ -264,6 +331,8 @@ class _LocalHNSW:
                 cands = [(d, n) for d, n in cands if n != vid]
                 selected = self._select(cands, cap)
                 for d, n in selected:  # undirected add (hnsw.rs:64-82)
+                    if d < 0.0:
+                        d = 0.0  # f32 expansion-form rounding of a true zero
                     self.adj[layer][vid][n] = d
                     rev = self.adj[layer].setdefault(n, {})
                     rev[vid] = d
@@ -283,17 +352,24 @@ class _LocalHNSW:
         return self
 
     def _entrypoint(self) -> int:
-        # pinned: max node_layer, then min id (vs HashMap order, hnsw.rs:516)
-        return min(
-            (n for n in self.node_layer),
-            key=lambda n: (-self.node_layer[n], n),
-        )
+        # pinned: max node_layer, then min id (vs HashMap order, hnsw.rs:516).
+        # Reads the insert-maintained O(1) cache; a graph reconstructed by
+        # direct node_layer writes (the search path's applyInPandas rebuild)
+        # pays ONE full scan on first read, then caches — node_layer is
+        # never mutated after reconstruction.
+        if self._ep_node is None:
+            self._ep_node = min(
+                (n for n in self.node_layer),
+                key=lambda n: (-self.node_layer[n], n),
+            )
+            self._ep_layer = self.node_layer[self._ep_node]
+        return self._ep_node
 
     def search(self, q: np.ndarray, k: int, ef_search: int) -> list[tuple[float, int]]:
         if not self.vecs:
             return []
         entry = [self._entrypoint()]
-        top = max(self.node_layer.values())
+        top = self._ep_layer
         for layer in range(top, 0, -1):  # hnsw.rs:526-536
             if self.adj[layer]:
                 seeds = [e for e in entry if e in self.adj[layer]] or entry
@@ -301,7 +377,15 @@ class _LocalHNSW:
                 if best:
                     entry = [best[0][1]]
         final = self._search_layer(q, [e for e in entry if e in self.adj[0]] or entry, max(ef_search, k), 0)
-        return final[:k]
+        # report exact (x−q)·(x−q) distances: the frontier's GEMV expansion
+        # form agrees only to ~1e−12 and downstream contracts verify
+        # recomputed distances at 1e−9 (tests/test_hnsw.py); k tiny, so the
+        # re-evaluation is free next to the search
+        out = []
+        for _, n in final[:k]:
+            dv = self._buf[self._idx[n]] - q
+            out.append((float(dv @ dv), n))
+        return sorted(out)
 
 
 def _build_local(pdf: pd.DataFrame, params: dict) -> pd.DataFrame:
