@@ -169,27 +169,37 @@ def hamming_words(wa: Column, wb: Column) -> Column:
     )
 
 
+def _hamming_words_fixed_unchecked(wa: Column, wb: Column, n_words: int) -> Column:
+    """The raw statically-unrolled bit_count(xor) sum — NO width guard.
+    Callers must validate array widths themselves, ONCE per input row
+    (see pipeline_queries.assert_band_width), never per candidate pair:
+    an unguarded unroll silently under-counts longer arrays and NULLs
+    shorter ones."""
+    out: Column = F.lit(0).cast("long")
+    for i in range(n_words):
+        out = out + F.bit_count(wa[i].bitwiseXOR(wb[i])).cast("long")
+    return out
+
+
 def hamming_words_fixed(wa: Column, wb: Column, n_words: int) -> Column:
     """hamming_words for a STATICALLY KNOWN word count: the flat
     bit_count(xor) sum stays inside whole-stage codegen where the
     higher-order fold is interpreted per row — measured ~5× faster on a
     60M-pair scan, bit-equal by integer associativity (property-tested in
-    tests/test_vector.py). Use in verify-heavy joins (the banded fingerprint
-    join evaluates this on ~n²/2^bits candidates).
+    tests/test_vector.py).
 
     Width-guarded (ADVICE r10): a row whose array length differs from
     ``n_words`` raises instead of silently miscounting — an unguarded
     unroll under-counts LONGER arrays (extra words never XOR'd), which
     would ADMIT pairs above max_hamming, and NULLs shorter ones (pair
-    silently dropped by any ``<=`` filter). The two ``size`` probes are
-    negligible next to the ``n_words`` bit_count terms and the whole
-    expression stays in codegen (CASE WHEN with a lazily-evaluated
-    raise_error arm)."""
-    out: Column = F.lit(0).cast("long")
-    for i in range(n_words):
-        out = out + F.bit_count(wa[i].bitwiseXOR(wb[i])).cast("long")
+    silently dropped by any ``<=`` filter). Verify-heavy joins that
+    evaluate the kernel on ~n²/2^bits CANDIDATE pairs should validate
+    widths once per fingerprint row instead and use the unchecked sum
+    (phash_neardup_pairs does — the guard there would run two size probes
+    and a branch 124M times at the 1M corpus)."""
     return F.when(
-        (F.size(wa) == n_words) & (F.size(wb) == n_words), out
+        (F.size(wa) == n_words) & (F.size(wb) == n_words),
+        _hamming_words_fixed_unchecked(wa, wb, n_words),
     ).otherwise(
         F.raise_error(
             F.format_string(

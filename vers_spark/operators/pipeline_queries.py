@@ -587,14 +587,39 @@ def phash_neardup_pairs(
     by the micro-batch size)."""
     from pyspark.sql import Window as W
 
-    from vers_spark.functions.vector import hamming_words, hamming_words_fixed
+    from vers_spark.functions.vector import (
+        _hamming_words_fixed_unchecked,
+        hamming_words,
+    )
 
     if n_bands is not None:
         # the verify fold runs on every banded candidate (~n²/2^bits rows);
         # a statically unrolled sum stays in whole-stage codegen — ~5× over
-        # the higher-order fold at 1M (tools/phash_scale_probe.py)
+        # the higher-order fold at 1M (tools/phash_scale_probe.py). Width
+        # safety (ADVICE r10) is enforced ONCE PER FINGERPRINT ROW below
+        # (assert_band_width on fps/probe), so the per-candidate kernel can
+        # skip the guard its public twin carries — two size probes and a
+        # branch would otherwise run ~124M times at the 1M corpus.
         def _ham(x, y):
-            return hamming_words_fixed(x, y, n_bands)
+            return _hamming_words_fixed_unchecked(x, y, n_bands)
+
+        def _checked(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "bands",
+                F.when(F.size("bands") == n_bands, F.col("bands")).otherwise(
+                    F.raise_error(
+                        F.format_string(
+                            f"phash_neardup_pairs: expected {n_bands}-word"
+                            " fingerprints, got %s",
+                            F.size("bands").cast("string"),
+                        )
+                    ).cast(df.schema["bands"].dataType.simpleString())
+                ),
+            )
+
+        fps = _checked(fps)
+        if probe is not None:
+            probe = _checked(probe)
     else:
         _ham = hamming_words
 
