@@ -32,6 +32,51 @@ def test_degenerate_single_leaf_equals_exact(spark, emb):
     assert gk == wk
 
 
+def test_assign_paths_pandas_equals_join_descent(forest, emb):
+    """r11: the single-pass broadcast-trie descent must be BIT-EXACT with
+    the per-level join descent it replaced — every (query, tree) lands on
+    the identical path, including corpus vectors (whose build-time routing
+    used the Spark fold; a near-boundary disagreement here would route a
+    query away from its own duplicate's leaf)."""
+    q = emb.limit(200)
+    fast = {
+        (r["query_id"], r["tree_id"]): r["path"]
+        for r in forest.assign_paths(q).collect()
+    }
+    slow = {
+        (r["query_id"], r["tree_id"]): r["path"]
+        for r in forest._assign_paths_joins(q).collect()
+    }
+    assert fast == slow
+    assert len(fast) == 200 * forest.params["num_trees"]
+    # the trie pack is cached on the instance (one collect per index)
+    assert forest._planes_pack() is forest._planes_pack()
+
+
+def test_assign_paths_fallback_above_dense_cap(forest, emb):
+    """Above the dense-lookup cap assign_paths must fall back to the join
+    descent (any-depth safety) and produce the same paths."""
+    import vers_spark.indexes.lsh as L
+
+    q = emb.limit(50)
+    want = {
+        (r["query_id"], r["tree_id"]): r["path"]
+        for r in forest.assign_paths(q).collect()
+    }
+    idx = LSHForestIndex(forest.spark, forest.leaves, forest.hyperplanes, forest.params)
+    old = L.LSHForestIndex._PACK_MAX_BYTES
+    L.LSHForestIndex._PACK_MAX_BYTES = 0
+    try:
+        assert idx._planes_pack() is None
+        got = {
+            (r["query_id"], r["tree_id"]): r["path"]
+            for r in idx.assign_paths(q).collect()
+        }
+    finally:
+        L.LSHForestIndex._PACK_MAX_BYTES = old
+    assert got == want
+
+
 def test_leaf_size_invariant(forest):
     sizes = (
         forest.leaves.groupBy("tree_id", "path")

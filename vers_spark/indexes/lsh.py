@@ -448,15 +448,162 @@ class LSHForestIndex:
 
     # ---------------- search ----------------
 
+    # broadcast-size cap for the single-pass descent's plane pack (bytes of
+    # coeffs); above it fall back to the per-level join descent, whose
+    # memory is bounded regardless of forest size. Depth is capped by the
+    # int64 path encoding (≤ 62 bits) — deeper trees also fall back.
+    _PACK_MAX_BYTES = 512 * 1024 * 1024
+
+    def _planes_pack(self):
+        """Collect + broadcast the hyperplane trie ONCE per index instance
+        as compact numpy arrays: W (n_planes × dim float32 — exact, coeffs
+        are float32 at rest), B (n_planes float64), and PER-TREE SORTED
+        node-key arrays for a vectorized ``searchsorted`` lookup. A node's
+        key is its path as a '1'-prefixed binary integer (root '' → 1,
+        child key = key·2 + bit) — depth-independent and SPARSE, so a
+        24-deep imbalanced forest (the 1M reference config measured
+        n_leaf_paths ≈ 126k, max depth 24) packs as ~16k keys/tree instead
+        of the 134M dense heap slots a direct node-index table would need.
+        Returns None when the pack exceeds the broadcast cap or the trie is
+        empty — callers fall back to the per-level join descent. Amortizes
+        the driver collect + broadcast across every assign_paths call on
+        this instance (VERDICT r10 #5)."""
+        if hasattr(self, "_planes_pack_cache"):
+            return self._planes_pack_cache
+        import numpy as np
+
+        T = int(self.params["num_trees"])
+        depth = int(self.params["depth"])
+        pack = None
+        if 0 < depth <= 62:
+            # Arrow collect: 126k coeff rows arrive as numpy cells in ~2 s
+            # where the py4j row path took ~20 s at the 1M forest
+            pdf = self.hyperplanes.select(
+                "tree_id", "path", "coeffs", "constant"
+            ).toPandas()
+            if len(pdf) and len(pdf) * len(pdf["coeffs"].iloc[0]) * 4 <= self._PACK_MAX_BYTES:
+                W = np.array(pdf["coeffs"].tolist(), dtype=np.float32)
+                B = pdf["constant"].to_numpy(dtype=np.float64)
+                tids = pdf["tree_id"].to_numpy(dtype=np.int32)
+                keys = np.fromiter(
+                    (int("1" + p, 2) for p in pdf["path"]),
+                    dtype=np.int64,
+                    count=len(pdf),
+                )
+                tree_keys, tree_rows = [], []
+                for t in range(T):
+                    mask = tids == t
+                    order = np.argsort(keys[mask], kind="stable")
+                    tree_keys.append(keys[mask][order])
+                    tree_rows.append(np.nonzero(mask)[0][order].astype(np.int64))
+                pack = (
+                    self.spark.sparkContext.broadcast(
+                        (tree_keys, tree_rows, W, B)
+                    ),
+                    depth,
+                    T,
+                )
+        self._planes_pack_cache = pack
+        return pack
+
     def assign_paths(
         self,
         df: DataFrame,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> DataFrame:
-        """Descend every tree for every row: fold plane tests level by level
-        (one broadcast join per level) → (query_id, q_vec, tree_id, path).
-        Identical vectors always get identical paths (deterministic dots)."""
+        """Descend every tree for every row → (query_id, q_vec, tree_id,
+        path). Identical vectors always get identical paths (deterministic
+        dots).
+
+        Fast path (r11, VERDICT r10 #5): ONE mapInPandas pass against the
+        broadcast plane trie — the per-level shape scheduled ``depth``
+        sequential join stages (~13 at the 1M/T16 config), and for a
+        100-query serving batch the stage latency dwarfed the ~6 M flops of
+        actual plane math. The numpy kernel is BIT-EXACT with the
+        declarative fold it replaces: Spark's V.dot is a left fold of
+        f64(x)·f64(y) products, and ``np.cumsum`` over the f64 product row
+        is the same sequential accumulation (pinned bit-equal in
+        tests/test_lsh.py::test_assign_paths_pandas_equals_join_descent),
+        so build-time routing and query-time descent can never disagree on
+        a boundary. Falls back to the per-level join descent when the trie
+        exceeds the dense broadcast cap."""
+        pack = self._planes_pack()
+        if pack is None:
+            return self._assign_paths_joins(df, id_col, vec_col)
+        bc, depth, T = pack
+        emb_t = df.schema[vec_col].dataType.simpleString()
+        id_t = df.schema[id_col].dataType.simpleString()
+        src = df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+
+        def descend(batches):
+            import numpy as np
+            import pandas as pd
+
+            tree_keys, tree_rows, W, B = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.array(pdf["q_vec"].tolist(), dtype=np.float64)
+                n = len(pdf)
+                out_q, out_v, out_t, out_p = [], [], [], []
+                for t in range(T):
+                    K, R = tree_keys[t], tree_rows[t]
+                    key = np.ones(n, dtype=np.int64)  # root path '' → 1
+                    alive = np.arange(n)
+                    bits = np.full((n, depth), -1, dtype=np.int8)
+                    for lvl in range(depth):
+                        if len(K) == 0:
+                            break
+                        ka = key[alive]
+                        pos = np.searchsorted(K, ka)
+                        pos[pos == len(K)] = 0  # safe index; miss-checked next
+                        has = K[pos] == ka
+                        if not has.any():
+                            break
+                        alive = alive[has]
+                        pr = R[pos[has]]
+                        # bit-exact V.dot twin: f64 products (f32→f64 is
+                        # exact), then cumsum = the same sequential left
+                        # fold Spark's aggregate performs
+                        prod = W[pr].astype(np.float64) * X[alive]
+                        dots = np.cumsum(prod, axis=1)[:, -1]
+                        side = (dots + B[pr]) >= 0
+                        bits[alive, lvl] = side
+                        key[alive] = (key[alive] << 1) | side
+                    paths = [
+                        "".join("1" if b == 1 else "0" for b in row if b >= 0)
+                        for row in bits
+                    ]
+                    out_q.append(pdf["query_id"])
+                    out_v.append(pdf["q_vec"])
+                    out_t.append(np.full(n, t, dtype=np.int32))
+                    out_p.append(paths)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd.concat(out_q, ignore_index=True),
+                        "q_vec": pd.concat(out_v, ignore_index=True),
+                        "tree_id": np.concatenate(out_t),
+                        "path": [p for ps in out_p for p in ps],
+                    }
+                )
+
+        return src.mapInPandas(
+            descend,
+            f"query_id {id_t}, q_vec {emb_t}, tree_id int, path string",
+        )
+
+    def _assign_paths_joins(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """The declarative per-level descent (one broadcast join per trie
+        level) — the any-depth fallback and the semantic reference the
+        pandas kernel is property-tested against."""
         trees = self.spark.range(self.params["num_trees"]).select(
             F.col("id").cast("int").alias("tree_id")
         )
