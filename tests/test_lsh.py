@@ -77,6 +77,52 @@ def test_assign_paths_fallback_above_dense_cap(forest, emb):
     assert got == want
 
 
+def test_leaf_order_pack_matches_full(forest, emb):
+    """r11: the packed best-first leaf enumeration must reproduce the
+    exhaustive `_leaf_order` ranking EXACTLY — same top-P leaves, same
+    dev strings, bit-identical costs — in both probe modes. (The pack
+    walk settles in global (cost, dev) order because both keys are
+    monotone along descent; costs match because both engines fold the
+    margin in ascending level order in f64.)"""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    q = emb.limit(30)
+    qp = forest.assign_paths(q)
+    pairs = qp.select("query_id", "tree_id", "q_vec")
+    P = 3
+    for mode in ("margin", "dfs"):
+        got = {}
+        for r in forest._leaf_order_pack(pairs, mode, P, keep_keys=True).collect():
+            got.setdefault((r["query_id"], r["tree_id"]), []).append(
+                (r["path"], r["dev"], r["cost"])
+            )
+        key = [F.asc("dev")] if mode == "dfs" else [F.asc("cost"), F.asc("dev")]
+        wv = W.partitionBy("query_id", "tree_id").orderBy(*key)
+        want = {}
+        full = (
+            forest._leaf_order(pairs, forest.leaves, mode)
+            .withColumn("_r", F.row_number().over(wv))
+            .filter(F.col("_r") <= P)
+            .orderBy("query_id", "tree_id", "_r")
+        )
+        for r in full.collect():
+            want.setdefault((r["query_id"], r["tree_id"]), []).append(
+                (r["path"], r["dev"], r["cost"])
+            )
+        assert got == want, f"mode={mode}"
+
+
+def test_multiprobe_pack_equals_full_end_to_end(forest, emb):
+    """search_multiprobe via the packed engine must return the identical
+    result rows as the exhaustive leaf_descent='full' engine."""
+    q = emb.filter(F.col("vec_id") < 8)
+    a = forest.search_multiprobe(q, k=10, n_probes=3, leaf_descent="pack").collect()
+    b = forest.search_multiprobe(q, k=10, n_probes=3, leaf_descent="full").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
 def test_leaf_size_invariant(forest):
     sizes = (
         forest.leaves.groupBy("tree_id", "path")

@@ -456,8 +456,8 @@ class LSHForestIndex:
 
     def _planes_pack(self):
         """Collect + broadcast the hyperplane trie ONCE per index instance
-        as compact numpy arrays: W (n_planes × dim float32 — exact, coeffs
-        are float32 at rest), B (n_planes float64), and PER-TREE SORTED
+        as compact numpy arrays: W (n_planes × dim float64 — exact for both
+        float- and double-typed coeffs), B (n_planes float64), and PER-TREE SORTED
         node-key arrays for a vectorized ``searchsorted`` lookup. A node's
         key is its path as a '1'-prefixed binary integer (root '' → 1,
         child key = key·2 + bit) — depth-independent and SPARSE, so a
@@ -481,9 +481,17 @@ class LSHForestIndex:
             pdf = self.hyperplanes.select(
                 "tree_id", "path", "coeffs", "constant"
             ).toPandas()
-            if len(pdf) and len(pdf) * len(pdf["coeffs"].iloc[0]) * 4 <= self._PACK_MAX_BYTES:
-                W = np.array(pdf["coeffs"].tolist(), dtype=np.float32)
+            if len(pdf) and len(pdf) * len(pdf["coeffs"].iloc[0]) * 8 <= self._PACK_MAX_BYTES:
+                # f64 ALWAYS: in-session forests carry array<double> coeffs
+                # (the b−a splits are computed in f64) and a float32 pack
+                # would silently quantize every dot — caught by the
+                # leaf-order cost parity test; f32-at-rest coeffs widen
+                # exactly, so f64 is exact for both storage types
+                W = np.array(pdf["coeffs"].tolist(), dtype=np.float64)
                 B = pdf["constant"].to_numpy(dtype=np.float64)
+                # plane magnitudes for the multiprobe margin — the same
+                # f64 left-fold-then-sqrt as V.magnitude (cumsum = fold)
+                M = np.sqrt(np.cumsum(W * W, axis=1)[:, -1])
                 tids = pdf["tree_id"].to_numpy(dtype=np.int32)
                 keys = np.fromiter(
                     (int("1" + p, 2) for p in pdf["path"]),
@@ -496,9 +504,21 @@ class LSHForestIndex:
                     order = np.argsort(keys[mask], kind="stable")
                     tree_keys.append(keys[mask][order])
                     tree_rows.append(np.nonzero(mask)[0][order].astype(np.int64))
+                # leaf-path keys per tree (settle detection for the packed
+                # leaf-order engine) — slim distinct over the leaf catalog
+                lp = (
+                    self.leaves.select("tree_id", "path").distinct().toPandas()
+                )
+                lkeys = np.fromiter(
+                    (int("1" + p, 2) for p in lp["path"]),
+                    dtype=np.int64,
+                    count=len(lp),
+                )
+                ltids = lp["tree_id"].to_numpy(dtype=np.int32)
+                leaf_keys = [np.sort(lkeys[ltids == t]) for t in range(T)]
                 pack = (
                     self.spark.sparkContext.broadcast(
-                        (tree_keys, tree_rows, W, B)
+                        (tree_keys, tree_rows, W, B, M, leaf_keys)
                     ),
                     depth,
                     T,
@@ -542,7 +562,7 @@ class LSHForestIndex:
             import numpy as np
             import pandas as pd
 
-            tree_keys, tree_rows, W, B = bc.value
+            tree_keys, tree_rows, W, B, _M, _leaf_keys = bc.value
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -565,10 +585,10 @@ class LSHForestIndex:
                             break
                         alive = alive[has]
                         pr = R[pos[has]]
-                        # bit-exact V.dot twin: f64 products (f32→f64 is
-                        # exact), then cumsum = the same sequential left
+                        # bit-exact V.dot twin: f64 products on the f64
+                        # pack, then cumsum = the same sequential left
                         # fold Spark's aggregate performs
-                        prod = W[pr].astype(np.float64) * X[alive]
+                        prod = W[pr] * X[alive]
                         dots = np.cumsum(prod, axis=1)[:, -1]
                         side = (dots + B[pr]) >= 0
                         bits[alive, lvl] = side
@@ -932,6 +952,106 @@ class LSHForestIndex:
             )
         return self._leaf_path_count
 
+    def _leaf_order_pack(
+        self,
+        pairs: DataFrame,
+        probe_mode: str,
+        n_probes: int,
+        keep_keys: bool = False,
+    ) -> DataFrame:
+        """Best-first multiprobe leaf enumeration INSIDE the plane pack —
+        the r11 serving engine: one mapInPandas pass, zero join rounds.
+
+        Per (query, tree) row, a heap-ordered best-first walk of the trie:
+        pop the least (cost, dev) node (dfs mode: least dev), settle it if
+        its path is a leaf, else expand both children with the margin
+        accumulated exactly as the declarative engines do (ascending-level
+        f64 left fold; margin = |dot+const| / ‖coeffs‖ with the cumsum
+        kernel, bit-exact with V.dot/V.magnitude). Both keys are MONOTONE
+        along descent — cost adds ≥ 0, dev only extends (lexicographic
+        prefix < extension) — so the pop order IS the global probe order
+        and the first ``n_probes`` settles are EXACTLY `_leaf_order`'s
+        top-``n_probes`` (no beam, no approximation guard; parity pinned
+        in tests/test_lsh.py::test_leaf_order_pack_matches_full). Work is
+        O(pairs × visited nodes × dim) inside numpy/heapq — the frontier
+        engine's per-round joins cost 41-83 s per 100-query batch at the
+        1M forest where this pass costs ~1 s."""
+        pack = self._planes_pack()
+        if pack is None:
+            raise RuntimeError("_leaf_order_pack requires the plane pack")
+        bc, depth, T = pack
+        id_t = pairs.schema["query_id"].dataType.simpleString()
+        src = pairs.select("query_id", "tree_id", "q_vec")
+        dfs = probe_mode == "dfs"
+
+        def enumerate_best(batches):
+            import heapq
+
+            import numpy as np
+            import pandas as pd
+
+            tree_keys, tree_rows, W, B, M, leaf_keys = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                oq, ot, op, od, oc = [], [], [], [], []
+                for qid, t, qv in zip(
+                    pdf["query_id"], pdf["tree_id"], pdf["q_vec"]
+                ):
+                    q = np.asarray(qv, dtype=np.float64)
+                    t = int(t)
+                    K, R, LK = tree_keys[t], tree_rows[t], leaf_keys[t]
+                    heap = [("", 1, 0.0)] if dfs else [(0.0, "", 1)]
+                    settled = 0
+                    while heap and settled < n_probes:
+                        if dfs:
+                            dev, key, cost = heapq.heappop(heap)
+                        else:
+                            cost, dev, key = heapq.heappop(heap)
+                        p = int(np.searchsorted(LK, key))
+                        if p < len(LK) and LK[p] == key:
+                            oq.append(qid)
+                            ot.append(t)
+                            op.append(format(key, "b")[1:])
+                            od.append(dev)
+                            oc.append(cost)
+                            settled += 1
+                            continue
+                        p = int(np.searchsorted(K, key))
+                        if p >= len(K) or K[p] != key:
+                            continue  # empty child side: neither leaf nor inner
+                        pr = int(R[p])
+                        prod = W[pr] * q
+                        dot = float(np.cumsum(prod)[-1]) + float(B[pr])
+                        qbit = dot >= 0.0
+                        margin = abs(dot) / float(M[pr])
+                        for cbit in (0, 1):
+                            agree = (cbit == 1) == qbit
+                            cdev = dev + ("0" if agree else "1")
+                            ccost = cost if agree else cost + margin
+                            ckey = (key << 1) | cbit
+                            heapq.heappush(
+                                heap,
+                                (cdev, ckey, ccost) if dfs else (ccost, cdev, ckey),
+                            )
+                yield pd.DataFrame(
+                    {
+                        "query_id": oq,
+                        "tree_id": np.array(ot, dtype=np.int32),
+                        "path": op,
+                        "dev": od,
+                        "cost": np.array(oc, dtype=np.float64),
+                    }
+                )
+
+        out = src.mapInPandas(
+            enumerate_best,
+            f"query_id {id_t}, tree_id int, path string, dev string, cost double",
+        )
+        if keep_keys:
+            return out
+        return out.select("query_id", "tree_id", "path")
+
     def _leaf_order_frontier(
         self,
         pairs: DataFrame,
@@ -1186,10 +1306,18 @@ class LSHForestIndex:
         )
         pairs = qp.select("query_id", "tree_id", "q_vec")
         if leaf_descent == "auto":
-            leaf_descent = (
-                "full" if self._n_leaf_paths() < _FRONTIER_MIN_LEAVES else "frontier"
-            )
-        if leaf_descent == "frontier":
+            # the packed best-first engine is exact at every scale and
+            # join-free; the declarative engines remain for explicit
+            # requests, the above-cap fallback, and as parity references
+            if self._planes_pack() is not None:
+                leaf_descent = "pack"
+            else:
+                leaf_descent = (
+                    "full" if self._n_leaf_paths() < _FRONTIER_MIN_LEAVES else "frontier"
+                )
+        if leaf_descent == "pack":
+            probed = self._leaf_order_pack(pairs, probe_mode, n_probes)
+        elif leaf_descent == "frontier":
             if compute == "blocked":
                 # the GEMM margin kernel scores the full (query × plane)
                 # grid — the frontier only ever touches visited nodes, so
@@ -1280,7 +1408,14 @@ class LSHForestIndex:
         sizes = leaves.groupBy("tree_id", "path").agg(F.count(F.lit(1)).alias("leaf_n"))
         order = [F.asc("dev")] if probe_mode == "dfs" else [F.asc("cost"), F.asc("dev")]
         wdev = W.partitionBy("query_id", "tree_id").orderBy(*order)
-        if self._n_leaf_paths() >= _FRONTIER_MIN_LEAVES:
+        if self._planes_pack() is not None and leaves is self.leaves:
+            # packed engine: exact, join-free (leaves must be the index's
+            # own — the pack's leaf-key sets were built from them; the
+            # filtered-leaves call path keeps the declarative engines)
+            ordered = self._leaf_order_pack(
+                under, probe_mode, n_probes=k, keep_keys=True
+            )
+        elif self._n_leaf_paths() >= _FRONTIER_MIN_LEAVES:
             ordered = self._leaf_order_frontier(
                 under, leaves, probe_mode, n_probes=k, keep_keys=True
             )
