@@ -96,21 +96,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vers_spark.operators import bpe, rag
 
     # Registration order IS the driver's sweep order, and the sweep has
-    # truncated at exactly 50 queries in every prior round. Round-11 order
-    # (VERDICT r10 item 2, executed exactly):
-    #   1. the fingerprint near-dup family — its JOIN KERNEL changed again
-    #      this round (small-corpus n_hint bypass + hamming_words_fixed
-    #      width guard + NULL-band filter), so every query through
-    #      phash_neardup_pairs re-certifies at the head (changed-kernel
-    #      discipline, third round running);
-    #   2. the 27 rows whose newest driver row is r6 — the current oldest
-    #      evidence on the board (hnsw/doc/evt/stream sketch cohorts; the
-    #      hnsw queries also re-certify this round's insert-kernel
-    #      vectorization);
-    #   3. oldest r7 rows fill to the 50-cap, kernel-adjacent first (the
-    #      knn/vector cohort shares functions/vector.py, which changed;
-    #      lsh/hnsw serving shares the index modules). After this sweep
-    #      nothing on the board is older than r7.
+    # truncated at exactly 50 queries in every prior round. Round-12 order
+    # (VERDICT r11 item 3, executed exactly):
+    #   1. changed-kernel re-certification: every LSH serving query (the
+    #      multiprobe/backup paths gained the broadcast-hinted DPP probe
+    #      join and _join_leaves gained the selective-predicate filter;
+    #      add() now retires the plane pack — index_lifecycle_roundtrip
+    #      exercises it), and every HNSW search query (the local kernel
+    #      now f64-re-ranks the full ef set before the k-cut — the
+    #      duplicate-heavy ADVICE fix);
+    #   2. the 26 rows whose newest driver row is r7 — the board's oldest
+    #      (knn/vector remnants, r5-era doc/evt/relational rows);
+    #   3. oldest-r8 rows fill to the 50-cap, kernel-adjacent first
+    #      (embedding near-dup + vector-corpus cohorts share the index
+    #      and vector modules). After this sweep nothing on the board is
+    #      older than r8.
     modules = [
         vector_queries.QUERIES,
         index_queries.QUERIES,
@@ -131,64 +131,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(m)
 
     priority = [
-        # -- r11 #1: the fingerprint family whose shared join kernel changed
-        # again (n_hint small-corpus bypass + width-guarded unrolled
-        # hamming + NULL-band filter) — oracle-backed twins first, then the
-        # real-decode paths --
-        "mm_phash_neardup_fake",
-        "mm_audio_fp_fake",
-        "mm_video_phash_fake",
-        "mm_phash_leakage_split",
-        "stream_phash_gate",
-        "mm_image_phash_neardup",
-        "mm_audio_fp_neardup",
-        "mm_video_phash_neardup",
-        # -- r11 #2: the 27 rows whose newest driver row is r6 (the board's
-        # oldest); hnsw_* also re-certify the vectorized insert kernel --
-        "hnsw_layer_stats",
-        "hnsw_search",
-        "hnsw_search_frontier",
-        "ivf_range_search",
-        "ivf_search_fixed_p4",
-        "emb_dbscan_clusters",
-        "emb_cluster_outliers",
-        "minhash_neardup",
-        "simhash_neardup",
-        "neardup_components_star",
-        "neardup_kcore",
-        "neardup_leakage_split",
-        "graph_hits_topk",
-        "rag_mmr_rerank",
-        "doc_quality_budget_curve",
-        "doc_sample_quantiles",
-        "doc_window_dups",
-        "evt_anomaly_mad",
-        "evt_hll_hourly",
-        "evt_hll_setops",
-        "evt_hll_sliding",
-        "evt_markov_transitions",
-        "q_skew_salted_agg",
-        "stream_cms_merge",
-        "stream_hll_merge",
-        "stream_markov_merge",
-        "stream_neardup_pairs",
-        # -- r11 #3: oldest r7 rows to the 50-cap, kernel-adjacent first
-        # (vector.py / index-module changes this round) --
-        "hnsw_search_filtered",
+        # -- r12 #1: changed-kernel re-certification. LSH serving: the
+        # probe side of the leaf join is now broadcast-hinted and carries
+        # the selective startswith(_pp,'p') predicate (restores dynamic
+        # partition pruning on the saved store); add() retires the source
+        # instance's plane-pack broadcast. HNSW serving: the local search
+        # kernel f64-re-ranks the full ef candidate set before the k-cut --
+        "lsh_search_multiprobe",
+        "lsh_multiprobe_frontier",
         "lsh_search_forest",
         "lsh_search_backup",
-        "vk_vector_ops",
-        "knn_exact_cosine",
-        "knn_exact_euclidean",
-        "knn_int8_euclidean",
-        "knn_binary_rerank",
-        "knn_matryoshka_rerank",
-        "dedup_vectors_stats",
-        "dedup_docs_first_wins",
+        "lsh_search_degenerate",
+        "lsh_search_filtered",
+        "index_lifecycle_roundtrip",
+        "hnsw_search",
+        "hnsw_search_frontier",
+        "hnsw_search_filtered",
         "ann_recall_report",
-        "ivf_build_ref",
-        "ivf_search_all",
-        "ivf_search_filtered",
+        # -- r12 #2: the 26 rows whose newest driver row is r7 (the
+        # board's oldest; lsh_search_multiprobe already heads the list) --
+        "ivf_search_p4",
+        "ivfpq_search",
+        "emb_kcenter_sample",
+        "emb_quantize_stats",
+        "emb_semantic_dedup",
+        "emb_similarity_join_fixed",
+        "emb_triplet_mining",
+        "doc_collocation_pmi",
+        "doc_pack_sequences",
+        "doc_pack_sequences_sharded",
+        "doc_quality",
+        "doc_split_assign",
+        "doc_stratified_sample",
+        "doc_token_stats",
+        "evt_retention_cohorts",
+        "evt_rfm_segments",
+        "evt_value_outliers",
+        "mm_jpeg_pipeline",
+        "q_customer_balance_deciles",
+        "q_customer_order_activity",
+        "q_nation_presence",
+        "q_orders_cube",
+        "q_orders_pivot_status",
+        "q_rollup_orders",
+        "q_sketch_stats",
+        # -- r12 #3: oldest-r8 rows to the 50-cap, kernel-adjacent first
+        # (embedding near-dup / vector-corpus cohorts share the index and
+        # vector modules this round touched) --
+        "emb_brp_neardup",
+        "emb_cosine_neardup",
+        "emb_knn_selfjoin_exact",
+        "emb_neardup_pairs",
+        "emb_label_centroids",
+        "vec_corpus_pyds",
+        "vec_corpus_roundtrip",
+        "minhash_signatures",
+        "ngram_jaccard_pairs",
+        "ngram_jaccard_prefix",
+        "simhash_docs",
+        "dedup_docs_normalized",
+        "doc_containment_pairs",
+        "neardup_best_quality",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"

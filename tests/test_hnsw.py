@@ -96,6 +96,54 @@ def test_local_kernel_fully_connected(corpus_np):
     assert len(seen) == len(g.vecs)
 
 
+def test_local_kernel_duplicate_heavy_recall_and_connectivity(corpus_np):
+    """Near-duplicate worst case for the f32 build kernel (ADVICE r11):
+    the ‖x‖²−2x·q+‖q‖² expansion loses ~1e-7·‖x‖² to cancellation, so
+    neighbour ORDER among near-dups during insert is effectively
+    arbitrary. The claim the code comments make — recall gates + exact
+    f64 reported distances bound the impact — is pinned here on a corpus
+    that is ~96% near-duplicates (25 copies of each of 40 bases,
+    perturbed at 1e-7 relative scale, squarely inside the cancellation
+    regime) plus one exact copy per base: layer-0 connectivity must stay
+    total and recall@10 vs the f64 exact oracle must hold."""
+    from collections import deque
+
+    _, X = corpus_np
+    base = X[:40]
+    rng = np.random.default_rng(123)
+    vecs = []
+    for j in range(1000):
+        b = base[j % 40]
+        if j < 40:
+            vecs.append(b.copy())  # exact duplicate of the base
+        else:
+            scale = 1e-7 * float(np.linalg.norm(b))
+            vecs.append(b + rng.normal(0.0, scale, b.shape))
+    D = np.array(vecs, dtype=np.float64)
+    dids = np.arange(len(D))
+    g = _LocalHNSW(12, 100, 24, seed=5)
+    for i, v in zip(dids, D):
+        g.insert(int(i), v)
+    # total reachability on layer 0 despite arbitrary near-dup ordering
+    seen = {g._entrypoint()}
+    dq = deque(seen)
+    while dq:
+        c = dq.popleft()
+        for nb in g.adj[0].get(c, ()):
+            if nb not in seen:
+                seen.add(nb)
+                dq.append(nb)
+    assert len(seen) == len(g.vecs)
+    # recall vs the exact f64 oracle, querying into the duplicate clouds
+    rec = []
+    for qi in range(30):
+        b = base[qi % 40]
+        q = b + rng.normal(0.0, 1e-7 * float(np.linalg.norm(b)), b.shape)
+        got = {n for _, n in g.search(q, 10, 64)}
+        rec.append(len(got & _exact_np(dids, D, q, 10)) / 10)
+    assert np.mean(rec) >= 0.9, np.mean(rec)
+
+
 def test_sharded_recall_all_probes(spark, sf_dir, hnsw_idx):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
@@ -190,6 +238,19 @@ def test_layer_stats_monotone(hnsw_idx):
     counts = [r["n_nodes"] for r in sorted(stats, key=lambda r: r["layer"])]
     assert counts == sorted(counts, reverse=True)
     assert counts[0] == 500  # every vector on layer 0
+
+
+def test_shard_build_telemetry(hnsw_idx):
+    """build() harvests one (rows, wall-seconds) entry per shard into the
+    manifest (the 1M straggler-vs-host-steal diagnostic, VERDICT r11 #5)
+    and strips the kind=2 marker rows from the graph table — every graph
+    reader reconstructs edges from `kind != 0`, so a leaked marker would
+    be misread as an edge."""
+    tele = hnsw_idx.params["shard_build_seconds"]
+    assert len(tele) == int(hnsw_idx.params["num_shards"])
+    assert sum(n for n, _ in tele.values()) == 500  # rows partition the corpus
+    assert all(sec > 0 for _, sec in tele.values())
+    assert hnsw_idx.graph.filter(F.col("kind") > 1).count() == 0
 
 
 def test_frontier_search_recall_and_order(spark, sf_dir, hnsw_idx):

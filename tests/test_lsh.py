@@ -246,6 +246,31 @@ def test_add_defer_mode_keeps_old_behavior(spark, emb):
     assert grown.hyperplanes.count() == idx.hyperplanes.count()
 
 
+def test_add_retires_pack_and_source_still_serves(spark, emb):
+    """add() unpersists the SOURCE instance's plane-pack broadcast (looping
+    add() cycles must not stack one executor-resident pack per generation,
+    ADVICE r11) — non-blocking unpersist keeps the driver value, so plans
+    already built stay valid, and the next _planes_pack() on the source
+    re-packs on demand with identical results."""
+    from pyspark.sql import functions as F
+
+    base = emb.filter(F.col("vec_id") < 150)
+    extra = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 180))
+    idx = LSHForestIndex.build(base, num_trees=2, max_node_size=16, seed=3)
+    assert idx._planes_pack() is not None
+    before = sorted(map(tuple, idx.search_multiprobe(base.limit(5), k=3, n_probes=2).collect()))
+    grown = idx.add(extra)
+    assert not hasattr(idx, "_planes_pack_cache")  # cache retired by add()
+    # the source instance re-packs on demand and serves identically
+    assert idx._planes_pack() is not None
+    after = sorted(map(tuple, idx.search_multiprobe(base.limit(5), k=3, n_probes=2).collect()))
+    assert before == after
+    # the grown instance packs its own (split-extended) trie independently
+    assert grown._planes_pack() is not None
+    hits = grown.search(extra.limit(3), k=1).collect()
+    assert all(r["neighbour_id"] == r["query_id"] for r in hits)
+
+
 def test_distributed_build_invariants_and_search(spark, sf_dir):
     """The level-synchronous distributed build (the 100 TB path, normally
     auto-selected only above the local-build row cap): every leaf respects

@@ -186,17 +186,6 @@ class _LocalHNSW:
     def _draw_layer(self, vid: int) -> int:
         return draw_layer(vid, self.layer_seed, self._thresholds)
 
-    def _bdist(self, q: np.ndarray, vids: list[int]) -> np.ndarray:
-        # ‖x‖² − 2x·q + ‖q‖² with precomputed row norms on the float32
-        # frontier twin: one gather + one einsum-GEMV instead of gather +
-        # subtract-temp + einsum (einsum stays single-threaded; BLAS `@`
-        # spins threads erratically above n≈25). Clamped at 0: the
-        # expansion form can round a true-zero distance to −1e−7·‖x‖²
-        # where (x−q)·(x−q) cannot go negative.
-        q32 = np.asarray(q, dtype=np.float32)
-        rows = np.fromiter(map(self._idx.__getitem__, vids), np.intp, count=len(vids))
-        res = self._nrm32[rows] - 2.0 * np.einsum("ij,j->i", self._buf32[rows], q32) + q32 @ q32
-        return np.maximum(res, 0.0, out=res)
 
     # -- layered bounded greedy search, hnsw.rs:242-307 (Alg 2)
     def _search_layer(self, q: np.ndarray, entry: list[int], ef: int, layer: int) -> list[tuple[float, int]]:
@@ -377,18 +366,27 @@ class _LocalHNSW:
                 if best:
                     entry = [best[0][1]]
         final = self._search_layer(q, [e for e in entry if e in self.adj[0]] or entry, max(ef_search, k), 0)
-        # report exact (x−q)·(x−q) distances: the frontier's GEMV expansion
-        # form agrees only to ~1e−12 and downstream contracts verify
-        # recomputed distances at 1e−9 (tests/test_hnsw.py); k tiny, so the
-        # re-evaluation is free next to the search
+        # re-rank the FULL ef-candidate set by exact f64 (x−q)·(x−q), THEN
+        # truncate to k. Two reasons: downstream contracts verify reported
+        # distances at 1e−9 (tests/test_hnsw.py), and — the sharper one —
+        # the frontier's float32 expansion form carries ~1e-7·‖x‖²
+        # cancellation noise, so among near-duplicates its within-cloud
+        # order is arbitrary; cutting at k BEFORE the f64 re-rank returned
+        # an arbitrary k of a duplicate cloud (recall 0.4 on the
+        # duplicate-heavy gate, ADVICE r11). ef·dim flops, free next to
+        # the search itself.
         out = []
-        for _, n in final[:k]:
+        for _, n in final:
             dv = self._buf[self._idx[n]] - q
             out.append((float(dv @ dv), n))
-        return sorted(out)
+        out.sort()
+        return out[:k]
 
 
 def _build_local(pdf: pd.DataFrame, params: dict) -> pd.DataFrame:
+    import time
+
+    t0 = time.perf_counter()
     shard = int(pdf["shard_id"].iloc[0])
     g = _LocalHNSW(
         params["num_layers"],
@@ -410,6 +408,12 @@ def _build_local(pdf: pd.DataFrame, params: dict) -> pd.DataFrame:
         for src, nbrs in adj.items():
             for dst, d in nbrs.items():
                 rows.append((shard, 1, layer, int(src), int(dst), float(d)))
+    # kind=2 marker row: per-shard build telemetry (src = shard row count,
+    # distance = wall seconds). build()/add() strip these from the graph
+    # table right after the checkpoint — they exist so a 1M run can tell
+    # STRAGGLERS (uneven shard walls) from host steal (uniform slowdown)
+    # without re-instrumenting (VERDICT r11 item 5).
+    rows.append((shard, 2, 0, len(pdf), None, time.perf_counter() - t0))
     return pd.DataFrame(
         rows, columns=["shard_id", "kind", "layer", "src", "dst", "distance"]
     )
@@ -620,6 +624,14 @@ class HNSWIndex:
             .applyInPandas(lambda pdf: _build_local(pdf, params), _GRAPH_SCHEMA)
             .localCheckpoint(eager=True)  # build once, reuse across searches
         )
+        # harvest the kind=2 telemetry rows (num_shards of them — driver-
+        # trivial) into the manifest, then strip them: the graph readers
+        # (search reconstruction, layer_stats, save) see kinds 0/1 only
+        params["shard_build_seconds"] = {
+            str(int(r["shard_id"])): [int(r["src"]), round(float(r["distance"]), 2)]
+            for r in graph.filter(F.col("kind") == 2).collect()
+        }
+        graph = graph.filter(F.col("kind") <= 1)
         # per-shard entrypoints (max-layer, min-id node — §3.2 determinism)
         # cached ONCE here and persisted in the manifest (SURVEY §9.6):
         # searches start from the manifest instead of re-aggregating the
@@ -1067,6 +1079,7 @@ class HNSWIndex:
             nodes.filter(F.col("shard_id").isin(affected))
             .groupBy("shard_id")
             .applyInPandas(lambda pdf: _build_local(pdf, params), _GRAPH_SCHEMA)
+            .filter(F.col("kind") <= 1)  # drop the per-shard telemetry rows
         )
         graph = (
             self.graph.filter(~F.col("shard_id").isin(affected))

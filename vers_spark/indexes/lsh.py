@@ -108,12 +108,24 @@ def _join_leaves(probed: DataFrame, leaves: DataFrame) -> DataFrame:
     the leaves carry the _pp partition column (file-loaded bucketed store),
     derive _pp on the probe side and include it in the join key — the
     equi-join on the partition column is what lets dynamic partition
-    pruning skip unprobed leaf buckets."""
+    pruning skip unprobed leaf buckets.
+
+    The startswith('p') filter is an always-true invariant of _pp_of (the
+    type-pinning prefix), kept here deliberately: Spark's PartitionPruning
+    rule only plants the DPP subquery when the filtering side carries a
+    *likely-selective* predicate (IsNotNull doesn't count, StartsWith
+    does), and probe frames that come straight out of a stats-free
+    mapInPandas pass (the pack descent engine) otherwise carry none — the
+    saved leaf store would silently fall back to a full every-bucket scan
+    (plan-gated in test_plans.py::test_lsh_on_disk_search_partition_prunes)."""
     if "_pp" not in leaves.columns:
         return probed.join(leaves, ["tree_id", "path"])
-    return probed.withColumn("_pp", _pp_of(F.col("path"))).join(
-        leaves, ["tree_id", "_pp", "path"]
-    ).drop("_pp")
+    return (
+        probed.withColumn("_pp", _pp_of(F.col("path")))
+        .filter(F.col("_pp").startswith("p"))
+        .join(leaves, ["tree_id", "_pp", "path"])
+        .drop("_pp")
+    )
 
 
 # Below this many distinct leaf paths, multiprobe's exhaustive every-leaf
@@ -525,6 +537,21 @@ class LSHForestIndex:
                 )
         self._planes_pack_cache = pack
         return pack
+
+    def release_pack(self) -> None:
+        """Drop this instance's hyperplane-pack broadcast from executor
+        memory (non-blocking unpersist) and clear the instance cache.
+
+        Safe at any point: unpersist leaves the driver-held value intact,
+        so a not-yet-materialized plan that still references the broadcast
+        re-ships it on demand, and the next _planes_pack() call on this
+        instance re-collects + re-broadcasts. ``add()`` calls this on the
+        SOURCE instance — sessions that loop add() cycles (each returning
+        a new instance with its own pack) would otherwise accumulate one
+        executor-resident pack per retired instance (ADVICE r11)."""
+        pack = self.__dict__.pop("_planes_pack_cache", None)
+        if pack is not None:
+            pack[0].unpersist(blocking=False)
 
     def assign_paths(
         self,
@@ -1316,6 +1343,18 @@ class LSHForestIndex:
                     "full" if self._n_leaf_paths() < _FRONTIER_MIN_LEAVES else "frontier"
                 )
         if leaf_descent == "pack":
+            if compute == "blocked":
+                # same loudness as the frontier branch below: the GEMM
+                # margin kernel belongs to the 'full' descent; the pack
+                # engine folds margins inside its best-first walk
+                import warnings
+
+                warnings.warn(
+                    "compute='blocked' applies to the 'full' leaf descent "
+                    "only; the pack descent folds margins at visited "
+                    "nodes — proceeding with the fold kernel",
+                    stacklevel=2,
+                )
             probed = self._leaf_order_pack(pairs, probe_mode, n_probes)
         elif leaf_descent == "frontier":
             if compute == "blocked":
@@ -1347,15 +1386,24 @@ class LSHForestIndex:
             )
         else:
             raise ValueError(f"unknown leaf_descent {leaf_descent!r}")
+        # Broadcast the probe set into the leaf join: it is bounded by
+        # queries × trees × n_probes rows of (query_id, tree_id, path) —
+        # always the tiny side against the corpus-sized leaf store. The
+        # explicit hint is what keeps dynamic partition pruning on a
+        # (tree_id, _pp)-partitioned saved store: the pack engine's
+        # mapInPandas output carries no stats, so without the hint the
+        # planner falls back to a sort-merge join and the leaf scan reads
+        # EVERY bucket (plan-gated in test_plans.py::
+        # test_lsh_on_disk_search_partition_prunes). q_vec re-joins AFTER
+        # the candidate dedup so the broadcast payload stays narrow —
+        # paths and ids, never dim-wide vectors.
+        qvec = qp.select("query_id", "q_vec").dropDuplicates(["query_id"])
         cands = (
-            # qp slimmed to (query_id, tree_id, q_vec): its main-leaf path
-            # column would shadow the probed path in the leaf join
-            _join_leaves(
-                probed.join(qp.select("query_id", "tree_id", "q_vec"), ["query_id", "tree_id"]),
-                self.leaves,
-            )
-            .select("query_id", "q_vec", "id", "embedding")
+            _join_leaves(F.broadcast(probed), self.leaves)
+            .select("query_id", "id", "embedding")
             .dropDuplicates(["query_id", "id"])
+            .join(F.broadcast(qvec), ["query_id"])
+            .select("query_id", "q_vec", "id", "embedding")
         )
         if rerank == "blocked":
             scored = self._rerank_blocked(cands)
@@ -1439,7 +1487,11 @@ class LSHForestIndex:
             F.asc("_d"), F.asc("id")
         )
         return (
-            _join_leaves(adm.join(under, ["query_id", "tree_id"]), leaves)
+            # broadcast: `under` is the underfilled (query, tree) subset —
+            # rare by design (max_node_size ≥ k fills from the main leaf) —
+            # and the hint preserves the saved store's dynamic partition
+            # pruning when `adm` comes out of the stats-free pack engine
+            _join_leaves(F.broadcast(adm.join(under, ["query_id", "tree_id"])), leaves)
             .withColumn("_d", V.sq_euclidean(F.col("q_vec"), F.col("embedding")))
             .withColumn("_lr", F.row_number().over(wleaf))
             .filter(F.col("_lr") <= F.col("cap"))
@@ -1505,6 +1557,10 @@ class LSHForestIndex:
                 if new_depth is not None:
                     params = dict(params)
                     params["depth"] = max(int(params["depth"]), int(new_depth) + 1)
+        # retire the source instance's executor-resident pack: the returned
+        # index re-packs against its own (possibly split-extended) trie, so
+        # looping add() cycles must not stack one broadcast per generation
+        self.release_pack()
         return LSHForestIndex(self.spark, leaves, planes, params)
 
     # ---------------- persistence ----------------

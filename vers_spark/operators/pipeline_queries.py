@@ -1365,7 +1365,7 @@ def mm_audio_fp_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = roster.mapInPandas(fingerprint, "media_id long, bands array<int>")
     # n_hint: doc_id < 200 ∧ doc_id ≡ 1 (mod 3) → ≤ 67 base + ≤ 34 dups
     # = ≤ 101 fingerprints (static bound, below the default caps)
-    return phash_neardup_pairs(fps, max_hamming=7, n_bands=8, n_hint=300)
+    return phash_neardup_pairs(fps, max_hamming=7, n_bands=8, n_hint=101)
 
 
 _SQE = (
