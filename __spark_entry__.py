@@ -96,21 +96,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vers_spark.operators import bpe, rag
 
     # Registration order IS the driver's sweep order, and the sweep has
-    # truncated at exactly 50 queries in every prior round. Round-12 order
-    # (VERDICT r11 item 3, executed exactly):
-    #   1. changed-kernel re-certification: every LSH serving query (the
-    #      multiprobe/backup paths gained the broadcast-hinted DPP probe
-    #      join and _join_leaves gained the selective-predicate filter;
-    #      add() now retires the plane pack — index_lifecycle_roundtrip
-    #      exercises it), and every HNSW search query (the local kernel
-    #      now f64-re-ranks the full ef set before the k-cut — the
-    #      duplicate-heavy ADVICE fix);
-    #   2. the 26 rows whose newest driver row is r7 — the board's oldest
-    #      (knn/vector remnants, r5-era doc/evt/relational rows);
-    #   3. oldest-r8 rows fill to the 50-cap, kernel-adjacent first
-    #      (embedding near-dup + vector-corpus cohorts share the index
-    #      and vector modules). After this sweep nothing on the board is
-    #      older than r8.
+    # truncated at exactly 50 queries in every prior round. Round-13 order
+    # (VERDICT r12 item 3, plus this round's own kernel changes):
+    #   1. changed-kernel re-certification: the multiprobe serving path
+    #      gained the _BROADCAST_QUERY_CAP gate (hints off above the cap;
+    #      the checkpoint-materializing count lands in every call), and
+    #      LSH/HNSW add() now refresh the manifest (telemetry +
+    #      entrypoints) — index_lifecycle_roundtrip exercises add();
+    #   2. the 31 rows whose newest driver row is r8 — the board's oldest
+    #      (format roundtrips, staging-heavy merge/versioned queries,
+    #      mm container queries, BPE/doc analysis);
+    #   3. oldest-r9 rows fill to the 50-cap, the mm/audio fingerprint
+    #      cohort first, then the kernel-adjacent knn/ivf/pq serving
+    #      rows. After this sweep nothing on the board is older than r9.
     modules = [
         vector_queries.QUERIES,
         index_queries.QUERIES,
@@ -131,67 +129,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(m)
 
     priority = [
-        # -- r12 #1: changed-kernel re-certification. LSH serving: the
-        # probe side of the leaf join is now broadcast-hinted and carries
-        # the selective startswith(_pp,'p') predicate (restores dynamic
-        # partition pruning on the saved store); add() retires the source
-        # instance's plane-pack broadcast. HNSW serving: the local search
-        # kernel f64-re-ranks the full ef candidate set before the k-cut --
+        # -- r13 #1: changed-kernel re-certification (this round's diff:
+        # multiprobe broadcast gate + checkpoint-materializing count;
+        # LSH/HNSW add() manifest refresh) --
         "lsh_search_multiprobe",
         "lsh_multiprobe_frontier",
-        "lsh_search_forest",
         "lsh_search_backup",
-        "lsh_search_degenerate",
-        "lsh_search_filtered",
         "index_lifecycle_roundtrip",
-        "hnsw_search",
-        "hnsw_search_frontier",
-        "hnsw_search_filtered",
-        "ann_recall_report",
-        # -- r12 #2: the 26 rows whose newest driver row is r7 (the
-        # board's oldest; lsh_search_multiprobe already heads the list) --
-        "ivf_search_p4",
-        "ivfpq_search",
-        "emb_kcenter_sample",
-        "emb_quantize_stats",
-        "emb_semantic_dedup",
-        "emb_similarity_join_fixed",
-        "emb_triplet_mining",
-        "doc_collocation_pmi",
-        "doc_pack_sequences",
-        "doc_pack_sequences_sharded",
-        "doc_quality",
-        "doc_split_assign",
-        "doc_stratified_sample",
-        "doc_token_stats",
-        "evt_retention_cohorts",
-        "evt_rfm_segments",
-        "evt_value_outliers",
-        "mm_jpeg_pipeline",
-        "q_customer_balance_deciles",
-        "q_customer_order_activity",
-        "q_nation_presence",
-        "q_orders_cube",
-        "q_orders_pivot_status",
-        "q_rollup_orders",
-        "q_sketch_stats",
-        # -- r12 #3: oldest-r8 rows to the 50-cap, kernel-adjacent first
-        # (embedding near-dup / vector-corpus cohorts share the index and
-        # vector modules this round touched) --
-        "emb_brp_neardup",
-        "emb_cosine_neardup",
-        "emb_knn_selfjoin_exact",
-        "emb_neardup_pairs",
-        "emb_label_centroids",
-        "vec_corpus_pyds",
-        "vec_corpus_roundtrip",
-        "minhash_signatures",
-        "ngram_jaccard_pairs",
-        "ngram_jaccard_prefix",
-        "simhash_docs",
-        "dedup_docs_normalized",
-        "doc_containment_pairs",
-        "neardup_best_quality",
+        # -- r13 #2: the 31 rows whose newest driver row is r8 (the
+        # board's oldest) --
+        "doc_avro_roundtrip",
+        "doc_csv_roundtrip",
+        "doc_jsonl_roundtrip",
+        "doc_orc_roundtrip",
+        "doc_schema_evolution",
+        "doc_merge_full",
+        "doc_upsert_merge",
+        "doc_time_travel",
+        "doc_decontaminate",
+        "doc_expectations",
+        "doc_pii_scrub",
+        "doc_mllib_exactdup",
+        "doc_bigram_topk",
+        "doc_heavy_hitter_tokens",
+        "doc_lang_confusion",
+        "doc_lang_id",
+        "doc_repetition_quality",
+        "doc_tfidf_topk",
+        "doc_vocab_coverage",
+        "doc_chunk_udtf",
+        "doc_chunk_windows",
+        "bpe_corpus_tokens",
+        "bpe_segment_vocab",
+        "mm_audio_mulaw",
+        "mm_avi_frames",
+        "mm_frame_sample",
+        "mm_mjpeg_frames",
+        "rag_maxsim_rerank",
+        "stream_dedup_users",
+        "stream_interval_join",
+        "stream_static_enrich",
+        # -- r13 #3: oldest-r9 rows to the 50-cap: the mm/audio
+        # fingerprint cohort first, then kernel-adjacent knn/ivf/pq
+        # serving rows --
+        "mm_audio_resample",
+        "mm_feature_extract",
+        "mm_meta_stats",
+        "mm_mp4_frames",
+        "mm_real_pipeline",
+        "mm_resize",
+        "ivf_build_fixed",
+        "ivfpq_blocked_serve",
+        "knn_blocked_euclidean",
+        "knn_pq_euclidean",
+        "knn_pq_fixed",
+        "emb_pca_knn_recall",
+        "emb_pca_stats",
+        "bpe_train_merges",
+        "doc_cms_heavy_hitters",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"

@@ -425,3 +425,39 @@ def test_auto_ef_rule_and_search(spark, sf_dir, hnsw_idx):
         for r in hnsw_idx.search(q, k=10, n_probe_shards=2, ef_search="auto").collect()
     }
     assert len(auto & exact) >= len(base & exact)
+
+
+def test_add_refreshes_manifest_telemetry_and_entrypoints(spark, sf_dir, hnsw_idx):
+    """add() must keep the manifest truthful for rebuilt shards (ADVICE
+    r12): shard_build_seconds re-harvested so rows still partition the
+    corpus, and entrypoints recomputed — the id-deterministic layer draw
+    lets an added node raise a shard's top layer or take over min-id at
+    the old top, and a stale entrypoint would start searches below the
+    true top layer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    extra = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    ).limit(20)
+    idx2 = hnsw_idx.add(extra)
+    # the pre-add index's manifest is untouched (params copied, not aliased)
+    assert sum(n for n, _ in hnsw_idx.params["shard_build_seconds"].values()) == 500
+    tele = idx2.params["shard_build_seconds"]
+    assert len(tele) == int(idx2.params["num_shards"])
+    assert sum(n for n, _ in tele.values()) == 520
+    assert all(sec > 0 for _, sec in tele.values())
+    # manifest entrypoints must equal a fresh (max-layer, min-id) scan of
+    # the post-add graph
+    rows = idx2.graph.filter(F.col("kind") == 0).select(
+        "shard_id", "layer", "src"
+    ).collect()
+    want: dict = {}
+    for r in rows:
+        s = str(int(r["shard_id"]))
+        lay, nid = int(r["layer"]), int(r["src"])
+        cur = want.get(s)
+        if cur is None or lay > cur[1] or (lay == cur[1] and nid < cur[0]):
+            want[s] = [nid, lay]
+    assert idx2.params["entrypoints"] == want
+    # top_edge_layer still bounds the real max edge layer
+    top = idx2.graph.filter(F.col("kind") == 1).agg(F.max("layer")).collect()[0][0]
+    assert int(idx2.params["top_edge_layer"]) >= int(top)

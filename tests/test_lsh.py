@@ -310,3 +310,17 @@ def test_distributed_build_invariants_and_search(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 5)
     got = idx.search(q, k=10).groupBy("query_id").count().collect()
     assert len(got) == 5 and all(r["count"] == 10 for r in got)
+
+
+def test_multiprobe_broadcast_gate_parity(forest, emb, monkeypatch):
+    """Batches above _BROADCAST_QUERY_CAP queries drop the broadcast hints
+    on the probe-set / query-vector joins (Spark's 8 GB / 512M-row
+    broadcast hard limits would bite a corpus-sized batch; ADVICE r12) —
+    the plain-shuffle fallback must return identical rows."""
+    import vers_spark.indexes.lsh as L
+
+    q = emb.filter(F.col("vec_id") < 20)
+    want = sorted(map(tuple, forest.search_multiprobe(q, k=5, n_probes=2).collect()))
+    monkeypatch.setattr(L, "_BROADCAST_QUERY_CAP", 0)
+    got = sorted(map(tuple, forest.search_multiprobe(q, k=5, n_probes=2).collect()))
+    assert got == want

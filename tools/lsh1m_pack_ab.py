@@ -78,7 +78,8 @@ def main() -> None:
     rn = res.count()
     out["multiprobe_p4_end_to_end_s"] = round(time.perf_counter() - t0, 2)
     out["multiprobe_rows"] = rn
-    plan = res._jdf.queryExecution().executedPlan().toString()
+    qe = res._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
     out["dpp_on_leaf_scan"] = "dynamicpruning" in plan
     probed = lsh._leaf_order_pack(pairs, "margin", 4)
     from vers_spark.indexes.lsh import _pp_of
@@ -89,7 +90,68 @@ def main() -> None:
     total = lsh.leaves.select("tree_id", "_pp").distinct().count()
     out["probed_buckets"] = buckets
     out["total_leaf_partitions"] = total
+    out["probed_bucket_ratio"] = round(buckets / max(total, 1), 4)
+    # MEASURED prune (ADVICE r12): pull "number of partitions read" off the
+    # executed leaf scans, so a planner regression (DPP subquery silently
+    # not planted) shows up as a measured full scan, not just a missing
+    # plan string. Walks the executed plan through AQE/stage wrappers.
+    scanned = _scan_partitions_read(qe.executedPlan(), "lsh1m_idx")
+    out["leaf_partitions_scanned"] = scanned
+    if scanned:
+        # both legs (main + backup fill) scan the store; each is pruned to
+        # its probed buckets, so every scan must read <= the probed count
+        assert max(scanned) <= buckets, (
+            f"DPP regression: a leaf scan read {max(scanned)} partitions, "
+            f"> {buckets} probed buckets (total {total})"
+        )
     print(json.dumps(out), flush=True)
+
+
+def _scan_partitions_read(jplan, path_token: str) -> list:
+    """Best-effort walk of an executed physical plan (through adaptive /
+    query-stage / InMemory wrappers) collecting the `numPartitions` metric
+    value of every file scan whose description mentions ``path_token``.
+    Returns [] when the metric is unreachable (plan-shape drift across
+    Spark versions) — callers treat that as 'no measured evidence', never
+    as a pass."""
+    found: list = []
+    seen: set = set()
+
+    def walk(node) -> None:
+        oid = node.hashCode()
+        if oid in seen:
+            return
+        seen.add(oid)
+        cls = node.getClass().getSimpleName()
+        try:
+            if "FileSourceScan" in cls or "BatchScan" in cls:
+                if path_token in node.toString():
+                    m = node.metrics()
+                    if m.contains("numPartitions"):
+                        found.append(int(m.apply("numPartitions").value()))
+                return
+            # wrappers that hide their real subtree outside children()
+            if "AdaptiveSparkPlan" in cls:
+                walk(node.executedPlan())
+            elif "QueryStage" in cls:
+                walk(node.plan())
+            elif "InMemoryTableScan" in cls:
+                walk(node.relation().cachedPlan())
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+            # subqueries (the DPP subquery itself lives here)
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                walk(sq.apply(i))
+        except Exception:
+            pass
+
+    try:
+        walk(jplan)
+    except Exception:
+        return []
+    return found
 
 
 if __name__ == "__main__":

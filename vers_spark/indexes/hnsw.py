@@ -628,7 +628,7 @@ class HNSWIndex:
         # trivial) into the manifest, then strip them: the graph readers
         # (search reconstruction, layer_stats, save) see kinds 0/1 only
         params["shard_build_seconds"] = {
-            str(int(r["shard_id"])): [int(r["src"]), round(float(r["distance"]), 2)]
+            str(int(r["shard_id"])): [int(r["src"]), round(float(r["distance"]), 4)]
             for r in graph.filter(F.col("kind") == 2).collect()
         }
         graph = graph.filter(F.col("kind") <= 1)
@@ -1074,19 +1074,56 @@ class HNSWIndex:
             )
         nodes = self.nodes.unionByName(routed).localCheckpoint(eager=True)
         affected = [r["shard_id"] for r in routed.select("shard_id").distinct().collect()]
-        params = self.params
+        build_params = self.params
         rebuilt = (
             nodes.filter(F.col("shard_id").isin(affected))
             .groupBy("shard_id")
-            .applyInPandas(lambda pdf: _build_local(pdf, params), _GRAPH_SCHEMA)
-            .filter(F.col("kind") <= 1)  # drop the per-shard telemetry rows
+            .applyInPandas(lambda pdf: _build_local(pdf, build_params), _GRAPH_SCHEMA)
+            .localCheckpoint(eager=True)  # build once; harvested twice below
         )
+        # refresh the manifest for the rebuilt shards (copy — self.params
+        # stays the pre-add index's truth): telemetry rows re-harvested so
+        # shard_build_seconds keeps its rows-partition-the-corpus invariant
+        # after add(), and entrypoints recomputed because the id-deterministic
+        # layer draw lets an added node raise a shard's top layer or take
+        # over min-id at the old top.
+        params = dict(self.params)
+        tele = params.get("shard_build_seconds")
+        if tele is not None:
+            tele = dict(tele)
+            for r in rebuilt.filter(F.col("kind") == 2).collect():
+                tele[str(int(r["shard_id"]))] = [
+                    int(r["src"]),
+                    round(float(r["distance"]), 4),
+                ]
+            params["shard_build_seconds"] = tele
+        eps = params.get("entrypoints")
+        if eps is not None:
+            eps = dict(eps)
+            sw = W.partitionBy("shard_id")
+            ep_rows = (
+                rebuilt.filter(F.col("kind") == 0)
+                .select("shard_id", "layer", F.col("src").alias("node_id"))
+                .withColumn("_top", F.max("layer").over(sw))
+                .filter(F.col("layer") == F.col("_top"))
+                .groupBy("shard_id", "_top")
+                .agg(F.min("node_id").alias("node_id"))
+                .collect()
+            )
+            for r in ep_rows:
+                eps[str(int(r["shard_id"]))] = [int(r["node_id"]), int(r["_top"])]
+            params["entrypoints"] = eps
+            top = rebuilt.filter(F.col("kind") == 1).agg(F.max("layer")).collect()[0][0]
+            if top is not None:
+                params["top_edge_layer"] = max(
+                    int(params.get("top_edge_layer", 0)), int(top)
+                )
         graph = (
             self.graph.filter(~F.col("shard_id").isin(affected))
-            .unionByName(rebuilt)
+            .unionByName(rebuilt.filter(F.col("kind") <= 1))
             .localCheckpoint(eager=True)
         )
-        return HNSWIndex(self.spark, nodes, graph, self.centroids, self.params)
+        return HNSWIndex(self.spark, nodes, graph, self.centroids, params)
 
     # ---------------- stats ----------------
 

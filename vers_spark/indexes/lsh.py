@@ -128,6 +128,17 @@ def _join_leaves(probed: DataFrame, leaves: DataFrame) -> DataFrame:
     )
 
 
+# Broadcast-hint cap for multiprobe's probe-set / query-vector joins, in
+# QUERIES per batch. Below it the hints hold (probed is queries×trees×probes
+# narrow rows; qvec is one dim-wide f64 vector per query — ≤ ~0.5 GB at
+# dim 1024), and the hint is what keeps dynamic partition pruning alive on a
+# saved (tree_id, _pp)-partitioned leaf store (the pack engine's mapInPandas
+# output carries no stats). Above it — a corpus-sized batch through the
+# public API — the hints could hit Spark's 8 GB / 512M-row broadcast hard
+# limits or driver OOM, so we fall back to plain shuffle joins; no DPP loss
+# in practice, since a corpus-sized batch probes essentially every bucket.
+_BROADCAST_QUERY_CAP = 65536
+
 # Below this many distinct leaf paths, multiprobe's exhaustive every-leaf
 # ranking (_leaf_order) is cheaper than the frontier descent's per-round
 # fixed overhead; above it the frontier's leaf-count-independent rounds win
@@ -1327,9 +1338,24 @@ class LSHForestIndex:
         ``rerank="blocked"`` (default) computes the exact candidate
         distances in vectorized Arrow batches (_rerank_blocked) — BIT-equal
         to the ``"fold"`` declarative kernel (np.cumsum accumulates in the
-        fold's index order), so this is a pure throughput choice too."""
+        fold's index order), so this is a pure throughput choice too.
+
+        Batch sizing: serving-shaped batches (≤ _BROADCAST_QUERY_CAP
+        queries) get broadcast-hinted probe/query joins — the shape that
+        preserves dynamic partition pruning on a saved leaf store; larger
+        (corpus-sized) batches automatically fall back to plain shuffle
+        joins, which degrade gracefully instead of tripping Spark's
+        broadcast hard limits. Row parity across the switch is test-gated."""
         qp = self.assign_paths(queries, query_id, query_vec).localCheckpoint(
             eager=False
+        )
+        # one count materializes the lazy checkpoint (which every engine
+        # below reuses) and sizes the broadcast decision: hints on for
+        # serving-shaped batches, plain shuffle joins for corpus-sized ones
+        # (see _BROADCAST_QUERY_CAP)
+        n_queries = qp.count() // max(int(self.params["num_trees"]), 1)
+        bcast = (
+            F.broadcast if n_queries <= _BROADCAST_QUERY_CAP else (lambda df: df)
         )
         pairs = qp.select("query_id", "tree_id", "q_vec")
         if leaf_descent == "auto":
@@ -1388,21 +1414,24 @@ class LSHForestIndex:
             raise ValueError(f"unknown leaf_descent {leaf_descent!r}")
         # Broadcast the probe set into the leaf join: it is bounded by
         # queries × trees × n_probes rows of (query_id, tree_id, path) —
-        # always the tiny side against the corpus-sized leaf store. The
+        # the tiny side against the corpus-sized leaf store for any
+        # serving-shaped batch (gated: see _BROADCAST_QUERY_CAP). The
         # explicit hint is what keeps dynamic partition pruning on a
         # (tree_id, _pp)-partitioned saved store: the pack engine's
         # mapInPandas output carries no stats, so without the hint the
         # planner falls back to a sort-merge join and the leaf scan reads
         # EVERY bucket (plan-gated in test_plans.py::
         # test_lsh_on_disk_search_partition_prunes). q_vec re-joins AFTER
-        # the candidate dedup so the broadcast payload stays narrow —
-        # paths and ids, never dim-wide vectors.
+        # the candidate dedup so the probed payload stays narrow — paths
+        # and ids only; the qvec leg DOES carry one dim-wide f64 vector
+        # per query, which is why both hints are gated on
+        # _BROADCAST_QUERY_CAP (bcast above).
         qvec = qp.select("query_id", "q_vec").dropDuplicates(["query_id"])
         cands = (
-            _join_leaves(F.broadcast(probed), self.leaves)
+            _join_leaves(bcast(probed), self.leaves)
             .select("query_id", "id", "embedding")
             .dropDuplicates(["query_id", "id"])
-            .join(F.broadcast(qvec), ["query_id"])
+            .join(bcast(qvec), ["query_id"])
             .select("query_id", "q_vec", "id", "embedding")
         )
         if rerank == "blocked":
