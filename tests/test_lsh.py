@@ -171,9 +171,9 @@ def test_save_load_roundtrip(spark, forest, emb, tmp_path):
 
 
 def test_load_accepts_unstamped_current_layout(spark, forest, emb, tmp_path):
-    """A store saved by pre-stamp code (round 7) already has the current
-    'p'-prefixed _pp layout and merely lacks the manifest stamp — load must
-    accept it via the layout probe, not refuse it as v1."""
+    """A store with the current tree-fused _pp layout but no manifest
+    stamp must be accepted via the layout-grammar probe, not refused as
+    an older version."""
     import json
 
     q = emb.filter(F.col("vec_id") < 3)
@@ -324,3 +324,55 @@ def test_multiprobe_broadcast_gate_parity(forest, emb, monkeypatch):
     monkeypatch.setattr(L, "_BROADCAST_QUERY_CAP", 0)
     got = sorted(map(tuple, forest.search_multiprobe(q, k=5, n_probes=2).collect()))
     assert got == want
+
+
+def test_save_pp_len_width_dial(spark, emb, tmp_path):
+    """save(pp_len=w) re-buckets the leaf store at width w (2^w prefixes
+    per tree), records the width in the manifest, and the loaded index's
+    serving joins derive the probe-side _pp at the SAME width — a
+    mismatch would silently equi-join to zero candidates. Results must be
+    identical across widths and to the in-session index."""
+    import glob as _glob
+    import json as _json
+
+    idx = LSHForestIndex.build(emb, num_trees=2, max_node_size=64, seed=3)
+    q = emb.filter(F.col("vec_id") < 5)
+    want = sorted(map(tuple, idx.search_multiprobe(q, k=5, n_probes=2).collect()))
+    for w in (2, 6):
+        p = str(tmp_path / f"lsh_w{w}")
+        idx.save(p, pp_len=w)
+        with open(f"{p}/manifest.json") as f:
+            assert _json.load(f)["pp_len"] == w
+        import re as _re
+
+        vals = {
+            d.split("_pp=")[1]
+            for d in _glob.glob(f"{p}/leaves/tree_id=*/_pp=*")
+        }
+        # tree-fused grammar at width w: p<tree>_<w chars>
+        assert vals and all(_re.fullmatch(r"p\d+_.{%d}" % w, v) for v in vals)
+        loaded = LSHForestIndex.load(spark, p)
+        assert loaded._pp_len() == w
+        got = sorted(
+            map(tuple, loaded.search_multiprobe(q, k=5, n_probes=2).collect())
+        )
+        assert got == want
+        # re-save with pp_len=None keeps the store's width
+        p2 = str(tmp_path / f"lsh_w{w}_resave")
+        loaded.save(p2)
+        with open(f"{p2}/manifest.json") as f:
+            assert _json.load(f)["pp_len"] == w
+
+
+def test_auto_pp_len_rule():
+    """The save() default width keeps per-bucket rows ≤ 1M: 4 up to 128M
+    leaf rows at 8 trees, widening one bit per doubling beyond, clamped
+    at 12 (BASELINE §r13 width study)."""
+    from vers_spark.indexes.lsh import _auto_pp_len
+
+    assert _auto_pp_len(8_000_000, 8) == 4  # the 1M×300 reference store
+    assert _auto_pp_len(128_000_000, 8) == 4
+    assert _auto_pp_len(129_000_000, 8) == 5
+    assert _auto_pp_len(1_000_000_000, 8) == 7
+    assert _auto_pp_len(10**13, 8) == 12  # clamp
+    assert _auto_pp_len(0, 8) == 4

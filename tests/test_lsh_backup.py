@@ -346,14 +346,24 @@ def test_save_load_format_version(spark, emb, small_forest, tmp_path):
     small_forest.save(path)
     with open(f"{path}/manifest.json") as f:
         m = json.load(f)
-    assert m["format_version"] == 2
+    assert m["format_version"] == 3
     back = LSHForestIndex.load(spark, path)
     assert back.params.get("format_version") is None  # stripped on load
-    # unstamped store with the CURRENT 'p'-prefixed layout → accepted
+    # unstamped store with the CURRENT tree-fused layout → accepted
     del m["format_version"]
     with open(f"{path}/manifest.json", "w") as f:
         json.dump(m, f)
     LSHForestIndex.load(spark, path)
+    # unstamped store with the v2 prefix-only grammar ('pXXXX', no tree) →
+    # refused: its values never match the probe side's 'p<tree>_<prefix>'
+    for d in glob.glob(f"{path}/leaves/tree_id=*/_pp=p*"):
+        parent, name = os.path.split(d)
+        # 'p<tree>_<prefix>' → 'p<prefix>' (the round-7 grammar)
+        os.rename(
+            d, os.path.join(parent, "_pp=p" + name.split("_", 2)[2])
+        )
+    with pytest.raises(ValueError, match="format_version 2"):
+        LSHForestIndex.load(spark, path)
     # unstamped store with the v1 raw-bit layout (no 'p' prefix) → refused
     for d in glob.glob(f"{path}/leaves/tree_id=*/_pp=p*"):
         parent, name = os.path.split(d)

@@ -72,10 +72,13 @@ def main() -> None:
         }
         print(f"P={P}: pack {t_pack:.2f}s frontier {t_fr:.2f}s identical={a == b}", flush=True)
 
-    # end-to-end under the auto default (pack engine) + DPP evidence
+    # end-to-end under the auto default (pack engine) + DPP evidence.
+    # collect(), not count(): count() wraps the plan in a NEW QueryExecution
+    # whose agg executes instead of res's own — the metrics read below
+    # would then come off a never-executed plan and report zeros.
     t0 = time.perf_counter()
     res = lsh.search_multiprobe(queries, k=10, n_probes=4)
-    rn = res.count()
+    rn = len(res.collect())
     out["multiprobe_p4_end_to_end_s"] = round(time.perf_counter() - t0, 2)
     out["multiprobe_rows"] = rn
     qe = res._jdf.queryExecution()
@@ -85,7 +88,9 @@ def main() -> None:
     from vers_spark.indexes.lsh import _pp_of
 
     buckets = (
-        probed.select("tree_id", _pp_of(F.col("path")).alias("_pp")).distinct().count()
+        probed.select(
+            _pp_of(F.col("tree_id"), F.col("path"), lsh._pp_len()).alias("_pp")
+        ).distinct().count()
     )
     total = lsh.leaves.select("tree_id", "_pp").distinct().count()
     out["probed_buckets"] = buckets

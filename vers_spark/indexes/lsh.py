@@ -55,42 +55,67 @@ def _plane_side(vec_col, coeff_col, const_col):
     return F.when(V.dot(vec_col, coeff_col) + const_col >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
-# Saved-leaf layout: leaves partition by (tree_id, _pp) where _pp is the
-# path's first _PP_LEN bits, 'z'-padded so short/root paths get their own
-# distinct value ('01' → '01zz' ≠ '0100'). Bounded directory fan-out
-# (≤ T × 2^_PP_LEN + shorter-path buckets) and the serving joins key on
-# _pp too, so Spark's dynamic partition pruning scans only the probed
-# buckets — the LSH analogue of IVF's partitionBy(cluster_id) posting
-# lists (ivfflat.py save).
+# Saved-leaf layout: leaves partition by (tree_id, _pp) where _pp FUSES
+# the tree id with the path's first pp_len bits (default _PP_LEN),
+# 'z'-padded so short/root paths get their own distinct value
+# ('01' → '01zz' ≠ '0100'): _pp = 'p<tree>_<prefix>'. Bounded directory
+# fan-out (≤ T × 2^pp_len + shorter-path buckets) and the serving joins
+# key on _pp too, so Spark's dynamic partition pruning scans only the
+# probed buckets — the LSH analogue of IVF's partitionBy(cluster_id)
+# posting lists (ivfflat.py save). The width is a save() parameter
+# recorded in the manifest; the probe side must derive _pp at the SAME
+# width or the equi-join never matches, so every serving call reads it
+# from params.
 #
-# The value is prefixed with a literal 'p': deep trees make every _pp
-# digit-only ('0000'..'1111'), and spark.read's partition-type inference
-# would then type the directory column as INT — the serving equi-join
-# against the string-derived probe _pp would go through implicit casts
-# (silently defeating dynamic partition pruning) and a re-save would strip
-# leading zeros ('0010' → '10'). A non-numeric first character pins the
-# inferred partition type to STRING on every load.
+# WHY the tree id is fused into the value (v3, round 13): DPP prunes each
+# partition column INDEPENDENTLY — with the old (tree_id, _pp-sans-tree)
+# layout the runtime filter was tree_id IN (probed trees) × _pp IN (union
+# of probed prefixes across ALL trees). Every multiprobe batch descends
+# every tree, so the tree_id IN never pruned, and the prefix union
+# saturated 2^pp_len within ~32 probes — MEASURED at the 1M reference
+# store: a 100-query P=4 batch read 128/128 partitions (8M/8M rows)
+# despite touching only 119/128 (tree, prefix) PAIRS, and even a 1-query
+# batch pruned nothing once its 32 probes covered all 16 prefix values.
+# Fusing tree into the value makes the single _pp column identify the
+# pair, so DPP's one IN-filter prunes to exactly the probed pairs.
+#
+# The value is prefixed with a literal 'p': a digit-leading value would
+# make spark.read's partition-type inference type the directory column
+# as INT — the serving equi-join against the string-derived probe _pp
+# would go through implicit casts (silently defeating dynamic partition
+# pruning) and a re-save would strip leading zeros. A non-numeric first
+# character pins the inferred partition type to STRING on every load.
 _PP_LEN = 4
 
 # On-disk layout version, written to manifest.json by save() and REQUIRED
-# by load(): version 2 = 'p'-prefixed _pp leaf partitions + _lvl-partitioned
-# hyperplanes (round 7). A pre-versioning (implicitly v1) store has raw-bit
-# _pp values that the probe-side 'pXXXX' keys would never match — loading it
-# silently returns ZERO candidates from every search, so load() refuses it
-# loudly instead (re-save from the source corpus to migrate).
-LSH_FORMAT_VERSION = 2
+# by load(): version 3 = tree-fused 'p<tree>_<prefix>' _pp leaf partitions
+# (round 13); version 2 = 'p'-prefixed prefix-only _pp (round 7); v1 =
+# pre-versioning raw-bit _pp. Loading a store whose _pp grammar differs
+# from the probe side's silently returns ZERO candidates from every
+# search, so load() refuses older versions loudly instead (re-save from
+# the source corpus to migrate).
+LSH_FORMAT_VERSION = 3
 
 
-def _pp_of(path_col):
+def _auto_pp_len(n_leaf_rows: int, num_trees: int) -> int:
+    """save()'s default bucket width: smallest w in [_PP_LEN, 12] keeping
+    per-bucket rows ≤ 1M (≈ a few hundred MB of parquet), so leaf buckets
+    stay HDFS-block-sized as corpora grow instead of degrading into the
+    small-files regime (BASELINE.md §r13 width study)."""
+    trees = max(int(num_trees), 1)
+    w = _PP_LEN
+    while w < 12 and n_leaf_rows / (trees * (1 << w)) > 1_000_000:
+        w += 1
+    return w
+
+
+def _pp_of(tree_col, path_col, pp_len: int = _PP_LEN):
     return F.concat(
-        F.lit("p"), F.substring(F.concat(path_col, F.lit("z" * _PP_LEN)), 1, _PP_LEN)
+        F.lit("p"),
+        tree_col.cast("string"),
+        F.lit("_"),
+        F.substring(F.concat(path_col, F.lit("z" * pp_len)), 1, pp_len),
     )
-
-
-def _ensure_pp(leaves: DataFrame) -> DataFrame:
-    if "_pp" in leaves.columns:
-        return leaves
-    return leaves.withColumn("_pp", _pp_of(F.col("path")))
 
 
 def _planes_at(planes: DataFrame, lvl: int) -> DataFrame:
@@ -103,7 +128,9 @@ def _planes_at(planes: DataFrame, lvl: int) -> DataFrame:
     return planes.filter(F.length("path") == lvl)
 
 
-def _join_leaves(probed: DataFrame, leaves: DataFrame) -> DataFrame:
+def _join_leaves(
+    probed: DataFrame, leaves: DataFrame, pp_len: int = _PP_LEN
+) -> DataFrame:
     """Join a (…, tree_id, path) probe frame against the leaf table. When
     the leaves carry the _pp partition column (file-loaded bucketed store),
     derive _pp on the probe side and include it in the join key — the
@@ -121,7 +148,7 @@ def _join_leaves(probed: DataFrame, leaves: DataFrame) -> DataFrame:
     if "_pp" not in leaves.columns:
         return probed.join(leaves, ["tree_id", "path"])
     return (
-        probed.withColumn("_pp", _pp_of(F.col("path")))
+        probed.withColumn("_pp", _pp_of(F.col("tree_id"), F.col("path"), pp_len))
         .filter(F.col("_pp").startswith("p"))
         .join(leaves, ["tree_id", "_pp", "path"])
         .drop("_pp")
@@ -744,7 +771,7 @@ class LSHForestIndex:
             # the final DAG computes them once, not per branch (Catalyst does
             # not CSE whole subtrees across union branches)
             qp = qp.localCheckpoint(eager=False)
-        main = _join_leaves(qp, leaves).select(
+        main = _join_leaves(qp, leaves, self._pp_len()).select(
             "query_id", "tree_id", "q_vec", "id", "embedding"
         )
         if backup_fill:
@@ -979,6 +1006,13 @@ class LSHForestIndex:
                 )
 
         return cands.mapInPandas(fn, "query_id long, id long, _dist double")
+
+    def _pp_len(self) -> int:
+        """The saved store's leaf-bucket prefix width. The probe side of
+        every serving join must derive _pp at this width (a mismatch makes
+        the equi-join silently match nothing), so it rides the manifest —
+        absent means the default, covering every pre-parameter store."""
+        return int(self.params.get("pp_len", _PP_LEN))
 
     def _n_leaf_paths(self) -> int:
         """Distinct leaf-path count, memoized per instance — one bounded
@@ -1428,7 +1462,7 @@ class LSHForestIndex:
         # _BROADCAST_QUERY_CAP (bcast above).
         qvec = qp.select("query_id", "q_vec").dropDuplicates(["query_id"])
         cands = (
-            _join_leaves(bcast(probed), self.leaves)
+            _join_leaves(bcast(probed), self.leaves, self._pp_len())
             .select("query_id", "id", "embedding")
             .dropDuplicates(["query_id", "id"])
             .join(bcast(qvec), ["query_id"])
@@ -1520,7 +1554,11 @@ class LSHForestIndex:
             # rare by design (max_node_size ≥ k fills from the main leaf) —
             # and the hint preserves the saved store's dynamic partition
             # pruning when `adm` comes out of the stats-free pack engine
-            _join_leaves(F.broadcast(adm.join(under, ["query_id", "tree_id"])), leaves)
+            _join_leaves(
+                F.broadcast(adm.join(under, ["query_id", "tree_id"])),
+                leaves,
+                self._pp_len(),
+            )
             .withColumn("_d", V.sq_euclidean(F.col("q_vec"), F.col("embedding")))
             .withColumn("_lr", F.row_number().over(wleaf))
             .filter(F.col("_lr") <= F.col("cap"))
@@ -1594,15 +1632,48 @@ class LSHForestIndex:
 
     # ---------------- persistence ----------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, pp_len: int | None = None) -> None:
         """Persist the index. Leaves are written partitioned by
-        (tree_id, _pp) — the path's first _PP_LEN bits — so a loaded
+        (tree_id, _pp) — the path's first ``pp_len`` bits — so a loaded
         index's serving joins dynamic-partition-prune to the probed leaf
         buckets instead of scanning every tree's full leaf table (the IVF
-        partitionBy(cluster_id) discipline, ivfflat.py:save)."""
-        _ensure_pp(self.leaves).write.mode("overwrite").partitionBy(
-            "tree_id", "_pp"
-        ).parquet(f"{path}/leaves")
+        partitionBy(cluster_id) discipline, ivfflat.py:save).
+
+        ``pp_len`` dials bucket granularity: 2^pp_len buckets per tree.
+        Wider prefixes prune more partitions per probe batch (the 1M×300
+        study, BASELINE.md §r13: width 8 serves 1-10-query batches 2-3×
+        faster than width 4, reading 145k instead of 687k rows per query)
+        but shrink each partition's files — the small-files failure mode
+        at scale — and cost slightly more at batch ≥ 100, where every
+        width's buckets saturate and task overhead dominates.
+
+        ``pp_len=None`` keeps a loaded store's width; for a fresh
+        in-session build it applies the auto rule: the smallest width in
+        [_PP_LEN, 12] whose per-bucket row count stays under ~1M rows
+        (≈ a few hundred MB of parquet), so buckets stay HDFS-block-sized
+        as corpora grow — 4 at ≤128M leaf rows (8 trees), 7 at ~1B, 12
+        clamped beyond. Small-batch online-serving deployments at modest
+        scale should pass 6-8 explicitly; the rule optimizes for bounded
+        file sizes, not minimum latency."""
+        if pp_len is None:
+            stored = self.params.get("pp_len")
+            if stored is not None:
+                w = int(stored)
+            else:
+                w = _auto_pp_len(
+                    self.leaves.count(), self.params.get("num_trees", 1)
+                )
+        else:
+            w = int(pp_len)
+        if not 1 <= w <= 16:
+            raise ValueError(f"pp_len must be in [1, 16], got {w}")
+        # always re-derive at the target width — a file-loaded store's
+        # existing _pp column may carry a different width
+        self.leaves.drop("_pp").withColumn(
+            "_pp", _pp_of(F.col("tree_id"), F.col("path"), w)
+        ).write.mode("overwrite").partitionBy("tree_id", "_pp").parquet(
+            f"{path}/leaves"
+        )
         # hyperplanes partition by LEVEL (path length): both descent loops
         # (assign_paths, _leaf_order_frontier) join one level per round, so
         # a loaded index's per-level plane lookups partition-prune to one
@@ -1615,7 +1686,11 @@ class LSHForestIndex:
         )
         os.makedirs(path, exist_ok=True)
         with open(f"{path}/manifest.json", "w") as f:
-            json.dump({**self.params, "format_version": LSH_FORMAT_VERSION}, f, indent=2)
+            json.dump(
+                {**self.params, "pp_len": w, "format_version": LSH_FORMAT_VERSION},
+                f,
+                indent=2,
+            )
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "LSHForestIndex":
@@ -1623,26 +1698,32 @@ class LSHForestIndex:
             params = json.load(f)
         version = params.pop("format_version", None)
         if version is None:
-            # Stores saved before the stamp existed already use the current
-            # 'p'-prefixed _pp layout; probe one partition value instead of
-            # refusing a valid store (HNSW/IVFFlat's absent-means-current
-            # policy, made safe here by checking the layout itself).
+            # Pre-stamp stores: classify by the layout itself (the
+            # HNSW/IVFFlat absent-means-current policy, made safe here by
+            # checking the _pp value grammar). v3 values are tree-fused
+            # 'p<tree>_<prefix>'; v2 are prefix-only 'pXXXX'; anything
+            # else is the raw-bit v1 layout.
             import glob as _glob
+            import re as _re
 
             pps = _glob.glob(
                 os.path.join(_glob.escape(os.path.join(path, "leaves")), "tree_id=*", "_pp=*")
             )
-            current = bool(pps) and all(
-                os.path.basename(p).startswith("_pp=p") for p in pps[:8]
-            )
-            version = LSH_FORMAT_VERSION if current else 1
+            names = [os.path.basename(p) for p in pps[:8]]
+            if names and all(_re.match(r"_pp=p\d+_", n) for n in names):
+                version = 3
+            elif names and all(n.startswith("_pp=p") for n in names):
+                version = 2
+            else:
+                version = 1
         if version != LSH_FORMAT_VERSION:
             raise ValueError(
                 f"LSH index at {path!r} has on-disk format_version {version}, "
-                f"this build reads {LSH_FORMAT_VERSION}. A v1 store's _pp "
-                "partition values never match the probe side's 'p'-prefixed "
-                "keys (searches would silently return zero candidates) — "
-                "re-save the index from the source corpus to migrate."
+                f"this build reads {LSH_FORMAT_VERSION}. An older store's "
+                "_pp partition values never match the probe side's "
+                "tree-fused 'p<tree>_<prefix>' keys (searches would "
+                "silently return zero candidates) — re-save the index from "
+                "the source corpus to migrate."
             )
         return LSHForestIndex(
             spark,
