@@ -540,10 +540,23 @@ def test_lsh_on_disk_search_partition_prunes(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, res.collect()))
     b = sorted(map(tuple, idx.search(q, k=5, backup_fill=False).collect()))
     assert a == b
-    # multiprobe serving path prunes too
+    # multiprobe serving path prunes too — and not just in the plan STRING:
+    # the runtime scan metrics must show fewer partitions read than the
+    # store holds (BASELINE §r12: the plan-string check alone passed while
+    # the old layout read 128/128 at 1M; per-column DPP couldn't express
+    # the (tree, prefix) pair, hence the fused _pp value). The probed set
+    # here is ≤ 3 queries × 2 trees × 2 probes = 12 pairs of 32 buckets.
     mp = loaded.search_multiprobe(q, k=5, n_probes=2)
-    assert "dynamicpruning" in audit.executed_plan(mp)
     am = sorted(map(tuple, mp.collect()))
+    assert "dynamicpruning" in audit.executed_plan(mp)
+    total_buckets = loaded.leaves.select("_pp").distinct().count()
+    scans = audit.scan_runtime_metrics(mp, "_pp#")
+    assert scans, "leaf scan not found in executed plan"
+    assert all(s.get("numPartitions", 0) <= 12 for s in scans), (scans, total_buckets)
+    assert all(s.get("numPartitions", 0) < total_buckets for s in scans), (
+        scans,
+        total_buckets,
+    )
     bm = sorted(map(tuple, idx.search_multiprobe(q, k=5, n_probes=2).collect()))
     assert am == bm
     # the backup-fill path checkpoints `main`, so its FINAL plan can't show

@@ -56,3 +56,68 @@ def has_partial_aggregate(df: DataFrame) -> bool:
 
 def num_exchanges(df: DataFrame) -> int:
     return count(df, r"\bExchange\b")
+
+
+def scan_runtime_metrics(df: DataFrame, column_token: str) -> list[dict]:
+    """Runtime metrics (partitions/files/rows read) of every file scan whose
+    projected column list contains ``column_token``, walked off THIS
+    DataFrame's executed QueryExecution.
+
+    Two contracts callers must hold (BASELINE §r12 correction): the df must
+    have been executed via ``collect()`` — ``count()`` plans a SEPARATE agg
+    query, leaving this plan's metrics at zero — and the plan-string
+    ``dynamicpruning`` check alone is NOT evidence of runtime pruning;
+    these metrics are. Returns [] when the walk cannot reach the metrics
+    (plan-shape drift) — treat as no evidence, never as a pass."""
+    found: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(node) -> None:
+        try:
+            oid = node.hashCode()
+            if oid in seen:
+                return
+            seen.add(oid)
+            cls = node.getClass().getSimpleName()
+        except Exception:
+            return
+        if "FileSourceScan" in cls or "BatchScan" in cls:
+            try:
+                if column_token in node.toString():
+                    m = node.metrics()
+                    row: dict = {}
+                    for key in ("numPartitions", "numFiles", "numOutputRows"):
+                        if m.contains(key):
+                            row[key] = int(m.apply(key).value())
+                    found.append(row)
+            except Exception:
+                pass
+            return
+        if "AdaptiveSparkPlan" in cls:
+            try:
+                walk(node.executedPlan())
+            except Exception:
+                pass
+        elif "QueryStage" in cls:
+            try:
+                walk(node.plan())
+            except Exception:
+                pass
+        try:
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+        except Exception:
+            pass
+        try:
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                walk(sq.apply(i))
+        except Exception:
+            pass
+
+    try:
+        walk(df._jdf.queryExecution().executedPlan())
+    except Exception:
+        return []
+    return found
