@@ -64,10 +64,25 @@ def test_ivf_on_disk_search_partition_prunes(spark, sf_dir, tmp_path):
     idx.save(str(tmp_path / "ivf"))
     loaded = IVFFlatIndex.load(spark, str(tmp_path / "ivf"))
     res = loaded.search(emb.filter(F.col("vec_id") < 3), k=5, n_probes=2)
+    a_rows = res.collect()  # collect FIRST: metrics live on this plan
     plan = audit.executed_plan(res)
     assert "dynamicpruning" in plan  # probe list prunes posting-list files
+    # runtime metrics, not just the plan string (BASELINE §r12): the
+    # posting-list scan must read ≤ the probed-cluster union (≤ 3 queries
+    # × 2 probes = 6 of 8 partitions) — cluster_id is a single partition
+    # column, so per-column DPP is exact here
+    # the token also matches the (unpartitioned) centroids scan, which has
+    # no numPartitions metric — the partitioned posting-list scan is the
+    # one that must show pruning
+    scans = [
+        s
+        for s in audit.scan_runtime_metrics(res, "cluster_id#")
+        if "numPartitions" in s
+    ]
+    assert scans, "partitioned posting-list scan not found in executed plan"
+    assert all(0 < s["numPartitions"] <= 6 for s in scans), scans
     # and results are identical to the in-memory index's
-    a = sorted(map(tuple, res.collect()))
+    a = sorted(map(tuple, a_rows))
     b = sorted(map(tuple, idx.search(emb.filter(F.col("vec_id") < 3), k=5, n_probes=2).collect()))
     assert a == b
 

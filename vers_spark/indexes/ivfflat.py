@@ -61,6 +61,13 @@ _LOCAL_KMEANS_MAX_ROWS = 1_000_000
 # dim 300 f64 ≈ 240 MB, a bounded driver footprint at any corpus scale.
 _LOCAL_KMEANS_SAMPLE_ROWS = 100_000
 
+# Broadcast-hint cap for search()'s probe/query-vector joins, in queries per
+# batch — the (query_id, cluster_id) probe side and the dim-wide q_vec side
+# are broadcast below it (the shape that keeps dynamic partition pruning on
+# the cluster_id-partitioned saved posting lists), plain shuffle joins
+# above it. Same rationale and value as lsh._BROADCAST_QUERY_CAP.
+_BROADCAST_QUERY_CAP = 65536
+
 
 def _kmeans_numpy(X: np.ndarray, k: int, max_iter: int, seed: int):
     """Driver-local Lloyd mirroring reference semantics (ivfflat.rs:73-100):
@@ -370,8 +377,23 @@ class IVFFlatIndex:
             (F.col("c_rank") <= n_probes) | (F.col("cum_before") < k)
         )
 
-        cands = probes.select("query_id", "q_vec", "cluster_id").join(
-            assignments, "cluster_id"
+        # Join shape (mirrors LSH's probe join, BASELINE §r12/§r13): the
+        # NARROW probe side — (query_id, cluster_id), no vectors — is
+        # broadcast into the posting lists, so the partitioned saved scan
+        # is the STREAM side and dynamic partition pruning reads only the
+        # probed clusters (measured-gated in test_plans). Left to its own
+        # stats Spark picks the posting lists as build side whenever the
+        # store looks small, which flips the DPP subquery into a no-op and
+        # scans every partition. The dim-wide q_vec joins AFTER candidate
+        # selection, and both hints drop for corpus-sized query batches
+        # (Spark's broadcast hard limits; same cap rationale as
+        # lsh._BROADCAST_QUERY_CAP).
+        n_queries = q.count()
+        bcast = F.broadcast if n_queries <= _BROADCAST_QUERY_CAP else (lambda df: df)
+        cands = (
+            bcast(probes.select("query_id", "cluster_id"))
+            .join(assignments, "cluster_id")
+            .join(bcast(q), ["query_id"])
         )
         dist = V.sq_euclidean(F.col("q_vec"), F.col("embedding"))
         w = W.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("id"))
