@@ -611,3 +611,32 @@ def test_rfm_no_single_partition_window(spark, sf_dir):
     # results still engine-exact ntile semantics: 5x5x5 cells, counts sum to users
     rows = df.collect()
     assert rows and all(1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5 for r in rows)
+
+
+def test_hnsw_on_disk_search_shard_prunes(spark, sf_dir, tmp_path):
+    """Batch search against the SAVED shard store must scan only the probed
+    shards' partitions. The probe sets are computed driver-side, so this is
+    STATIC partition pruning (a literal IN on the shard_id partition
+    column), asserted on the runtime metrics — the un-pruned shape scanned
+    and shuffled every shard into cogroup tasks that returned empty."""
+    from vers_spark.indexes.hnsw import HNSWIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = HNSWIndex.build(emb, num_shards=8, seed=9)
+    idx.save(str(tmp_path / "hnsw"))
+    loaded = HNSWIndex.load(spark, str(tmp_path / "hnsw"))
+    q = emb.filter(F.col("vec_id") < 3)
+    res = loaded.search(q, k=5, n_probe_shards=2)
+    a = sorted(map(tuple, res.collect()))
+    # ≤ 3 queries × 2 probed shards = union ≤ 6 of 8 partitions, on BOTH
+    # the nodes and the graph scan
+    scans = [
+        s
+        for s in audit.scan_runtime_metrics(res, "shard_id#")
+        if "numPartitions" in s
+    ]
+    assert len(scans) >= 2, scans
+    assert all(0 < s["numPartitions"] <= 6 for s in scans), scans
+    # and results equal the in-memory index's
+    b = sorted(map(tuple, idx.search(q, k=5, n_probe_shards=2).collect()))
+    assert a == b
