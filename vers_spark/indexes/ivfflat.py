@@ -377,24 +377,35 @@ class IVFFlatIndex:
             (F.col("c_rank") <= n_probes) | (F.col("cum_before") < k)
         )
 
-        # Join shape (mirrors LSH's probe join, BASELINE §r12/§r13): the
-        # NARROW probe side — (query_id, cluster_id), no vectors — is
-        # broadcast into the posting lists, so the partitioned saved scan
-        # is the STREAM side and dynamic partition pruning reads only the
-        # probed clusters (measured-gated in test_plans). Left to its own
-        # stats Spark picks the posting lists as build side whenever the
-        # store looks small, which flips the DPP subquery into a no-op and
-        # scans every partition. The dim-wide q_vec joins AFTER candidate
-        # selection, and both hints drop for corpus-sized query batches
-        # (Spark's broadcast hard limits; same cap rationale as
-        # lsh._BROADCAST_QUERY_CAP).
-        n_queries = q.count()
-        bcast = F.broadcast if n_queries <= _BROADCAST_QUERY_CAP else (lambda df: df)
-        cands = (
-            bcast(probes.select("query_id", "cluster_id"))
-            .join(assignments, "cluster_id")
-            .join(bcast(q), ["query_id"])
-        )
+        if self.params.get("_source") == "files":
+            # File-loaded store — join shape mirrors LSH's probe join
+            # (BASELINE §r12/§r13): the NARROW probe side —
+            # (query_id, cluster_id), no vectors — is broadcast into the
+            # posting lists, so the cluster_id-partitioned scan is the
+            # STREAM side and dynamic partition pruning reads only the
+            # probed clusters (measured-gated in test_plans). Left to its
+            # own stats Spark picks the posting lists as build side
+            # whenever the store looks small, which flips the DPP subquery
+            # into a no-op and scans every partition. The dim-wide q_vec
+            # joins AFTER candidate selection, and both hints drop for
+            # corpus-sized query batches (Spark's broadcast hard limits;
+            # same cap rationale as lsh._BROADCAST_QUERY_CAP).
+            n_queries = q.count()
+            bcast = (
+                F.broadcast if n_queries <= _BROADCAST_QUERY_CAP else (lambda df: df)
+            )
+            cands = (
+                bcast(probes.select("query_id", "cluster_id"))
+                .join(assignments, "cluster_id")
+                .join(bcast(q), ["query_id"])
+            )
+        else:
+            # in-session index: the checkpointed assignments carry no
+            # partition column, so there is nothing to prune — keep the
+            # single-join shape and skip the sizing count
+            cands = probes.select("query_id", "q_vec", "cluster_id").join(
+                assignments, "cluster_id"
+            )
         dist = V.sq_euclidean(F.col("q_vec"), F.col("embedding"))
         w = W.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("id"))
         return (
