@@ -550,9 +550,18 @@ def test_lsh_on_disk_search_partition_prunes(spark, sf_dir, tmp_path):
     assert bad == 0
     q = emb.filter(F.col("vec_id") < 3)
     res = loaded.search(q, k=5, backup_fill=False)
+    a = sorted(map(tuple, res.collect()))  # collect FIRST: metrics live here
     plan = audit.executed_plan(res)
     assert "dynamicpruning" in plan, plan[:2000]
-    a = sorted(map(tuple, res.collect()))
+    # measured pruning on the MAIN search path too (BASELINE §r13: the
+    # un-hinted shape read 128/128 partitions at the 1M store): ≤ 3
+    # queries × 2 trees = 6 main-leaf buckets of 32
+    mscans = [
+        s
+        for s in audit.scan_runtime_metrics(res, "_pp#")
+        if "numPartitions" in s
+    ]
+    assert mscans and all(0 < s["numPartitions"] <= 6 for s in mscans), mscans
     b = sorted(map(tuple, idx.search(q, k=5, backup_fill=False).collect()))
     assert a == b
     # multiprobe serving path prunes too — and not just in the plan STRING:

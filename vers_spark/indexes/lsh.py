@@ -765,15 +765,42 @@ class LSHForestIndex:
             )
             leaves = leaves.join(F.broadcast(keep), "id", "left_semi")
 
-        if backup_fill:
-            # three consumers below (count, filled-branch, fill-branch) share
-            # the descent fold and the leaf join — persist both subplans so
-            # the final DAG computes them once, not per branch (Catalyst does
-            # not CSE whole subtrees across union branches)
+        if backup_fill or "_pp" in self.leaves.columns:
+            # backup_fill: three consumers below (count, filled-branch,
+            # fill-branch) share the descent fold and the leaf join —
+            # persist both subplans so the final DAG computes them once,
+            # not per branch (Catalyst does not CSE whole subtrees across
+            # union branches). File-loaded stores checkpoint too: the
+            # broadcast-gate count below materializes it.
             qp = qp.localCheckpoint(eager=False)
-        main = _join_leaves(qp, leaves, self._pp_len()).select(
-            "query_id", "tree_id", "q_vec", "id", "embedding"
-        )
+        if "_pp" in self.leaves.columns:
+            # File-loaded store: broadcast-hint the NARROW probe side of
+            # the main leaf join and re-join the dim-wide q_vec after, the
+            # search_multiprobe shape (gated on _BROADCAST_QUERY_CAP).
+            # MEASURED reason (BASELINE §r13): the stats-free mapInPandas
+            # descent output otherwise planned a sort-merge join at the 1M
+            # store, and the leaf scan read 128/128 partitions — all 8M
+            # rows — for a SINGLE query whose main leaves touch 8 buckets.
+            n_queries = qp.count() // max(int(self.params["num_trees"]), 1)
+            bq = (
+                F.broadcast
+                if n_queries <= _BROADCAST_QUERY_CAP
+                else (lambda df: df)
+            )
+            qvec = qp.select("query_id", "q_vec").dropDuplicates(["query_id"])
+            main = (
+                _join_leaves(
+                    bq(qp.select("query_id", "tree_id", "path")),
+                    leaves,
+                    self._pp_len(),
+                )
+                .join(bq(qvec), ["query_id"])
+                .select("query_id", "tree_id", "q_vec", "id", "embedding")
+            )
+        else:
+            main = _join_leaves(qp, leaves, self._pp_len()).select(
+                "query_id", "tree_id", "q_vec", "id", "embedding"
+            )
         if backup_fill:
             main = main.localCheckpoint(eager=False)
             cnt = main.groupBy("query_id", "tree_id").agg(
