@@ -959,7 +959,15 @@ class HNSWIndex:
                 probe = probe.join(F.broadcast(sub_df), "route_id")
             else:
                 probe = probe.withColumn("shard_id", F.col("route_id"))
-            probe = probe.select("query_id", "shard_id")
+            # Pin the routing before BOTH consumers (the collected union
+            # below and the `start` join) read it: with a nondeterministic
+            # queries frame (sample/rand/unordered limit) a re-executed
+            # probe could route a query to a shard outside the collected
+            # union, whose edges/emb rows were filtered away — silently
+            # dropping candidates. One eager checkpoint = one execution.
+            probe = probe.select("query_id", "shard_id").localCheckpoint(
+                eager=True
+            )
             # static shard pruning for every per-layer edge/embedding scan
             # below: the probed-shard UNION is ≤ num_shards rows however
             # large the query batch, so one bounded collect turns the

@@ -352,6 +352,13 @@ class IVFFlatIndex:
                 candidate_ids.select(F.col("id").cast("long").alias("id")), "id", "left_semi"
             )
         q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_vec"))
+        if self.params.get("_source") == "files":
+            # The file-loaded branch below sizes its broadcast decision with
+            # a count() and then joins q twice (ranking + candidate join);
+            # checkpoint lazily so the sizing count MATERIALIZES a plan the
+            # later joins reuse instead of re-executing the query source per
+            # consumer (mirrors lsh.search_multiprobe's checkpointed qp).
+            q = q.localCheckpoint(eager=False)
         if candidate_ids is not None:
             # filtered search: the fill rule must see FILTERED posting sizes
             sizes = assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c_size"))

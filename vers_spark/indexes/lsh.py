@@ -504,75 +504,105 @@ class LSHForestIndex:
     # int64 path encoding (≤ 62 bits) — deeper trees also fall back.
     _PACK_MAX_BYTES = 512 * 1024 * 1024
 
-    def _planes_pack(self):
-        """Collect + broadcast the hyperplane trie ONCE per index instance
-        as compact numpy arrays: W (n_planes × dim float64 — exact for both
-        float- and double-typed coeffs), B (n_planes float64), and PER-TREE SORTED
-        node-key arrays for a vectorized ``searchsorted`` lookup. A node's
-        key is its path as a '1'-prefixed binary integer (root '' → 1,
-        child key = key·2 + bit) — depth-independent and SPARSE, so a
-        24-deep imbalanced forest (the 1M reference config measured
-        n_leaf_paths ≈ 126k, max depth 24) packs as ~16k keys/tree instead
-        of the 134M dense heap slots a direct node-index table would need.
-        Returns None when the pack exceeds the broadcast cap or the trie is
-        empty — callers fall back to the per-level join descent. Amortizes
-        the driver collect + broadcast across every assign_paths call on
-        this instance (VERDICT r10 #5)."""
-        if hasattr(self, "_planes_pack_cache"):
-            return self._planes_pack_cache
-        import numpy as np
+    def _pack_arrays(self) -> dict | None:
+        """Arrow-collect the hyperplane trie + leaf catalog as FLAT numpy
+        arrays (row order = collect order): W (n_planes × dim float64 —
+        exact for both float- and double-typed coeffs), B/M (f64), tids,
+        '1'-prefixed binary path keys, and the leaf catalog's (ltids,
+        lkeys). This is the expensive leg of pack construction (the Arrow
+        collect — 19-87 s cold at the 1M file-loaded store, BASELINE §r12)
+        and the exact payload :meth:`save` persists as ``pack.npz`` so
+        cold serving stops paying it per session. Returns None when the
+        trie is empty/too deep or exceeds the broadcast cap — callers
+        fall back to the per-level join descent.
 
+        f64 ALWAYS: in-session forests carry array<double> coeffs (the
+        b−a splits are computed in f64) and a float32 pack would silently
+        quantize every dot — caught by the leaf-order cost parity test;
+        f32-at-rest coeffs widen exactly, so f64 is exact for both
+        storage types."""
+        depth = int(self.params["depth"])
+        if not 0 < depth <= 62:
+            return None
+        # Arrow collect: 126k coeff rows arrive as numpy cells in ~2 s
+        # where the py4j row path took ~20 s at the 1M forest
+        pdf = self.hyperplanes.select(
+            "tree_id", "path", "coeffs", "constant"
+        ).toPandas()
+        if not len(pdf) or len(pdf) * len(pdf["coeffs"].iloc[0]) * 8 > self._PACK_MAX_BYTES:
+            return None
+        W = np.array(pdf["coeffs"].tolist(), dtype=np.float64)
+        B = pdf["constant"].to_numpy(dtype=np.float64)
+        # plane magnitudes for the multiprobe margin — the same
+        # f64 left-fold-then-sqrt as V.magnitude (cumsum = fold)
+        M = np.sqrt(np.cumsum(W * W, axis=1)[:, -1])
+        tids = pdf["tree_id"].to_numpy(dtype=np.int32)
+        keys = np.fromiter(
+            (int("1" + p, 2) for p in pdf["path"]),
+            dtype=np.int64,
+            count=len(pdf),
+        )
+        # leaf-path keys per tree (settle detection for the packed
+        # leaf-order engine) — slim distinct over the leaf catalog
+        lp = self.leaves.select("tree_id", "path").distinct().toPandas()
+        lkeys = np.fromiter(
+            (int("1" + p, 2) for p in lp["path"]),
+            dtype=np.int64,
+            count=len(lp),
+        )
+        ltids = lp["tree_id"].to_numpy(dtype=np.int32)
+        return {
+            "W": W, "B": B, "M": M, "tids": tids, "keys": keys,
+            "ltids": ltids, "lkeys": lkeys,
+        }
+
+    def _assemble_pack(self, arrs: dict):
+        """Per-tree sorted node-key structures + broadcast, from the flat
+        arrays (collected or ``pack.npz``-loaded — identical assembly, so
+        a persisted pack is bit-equal with a rebuilt one; parity-gated in
+        test_lsh.py). A node's key is its path as a '1'-prefixed binary
+        integer (root '' → 1, child key = key·2 + bit) — depth-independent
+        and SPARSE, so a 24-deep imbalanced forest (the 1M reference
+        config measured n_leaf_paths ≈ 126k, max depth 24) packs as ~16k
+        keys/tree instead of the 134M dense heap slots a direct
+        node-index table would need."""
         T = int(self.params["num_trees"])
         depth = int(self.params["depth"])
-        pack = None
-        if 0 < depth <= 62:
-            # Arrow collect: 126k coeff rows arrive as numpy cells in ~2 s
-            # where the py4j row path took ~20 s at the 1M forest
-            pdf = self.hyperplanes.select(
-                "tree_id", "path", "coeffs", "constant"
-            ).toPandas()
-            if len(pdf) and len(pdf) * len(pdf["coeffs"].iloc[0]) * 8 <= self._PACK_MAX_BYTES:
-                # f64 ALWAYS: in-session forests carry array<double> coeffs
-                # (the b−a splits are computed in f64) and a float32 pack
-                # would silently quantize every dot — caught by the
-                # leaf-order cost parity test; f32-at-rest coeffs widen
-                # exactly, so f64 is exact for both storage types
-                W = np.array(pdf["coeffs"].tolist(), dtype=np.float64)
-                B = pdf["constant"].to_numpy(dtype=np.float64)
-                # plane magnitudes for the multiprobe margin — the same
-                # f64 left-fold-then-sqrt as V.magnitude (cumsum = fold)
-                M = np.sqrt(np.cumsum(W * W, axis=1)[:, -1])
-                tids = pdf["tree_id"].to_numpy(dtype=np.int32)
-                keys = np.fromiter(
-                    (int("1" + p, 2) for p in pdf["path"]),
-                    dtype=np.int64,
-                    count=len(pdf),
-                )
-                tree_keys, tree_rows = [], []
-                for t in range(T):
-                    mask = tids == t
-                    order = np.argsort(keys[mask], kind="stable")
-                    tree_keys.append(keys[mask][order])
-                    tree_rows.append(np.nonzero(mask)[0][order].astype(np.int64))
-                # leaf-path keys per tree (settle detection for the packed
-                # leaf-order engine) — slim distinct over the leaf catalog
-                lp = (
-                    self.leaves.select("tree_id", "path").distinct().toPandas()
-                )
-                lkeys = np.fromiter(
-                    (int("1" + p, 2) for p in lp["path"]),
-                    dtype=np.int64,
-                    count=len(lp),
-                )
-                ltids = lp["tree_id"].to_numpy(dtype=np.int32)
-                leaf_keys = [np.sort(lkeys[ltids == t]) for t in range(T)]
-                pack = (
-                    self.spark.sparkContext.broadcast(
-                        (tree_keys, tree_rows, W, B, M, leaf_keys)
-                    ),
-                    depth,
-                    T,
-                )
+        tids, keys = arrs["tids"], arrs["keys"]
+        tree_keys, tree_rows = [], []
+        for t in range(T):
+            mask = tids == t
+            order = np.argsort(keys[mask], kind="stable")
+            tree_keys.append(keys[mask][order])
+            tree_rows.append(np.nonzero(mask)[0][order].astype(np.int64))
+        ltids, lkeys = arrs["ltids"], arrs["lkeys"]
+        leaf_keys = [np.sort(lkeys[ltids == t]) for t in range(T)]
+        return (
+            self.spark.sparkContext.broadcast(
+                (tree_keys, tree_rows, arrs["W"], arrs["B"], arrs["M"], leaf_keys)
+            ),
+            depth,
+            T,
+        )
+
+    def _planes_pack(self):
+        """Build + broadcast the hyperplane trie pack ONCE per index
+        instance. A file-loaded store with a persisted ``pack.npz`` (see
+        :meth:`save`) skips the Arrow collect entirely — a local numpy
+        read replaces the 19-87 s cold rebuild. Returns None when the
+        pack exceeds the broadcast cap or the trie is empty — callers
+        fall back to the per-level join descent. Amortizes the driver
+        collect + broadcast across every assign_paths call on this
+        instance (VERDICT r10 #5)."""
+        if hasattr(self, "_planes_pack_cache"):
+            return self._planes_pack_cache
+        pack_path = getattr(self, "_pack_path", None)
+        if pack_path is not None and os.path.exists(pack_path):
+            with np.load(pack_path) as z:
+                arrs = {k: z[k] for k in z.files}
+        else:
+            arrs = self._pack_arrays()
+        pack = self._assemble_pack(arrs) if arrs is not None else None
         self._planes_pack_cache = pack
         return pack
 
@@ -1712,6 +1742,17 @@ class LSHForestIndex:
             f"{path}/hyperplanes"
         )
         os.makedirs(path, exist_ok=True)
+        # Persist the hyperplane pack (derived data, bit-reconstructable):
+        # cold file-loaded serving otherwise pays the Arrow re-collect of
+        # the whole coeff table per session — measured 19-87 s at the 1M
+        # forest (BASELINE §r12) vs a local numpy read. Written only when
+        # the trie is inside the pack contract; absent file = loaded
+        # stores rebuild (or join-descend) exactly as before.
+        arrs = self._pack_arrays()
+        if arrs is not None:
+            np.savez(os.path.join(path, "pack.npz"), **arrs)
+        elif os.path.exists(os.path.join(path, "pack.npz")):
+            os.remove(os.path.join(path, "pack.npz"))  # stale from overwrite
         with open(f"{path}/manifest.json", "w") as f:
             json.dump(
                 {**self.params, "pp_len": w, "format_version": LSH_FORMAT_VERSION},
@@ -1720,41 +1761,99 @@ class LSHForestIndex:
             )
 
     @staticmethod
+    def _saved_format_version(path: str, stamped: int | None) -> int:
+        """Resolve a saved store's on-disk layout version. Stamped manifests
+        win; pre-stamp stores classify by the layout itself (the
+        HNSW/IVFFlat absent-means-current policy, made safe here by
+        checking the _pp value grammar). v3 values are tree-fused
+        'p<tree>_<prefix>'; v2 are prefix-only 'pXXXX'; anything else is
+        the raw-bit v1 layout."""
+        if stamped is not None:
+            return int(stamped)
+        import glob as _glob
+        import re as _re
+
+        pps = _glob.glob(
+            os.path.join(_glob.escape(os.path.join(path, "leaves")), "tree_id=*", "_pp=*")
+        )
+        names = [os.path.basename(p) for p in pps[:8]]
+        if names and all(_re.match(r"_pp=p\d+_", n) for n in names):
+            return 3
+        if names and all(n.startswith("_pp=p") for n in names):
+            return 2
+        return 1
+
+    @staticmethod
     def load(spark: SparkSession, path: str) -> "LSHForestIndex":
         with open(f"{path}/manifest.json") as f:
             params = json.load(f)
-        version = params.pop("format_version", None)
-        if version is None:
-            # Pre-stamp stores: classify by the layout itself (the
-            # HNSW/IVFFlat absent-means-current policy, made safe here by
-            # checking the _pp value grammar). v3 values are tree-fused
-            # 'p<tree>_<prefix>'; v2 are prefix-only 'pXXXX'; anything
-            # else is the raw-bit v1 layout.
-            import glob as _glob
-            import re as _re
-
-            pps = _glob.glob(
-                os.path.join(_glob.escape(os.path.join(path, "leaves")), "tree_id=*", "_pp=*")
-            )
-            names = [os.path.basename(p) for p in pps[:8]]
-            if names and all(_re.match(r"_pp=p\d+_", n) for n in names):
-                version = 3
-            elif names and all(n.startswith("_pp=p") for n in names):
-                version = 2
-            else:
-                version = 1
+        version = LSHForestIndex._saved_format_version(
+            path, params.pop("format_version", None)
+        )
         if version != LSH_FORMAT_VERSION:
             raise ValueError(
                 f"LSH index at {path!r} has on-disk format_version {version}, "
                 f"this build reads {LSH_FORMAT_VERSION}. An older store's "
                 "_pp partition values never match the probe side's "
                 "tree-fused 'p<tree>_<prefix>' keys (searches would "
-                "silently return zero candidates) — re-save the index from "
-                "the source corpus to migrate."
+                "silently return zero candidates) — run "
+                "LSHForestIndex.migrate(spark, path) to rewrite it in "
+                "place (no source corpus needed), or re-save from the "
+                "source corpus."
             )
-        return LSHForestIndex(
+        idx = LSHForestIndex(
             spark,
             spark.read.parquet(f"{path}/leaves"),
             spark.read.parquet(f"{path}/hyperplanes"),
             params,
         )
+        pack_path = os.path.join(path, "pack.npz")
+        if os.path.exists(pack_path):
+            # persisted plane pack: _planes_pack() reads it instead of
+            # re-collecting the coeff table (cold-start fix, VERDICT r13)
+            idx._pack_path = pack_path
+        return idx
+
+    @staticmethod
+    def migrate(
+        spark: SparkSession,
+        path: str,
+        dest_path: str | None = None,
+        pp_len: int | None = None,
+    ) -> "LSHForestIndex":
+        """Rewrite an older-layout saved store (v1/v2 ``_pp`` grammars) in
+        the current tree-fused v3 layout WITHOUT the source corpus: the
+        leaves table already carries (tree_id, path, id, …) — ``_pp`` is
+        derived data — so migration is read → drop the stale ``_pp`` →
+        :meth:`save`. ``dest_path=None`` migrates in place; the leaves and
+        hyperplanes are eagerly materialized first so the overwrite never
+        reads from files it is deleting. For very large stores prefer an
+        explicit ``dest_path`` so the rewrite streams executor-to-disk
+        instead of checkpointing the whole store. ``pp_len`` re-dials the
+        bucket width during the rewrite (same rules as :meth:`save`).
+        Returns the migrated index, loaded from its new layout. A store
+        already at the current version is returned as-is unless a
+        ``dest_path``/``pp_len`` asks for a rewrite anyway."""
+        with open(f"{path}/manifest.json") as f:
+            params = json.load(f)
+        version = LSHForestIndex._saved_format_version(
+            path, params.pop("format_version", None)
+        )
+        if version == LSH_FORMAT_VERSION and dest_path is None and pp_len is None:
+            return LSHForestIndex.load(spark, path)
+        leaves = spark.read.parquet(f"{path}/leaves")
+        planes = spark.read.parquet(f"{path}/hyperplanes")
+        dest = dest_path or path
+        if dest == path:
+            leaves = leaves.localCheckpoint(eager=True)
+            planes = planes.localCheckpoint(eager=True)
+        if "_pp" in leaves.columns:
+            leaves = leaves.drop("_pp")
+        # older manifests may stamp a pp_len whose GRAMMAR no longer
+        # matches; keep the width only when the caller didn't re-dial it
+        if pp_len is None:
+            pp_len = params.get("pp_len")
+        params.pop("pp_len", None)
+        idx = LSHForestIndex(spark, leaves, planes, params)
+        idx.save(dest, pp_len=pp_len)
+        return LSHForestIndex.load(spark, dest)

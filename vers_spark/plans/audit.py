@@ -68,13 +68,21 @@ def scan_runtime_metrics(df: DataFrame, column_token: str) -> list[dict]:
     query, leaving this plan's metrics at zero — and the plan-string
     ``dynamicpruning`` check alone is NOT evidence of runtime pruning;
     these metrics are. Returns [] when the walk cannot reach the metrics
-    (plan-shape drift) — treat as no evidence, never as a pass."""
+    (plan-shape drift) — treat as no evidence, never as a pass.
+
+    The seen-set is keyed on JVM object IDENTITY (System.identityHashCode),
+    not Catalyst structural hashCode: two distinct-but-structurally-equal
+    scans (not deduped by ReuseExchange) must BOTH report metrics, or an
+    unpruned second scan silently passes a `all(<=N)` gate. Identity keying
+    still guards the walk against the reused-exchange DAG (a ReusedExchange
+    points at the SAME child object)."""
     found: list[dict] = []
     seen: set[int] = set()
+    identity_hash = df.sparkSession._jvm.java.lang.System.identityHashCode
 
     def walk(node) -> None:
         try:
-            oid = node.hashCode()
+            oid = identity_hash(node)
             if oid in seen:
                 return
             seen.add(oid)
