@@ -96,19 +96,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vers_spark.operators import bpe, rag
 
     # Registration order IS the driver's sweep order, and the sweep has
-    # truncated at exactly 50 queries in every prior round. Round-13 order
-    # (VERDICT r12 item 3, plus this round's own kernel changes):
-    #   1. changed-kernel re-certification: the multiprobe serving path
-    #      gained the _BROADCAST_QUERY_CAP gate (hints off above the cap;
-    #      the checkpoint-materializing count lands in every call), and
-    #      LSH/HNSW add() now refresh the manifest (telemetry +
-    #      entrypoints) — index_lifecycle_roundtrip exercises add();
-    #   2. the 31 rows whose newest driver row is r8 — the board's oldest
-    #      (format roundtrips, staging-heavy merge/versioned queries,
-    #      mm container queries, BPE/doc analysis);
-    #   3. oldest-r9 rows fill to the 50-cap, the mm/audio fingerprint
-    #      cohort first, then the kernel-adjacent knn/ivf/pq serving
-    #      rows. After this sweep nothing on the board is older than r9.
+    # truncated at exactly 50 queries in every prior round. Round-14 order
+    # (VERDICT r13 item 1, plus this round's own kernel changes):
+    #   1. NEW queries needing their first driver row: the saved-store
+    #      serving pair (lsh_saved_search — full hash oracle via the
+    #      degenerate config — and lsh_saved_multiprobe, the new bench
+    #      headline), then changed-kernel re-certification — the plane
+    #      pack is now persisted at save()/loaded at load() and
+    #      _planes_pack was restructured (collect → assemble split), so
+    #      every pack-engine serving query re-certifies, plus
+    #      index_lifecycle_roundtrip for the IVF file-loaded search's
+    #      new sizing-count checkpoint;
+    #   2. the 26 rows whose newest driver row is r9 — the board's
+    #      oldest (curation/temporal/events, graph, streaming cohorts);
+    #   3. oldest-r10 rows fill to the 50-cap, kernel-adjacent serving
+    #      rows first. After this sweep nothing on the board is older
+    #      than r10.
     modules = [
         vector_queries.QUERIES,
         index_queries.QUERIES,
@@ -129,64 +132,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(m)
 
     priority = [
-        # -- r13 #1: changed-kernel re-certification (this round's diff:
-        # multiprobe broadcast gate + checkpoint-materializing count;
-        # LSH/HNSW add() manifest refresh) --
+        # -- r14 #1: new saved-store serving queries (first driver rows)
+        # + changed-kernel re-certification (persisted plane pack,
+        # _planes_pack restructure, IVF file-loaded sizing checkpoint) --
+        "lsh_saved_search",
+        "lsh_saved_multiprobe",
         "lsh_search_multiprobe",
         "lsh_multiprobe_frontier",
         "lsh_search_backup",
         "index_lifecycle_roundtrip",
-        # -- r13 #2: the 31 rows whose newest driver row is r8 (the
+        # -- r14 #2: the 26 rows whose newest driver row is r9 (the
         # board's oldest) --
-        "doc_avro_roundtrip",
-        "doc_csv_roundtrip",
-        "doc_jsonl_roundtrip",
-        "doc_orc_roundtrip",
-        "doc_schema_evolution",
-        "doc_merge_full",
-        "doc_upsert_merge",
-        "doc_time_travel",
-        "doc_decontaminate",
-        "doc_expectations",
-        "doc_pii_scrub",
-        "doc_mllib_exactdup",
-        "doc_bigram_topk",
-        "doc_heavy_hitter_tokens",
-        "doc_lang_confusion",
-        "doc_lang_id",
-        "doc_repetition_quality",
-        "doc_tfidf_topk",
-        "doc_vocab_coverage",
-        "doc_chunk_udtf",
-        "doc_chunk_windows",
-        "bpe_corpus_tokens",
-        "bpe_segment_vocab",
-        "mm_audio_mulaw",
-        "mm_avi_frames",
-        "mm_frame_sample",
-        "mm_mjpeg_frames",
-        "rag_maxsim_rerank",
-        "stream_dedup_users",
-        "stream_interval_join",
-        "stream_static_enrich",
-        # -- r13 #3: oldest-r9 rows to the 50-cap: the mm/audio
-        # fingerprint cohort first, then kernel-adjacent knn/ivf/pq
-        # serving rows --
-        "mm_audio_resample",
-        "mm_feature_extract",
-        "mm_meta_stats",
-        "mm_mp4_frames",
-        "mm_real_pipeline",
-        "mm_resize",
-        "ivf_build_fixed",
-        "ivfpq_blocked_serve",
-        "knn_blocked_euclidean",
-        "knn_pq_euclidean",
-        "knn_pq_fixed",
-        "emb_pca_knn_recall",
-        "emb_pca_stats",
-        "bpe_train_merges",
-        "doc_cms_heavy_hitters",
+        "doc_curation_pipeline",
+        "doc_mixture_sample",
+        "doc_weighted_sample",
+        "doc_version_diff",
+        "doc_pretrain_batches",
+        "doc_decontaminate_bloom",
+        "rag_retrieve_chunks",
+        "evt_purchase_asof_click",
+        "evt_error_context",
+        "evt_sessionize_batch",
+        "evt_funnel_conversion",
+        "evt_user_trend",
+        "evt_gapfill_locf",
+        "evt_hourly_rollup_serve",
+        "evt_zorder_range_scan",
+        "q_events_hourly",
+        "neardup_components",
+        "neardup_triangles",
+        "graph_pagerank_topk",
+        "graph_ppr_customer_affinity",
+        "stream_events_hourly",
+        "stream_dedup_ingest",
+        "stream_funnel",
+        "stream_events_sliding",
+        "stream_merge_versioned",
+        "stream_ivf_assign_fixed",
+        # -- r14 #3: oldest-r10 rows to the 50-cap, kernel-adjacent
+        # serving rows first --
+        "ivf_cluster_stats",
+        "ivfpq_residual_search",
+        "knn_pq_residual_fixed",
+        "stream_ivf_assign_stats",
+        "stream_rollup_serve",
+        "emb_similarity_join",
+        "doc_bm25_topk",
+        "doc_hll_distinct",
+        "doc_fingerprint",
+        "stream_sessions",
+        "stream_sessions_tws",
+        "stream_quality_gate",
+        "stream_retention",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_revenue_by_nation",
+        "q6_forecast_revenue",
+        "q_events_props_json",
     ]
     missing = [n for n in priority if n not in merged]
     assert not missing, f"priority list references unknown queries: {missing}"

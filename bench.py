@@ -73,6 +73,11 @@ HEADLINE = [
     "mm_image_phash_neardup",
     "mm_audio_fp_neardup",
     "mm_video_phash_neardup",
+    # round-14 addition: the saved-store serving path (save → load →
+    # multiprobe over the (tree_id,_pp)-partitioned leaf store with the
+    # persisted plane pack) — the DPP path the r13 runtime-metric fixes
+    # repaired, now under the per-line minima ratchet (VERDICT r13 #2)
+    "lsh_saved_multiprobe",
 ]
 
 
@@ -105,6 +110,7 @@ def _clear_state(spark) -> None:
     index_queries._FIXED_CACHE.clear()
     index_queries._PQF_CACHE.clear()
     index_queries._PQF_STORE.clear()  # persisted-code-store memo (parquet stays on disk)
+    index_queries._LSH_SAVED.clear()  # saved-LSH-store memo (cold = build+save+load)
     from vers_spark.operators import bpe, relational
 
     bpe._TRAIN_CACHE.clear()

@@ -462,3 +462,24 @@ def test_migrate_rewrites_v2_store_in_place(spark, forest, emb, tmp_path):
     assert sorted(map(tuple, reloaded.search(q, k=5).collect())) == want
     with open(f"{v2}/manifest.json") as f:
         assert json.load(f)["format_version"] == 3
+
+
+def test_registered_saved_multiprobe_parity_with_in_session(spark, sf_dir):
+    """The registered lsh_saved_multiprobe (save → load → multiprobe over
+    the file-loaded, partition-pruned store with the persisted pack) must
+    be BIT-identical to the in-session engine at the same config — the
+    gate behind its rows-only driver row and its bench headline line."""
+    from vers_spark.operators import index_queries as IQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IQ._lsh(spark, sf_dir, 8, 100)
+    want = sorted(
+        map(
+            tuple,
+            idx.search_multiprobe(
+                emb.filter(F.col("vec_id") < 50), k=10, n_probes=2, probe_mode="margin"
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, IQ.lsh_saved_multiprobe(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

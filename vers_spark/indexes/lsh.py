@@ -118,6 +118,21 @@ def _pp_of(tree_col, path_col, pp_len: int = _PP_LEN):
     )
 
 
+def _read_planes(spark: SparkSession, path: str) -> DataFrame:
+    """Read a saved store's hyperplanes. A depth-0 forest (degenerate
+    1-tree/unbounded-leaf config) has ZERO planes, and Spark writes an
+    empty partitioned parquet dir with no schema-bearing part files —
+    reading it throws UNABLE_TO_INFER_SCHEMA. Fall back to an empty
+    frame with the canonical plane schema so the degenerate store
+    roundtrips like any other."""
+    try:
+        return spark.read.parquet(f"{path}/hyperplanes")
+    except Exception:
+        return spark.createDataFrame(
+            [], "tree_id int, path string, coeffs array<double>, constant double"
+        )
+
+
 def _planes_at(planes: DataFrame, lvl: int) -> DataFrame:
     """Hyperplanes at one trie level. A file-loaded store carries the _lvl
     partition column (save() writes partitionBy level), so the filter is a
@@ -1804,7 +1819,7 @@ class LSHForestIndex:
         idx = LSHForestIndex(
             spark,
             spark.read.parquet(f"{path}/leaves"),
-            spark.read.parquet(f"{path}/hyperplanes"),
+            _read_planes(spark, path),
             params,
         )
         pack_path = os.path.join(path, "pack.npz")
@@ -1842,7 +1857,7 @@ class LSHForestIndex:
         if version == LSH_FORMAT_VERSION and dest_path is None and pp_len is None:
             return LSHForestIndex.load(spark, path)
         leaves = spark.read.parquet(f"{path}/leaves")
-        planes = spark.read.parquet(f"{path}/hyperplanes")
+        planes = _read_planes(spark, path)
         dest = dest_path or path
         if dest == path:
             leaves = leaves.localCheckpoint(eager=True)
