@@ -385,6 +385,21 @@ def test_cow_merge_read_partition_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and PART_COL in plan
     # the scan's partition filter carries the impacted ids, not a full scan
     assert f"{PART_COL}#" in plan or str(impacted[0]) in plan
+    # runtime twin (VERDICT r13 #5: metrics, not strings): a single-key
+    # update impacts exactly ONE bucket — the executed scan must have
+    # READ exactly one partition, whatever the plan string claims
+    key = docs.agg(F.min("doc_id")).collect()[0][0]
+    bkt = (
+        docs.filter(F.col("doc_id") == key)
+        .withColumn(PART_COL, _bucket("doc_id", 8))
+        .select(PART_COL)
+        .collect()[0][0]
+    )
+    one = spark.read.parquet(path).filter(F.col(PART_COL) == bkt)
+    one.collect()
+    scans = audit.scan_runtime_metrics(one, f"{PART_COL}#")
+    assert scans, "no scan metrics reachable — treat as failure, not pass"
+    assert all(s.get("numPartitions") == 1 for s in scans), scans
 
 
 def test_binary_rerank_broadcasts_queries_and_prunes(spark, sf_dir):
@@ -466,6 +481,16 @@ def test_pq_code_store_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "cluster_id" in plan
     base = ivfpq_search(ivf, codec, codes_plain, queries, k=5, n_probes=2)
     assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, base.collect()))
+    # runtime twin (VERDICT r13 #5: metrics, not strings): one query at
+    # n_probes=2 probes ≤ 2 of the 4 cluster directories — the EXECUTED
+    # code-store scan must have read at most 2 partitions
+    one = ivfpq_search(
+        ivf, codec, store, queries.limit(1), k=5, n_probes=2
+    )
+    one.collect()
+    scans = audit.scan_runtime_metrics(one, "cluster_id#")
+    assert scans, "no scan metrics reachable — treat as failure, not pass"
+    assert all(s.get("numPartitions", 99) <= 2 for s in scans), scans
 
 
 def test_knn_pq_fixed_serves_from_code_store(spark, sf_dir):
@@ -649,3 +674,37 @@ def test_hnsw_on_disk_search_shard_prunes(spark, sf_dir, tmp_path):
     # and results equal the in-memory index's
     b = sorted(map(tuple, idx.search(q, k=5, n_probe_shards=2).collect()))
     assert a == b
+
+
+def test_zorder_scan_skips_row_groups_at_runtime(spark, sf_dir, tmp_path):
+    """Runtime twin of the bounding-box gate (VERDICT r13 #5): the plan
+    string can't prove skipping — PushedFilters is present for BOTH
+    layouts — but the executed scan's numOutputRows can. The same
+    conjunctive (user, time) range predicate over the Z-ordered store
+    must emit far fewer rows from the scan (row groups skipped via
+    footer min/max on both dimensions) than over the naive round-robin
+    layout, whose every row group spans ~the full domain and therefore
+    skips nothing."""
+    from vers_spark.sources.layout import write_zordered
+
+    ev = load_table(spark, sf_dir, "events")
+    naive = str(tmp_path / "naive")
+    zpath = str(tmp_path / "z")
+    ev.repartition(16).write.parquet(naive)
+    write_zordered(ev, zpath, "user_id", "unix_micros(ts)", num_files=16)
+    ucap = ev.agg(F.max("user_id")).collect()[0][0] // 10
+
+    def scan_rows(path: str) -> int:
+        df = spark.read.parquet(path).filter(
+            (F.col("user_id") <= ucap)
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        )
+        df.collect()
+        scans = audit.scan_runtime_metrics(df, "user_id#")
+        assert scans, "no scan metrics reachable — treat as failure, not pass"
+        return sum(s.get("numOutputRows", 0) for s in scans)
+
+    nz = scan_rows(zpath)
+    nn = scan_rows(naive)
+    assert 0 < nz < nn / 2, (nz, nn)
