@@ -173,8 +173,16 @@ def test_connected_components_star_parity(spark):
     expected = {n: find(n) for n in parent}
 
     df = spark.createDataFrame(edges, ["src", "dst"])
-    star = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
+    # driver_cap=0 forces the DISTRIBUTED star alternation (the default cap
+    # would route this tiny graph to union-find and make the test circular)
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, driver_cap=0).collect()
+    }
     assert star == expected
+    # the scale-adaptive fast path (default cap → union-find) must agree
+    fast = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
+    assert fast == expected
     prop = {
         r["node"]: r["component"]
         for r in connected_components(df, driver_cap=0, max_iter=45).collect()

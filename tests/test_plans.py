@@ -527,7 +527,7 @@ def test_iterative_lineage_bounded(spark, sf_dir):
         + [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)],
         "src long, dst long",
     )
-    cc = connected_components_star(edges)
+    cc = connected_components_star(edges, driver_cap=0)  # distributed path
     cc_plan = audit.executed_plan(cc)
     assert "ExistingRDD" in cc_plan
     assert len(cc_plan) < 20_000, len(cc_plan)

@@ -27,6 +27,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(spark, e: DataFrame) -> DataFrame:
+    """Driver-side union-find over a collected ``(src, dst)`` edge list:
+    union attaches the larger root under the smaller, so the final root IS
+    the component minimum — bit-identical to both distributed regimes
+    (min-label propagation and large/small-star), whose shared oracles
+    certify the equivalence. Callers gate on an edge-count cap that bounds
+    driver memory (1M pairs ≈ ~16 MB of longs)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e.collect():
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -53,21 +77,7 @@ def connected_components(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
     if driver_cap and e.count() <= driver_cap:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for a, b in e.collect():
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        rows = [(n, find(n)) for n in parent]
-        return edges.sparkSession.createDataFrame(rows, "node long, component long")
+        return _driver_union_find(edges.sparkSession, e)
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     und = und.distinct().cache()
     labels = (
@@ -96,6 +106,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
+    driver_cap: int = 1_000_000,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al. 2014,
     "Connected Components in MapReduce and Beyond") — the deep-graph
@@ -122,13 +133,28 @@ def connected_components_star(
     mass (every rewire lowers the parent, ids are non-negative), so a 1-row
     (count, Σsrc+Σdst) aggregate detects the fixpoint exactly — the same
     monotone-probe trick as the propagation variant, no row-diff join.
-    Lineage is truncated per round with localCheckpoint; the distinct() per
-    star phase is the dedup the paper's reduce does for free."""
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    Lineage is truncated per round with localCheckpoint; the per-round
+    final distinct() is the dedup the paper's reduce does for free.
+
+    ``driver_cap``: the same scale-adaptive regime switch as
+    :func:`connected_components` — at or below the cap the collected edge
+    list runs driver-side union-find (bit-identical output, certified by
+    the shared oracles), because the star alternation's per-round cost is
+    ~4 shuffles + a checkpoint + a probe, pure fixed overhead on a
+    few-thousand-edge dup graph. Pass ``driver_cap=0`` to force the
+    distributed star path (the certification configuration)."""
+    e0 = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    if driver_cap and e0.count() <= driver_cap:
+        # self-loop-only nodes never enter the distributed star path (the
+        # src != dst filter drops them before the node set forms) — mirror
+        # that here so both regimes emit the identical row set
+        return _driver_union_find(
+            edges.sparkSession, e0.filter(F.col("src") != F.col("dst"))
         )
-        .filter(F.col("src") != F.col("dst"))
+    e = (
+        e0.filter(F.col("src") != F.col("dst"))
         .select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         )
@@ -151,11 +177,17 @@ def connected_components_star(
             .agg(F.min("dst").alias("m_n"))
             .select("src", F.least("m_n", "src").alias("m"))
         )
+        # NO distinct here (one full shuffle per round removed): duplicate
+        # (v, m) emissions cannot change small-star's min aggregate, and the
+        # round's FINAL distinct dedups the identical tuple set, so the
+        # checkpointed edge set — and the convergence probe over it — is
+        # bit-identical with or without the intermediate dedup. The
+        # small-star aggregate gets map-side combine, so the duplicates
+        # never inflate its exchange; they ride only the smin join's input.
         ls = (
             both.join(lmin, "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .distinct()
         )
         # small-star: edges are (child=larger → parent=smaller) after
         # large-star; rewire every parent AND the child to the child's

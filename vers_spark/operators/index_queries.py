@@ -1435,7 +1435,9 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       a bucketed store) — never an all-pairs join;
     - core test is one count aggregate over the neighbour pairs;
     - cluster formation is connected_components_star over CORE-CORE edges
-      (O(log² n) rounds, hub-safe aggregates, per-round checkpoints);
+      (O(log² n) rounds, hub-safe aggregates, per-round checkpoints;
+      scale-adaptive — at or below the 1M-edge driver cap the collected
+      edge list runs union-find, bit-identical by the shared oracle);
     - border assignment is one aggregate-min join from non-core points to
       their core neighbours' components.
     The DuckDB twin states brute-force pairs + a recursive-CTE CC on the

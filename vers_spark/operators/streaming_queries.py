@@ -578,6 +578,7 @@ def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_verify,
         minhash_bands,
         minhash_signatures_from_shingles,
+        shingle_array,
         shingle_sets,
     )
     from vers_spark.operators.text_dedup_queries import NEAR_TAIL, _augmented
@@ -630,7 +631,7 @@ def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands = spark.read.parquet(pair_log).dropDuplicates()
     else:
         cands = spark.createDataFrame([], "doc_a long, doc_b long")
-    sh_full = shingle_sets(corpus, 3)
+    sh_full = shingle_array(corpus, 3)
     return (
         jaccard_verify(cands, sh_full, threshold=0.8)
         .orderBy("doc_a", "doc_b")

@@ -277,9 +277,11 @@ def doc_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cw"))
     )
-    total = docs.select(F.explode(toks).alias("w")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
-    )
+    # N = Σ c(w) over the UNPRUNED unigram table — same value as a third
+    # tokenize+explode pass over the corpus, for the cost of one 1-row
+    # aggregate over the (already computed) counts (guide §1.2: don't
+    # compute things twice). Must read uni BEFORE the semi-join prune.
+    total = uni.agg(F.sum("cw").cast("long").alias("n_tokens"))
     big = (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")

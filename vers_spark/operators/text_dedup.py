@@ -37,14 +37,62 @@ def _cpu_spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def shingle_sets(docs: DataFrame, n_shingle: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) — DISTINCT word n-gram shingles per document."""
+def shingle_array(
+    docs: DataFrame, n_shingle: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingles array<string>) — DISTINCT word n-gram shingles per
+    document, computed ROW-LOCALLY (``array_distinct`` over the shingle
+    window transform). Per-doc dedup never needs cross-row data, so the
+    explode + global ``dropDuplicates`` shuffle the old shape paid is pure
+    waste — at 100 TB this stage is embarrassingly parallel, zero exchanges
+    (guide §2.4: remove shuffles outright). Docs with NULL text yield no
+    row (the explode path dropped them implicitly; the filter keeps that
+    contract explicit)."""
     toks = TX.ws_tokens(F.col(text_col))
     return (
         _cpu_spread(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(TX.word_shingles(toks, n_shingle)).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(TX.word_shingles(toks, n_shingle)).alias("shingles"),
+        )
+        .filter(F.col("shingles").isNotNull())
     )
+
+
+def shingle_sets(docs: DataFrame, n_shingle: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word n-gram shingles per document
+    (exploded view of :func:`shingle_array`; same rows as the historical
+    explode + dropDuplicates shape, without its shuffle)."""
+    return shingle_array(docs, n_shingle, id_col, text_col).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+
+
+def _sig_struct(shingles: "F.Column", num_hashes: int, hash_backend: str) -> "F.Column":
+    """STRUCT(h0..h{n-1}) of MinHash values computed row-locally from the
+    per-doc shingle array: one base hash per shingle, then ``num_hashes``
+    affine array-mins — a pure projection, no groupBy. The base-hash array
+    is LET-BOUND via the 1-element-transform trick (functions.text.
+    shingle_hashes): Catalyst does not CSE lambda subtrees, so referencing
+    the md5 transform directly in every array_min would re-hash every
+    shingle ``num_hashes`` times."""
+    base = F.transform(
+        shingles, lambda s: TX.base_hash(s, hash_backend) % F.lit(TX.HASH_PRIME)
+    )
+
+    def mins(b):
+        return F.struct(
+            *[
+                F.array_min(
+                    F.transform(
+                        b, lambda h: (F.lit(a) * h + F.lit(bb)) % F.lit(TX.HASH_PRIME)
+                    )
+                ).alias(f"h{i}")
+                for i, (a, bb) in enumerate(TX.MINHASH_COEFFS[:num_hashes])
+            ]
+        )
+
+    return F.element_at(F.transform(F.array(base), mins), 1)
 
 
 def minhash_signatures(
@@ -59,9 +107,20 @@ def minhash_signatures(
     set, one shuffle (16 min-aggs in a single groupBy, then unpivot).
 
     ``hash_backend``: "md5" (oracle-certified default) | "xxhash64" (the
-    100 TB deployment swap — see functions.text.base_hash)."""
-    sh = shingle_sets(docs, n_shingle, id_col, text_col)
-    return minhash_signatures_from_shingles(sh, num_hashes, hash_backend)
+    100 TB deployment swap — see functions.text.base_hash).
+
+    The signature is a pure PROJECTION over the row-local shingle array
+    (``_sig_struct``): the historical explode → dropDuplicates → groupBy
+    chain shuffled the corpus twice to compute a quantity that only ever
+    depends on one document's own text. Values are bit-identical (same
+    base hash, same affine arithmetic, min over the same distinct set)."""
+    wide = shingle_array(docs, n_shingle, id_col, text_col).select(
+        "doc_id", _sig_struct(F.col("shingles"), num_hashes, hash_backend).alias("_sig")
+    ).select("doc_id", "_sig.*")
+    stack = ", ".join(f"{i}, h{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack}) as (h_idx, min_hash)"
+    ).select("doc_id", F.col("h_idx").cast("int").alias("h_idx"), "min_hash")
 
 
 def minhash_signatures_from_shingles(
@@ -121,23 +180,27 @@ def band_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFram
     )
 
 
-def jaccard_verify(candidates: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs only."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+def jaccard_verify(candidates: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs only, over ROW-LOCAL shingle
+    arrays (``sets`` = :func:`shingle_array` output): two equi-joins attach
+    each side's array, then ``|A ∩ B|`` is one ``array_intersect`` per
+    pair — replacing the historical 3-shuffle chain (join by doc_a, join by
+    (doc_b, shingle), re-aggregate per pair) with per-pair local work. The
+    candidate table is tiny relative to the corpus (banded/pre-filtered),
+    so AQE broadcast-joins it and the corpus side is never shuffled.
+    Arrays are distinct by construction, so size/intersect counts equal the
+    old exploded-row counts exactly; the double arithmetic is unchanged."""
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_shb"))
+    n_inter = F.size(F.array_intersect("_sha", "_shb"))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            / (F.size("_sha") + F.size("_shb") - F.col("n_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -156,21 +219,18 @@ def minhash_neardup_pairs(
     exact-Jaccard verification.
 
     Stage-count discipline (same result as the composable pieces above, fewer
-    shuffles): band keys are computed directly from the wide signature row —
-    h0..h15 are already columns after the ONE signature aggregate, so each
-    band key is a row-local expression and the stack/unpivot → re-groupBy
-    round trip disappears."""
-    # the shingle set feeds signatures AND both sides of the verification
-    # join — materialize it once (at 100 TB this would be a persisted Parquet
-    # intermediate; in-session cache is the same plan shape)
-    sh = shingle_sets(docs, n_shingle).cache()
-    base = TX.base_hash(F.col("shingle"), hash_backend)
-    wide = sh.groupBy("doc_id").agg(
-        *[
-            F.min(TX.minhash_value(base, a, b)).alias(f"h{i}")
-            for i, (a, b) in enumerate(TX.MINHASH_COEFFS[:num_hashes])
-        ]
-    )
+    shuffles): the shingle set, the signature, and every band key are
+    ROW-LOCAL over the per-doc shingle array — the whole candidate-
+    generation side runs with ZERO exchanges before the band self-join
+    (guide §2.4), and verification attaches the arrays with two joins and
+    intersects locally instead of re-shuffling exploded shingle rows."""
+    # the shingle-array table feeds signatures AND both sides of the
+    # verification join — materialize it once (at 100 TB this would be a
+    # persisted Parquet intermediate; in-session cache is the same shape)
+    sets = shingle_array(docs, n_shingle).cache()
+    wide = sets.select(
+        "doc_id", _sig_struct(F.col("shingles"), num_hashes, hash_backend).alias("_sig")
+    ).select("doc_id", "_sig.*")
     n_bands = num_hashes // BAND_SIZE
     band_structs = [
         F.struct(
@@ -186,19 +246,20 @@ def minhash_neardup_pairs(
         "doc_id", "b.band_id", "b.band_key"
     )
     cands = band_candidates(bands, max_bucket=max_bucket)
-    return jaccard_verify(cands, sh, threshold)
+    return jaccard_verify(cands, sets, threshold)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n_shingle: int = 3) -> DataFrame:
     """EXACT n-gram Jaccard similarity join: inverted-index self-join on
     shingle (no hashing, no misses)."""
-    sh = shingle_sets(docs, n_shingle).cache()
+    sets = shingle_array(docs, n_shingle).cache()
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     cands = (
         sa.join(sb, "shingle").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").dropDuplicates()
     )
-    return jaccard_verify(cands, sh, threshold)
+    return jaccard_verify(cands, sets, threshold)
 
 
 def ngram_jaccard_pairs_prefix(
@@ -217,14 +278,15 @@ def ngram_jaccard_pairs_prefix(
     inverted-index join (same DuckDB oracle, equality also test-gated)."""
     from pyspark.sql import Window as W
 
-    sh = shingle_sets(docs, n_shingle).cache()
+    sets = shingle_array(docs, n_shingle).cache()
+    sh = sets.select(
+        "doc_id", F.size("shingles").alias("_n"), F.explode("shingles").alias("shingle")
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
     w = W.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("shingle"))
     pref = (
         sh.join(dfreq, "shingle")
         .withColumn("_pos", F.row_number().over(w))
-        .join(sizes, "doc_id")
         .filter(
             F.col("_pos")
             <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + F.lit(1)
@@ -239,7 +301,7 @@ def ngram_jaccard_pairs_prefix(
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
-    return jaccard_verify(cands, sh, threshold)
+    return jaccard_verify(cands, sets, threshold)
 
 
 def mllib_minhash_exactdup_pairs(
@@ -377,8 +439,9 @@ def containment_pairs(
     a one-sided MinHash bound |A∩B|/|A| via asymmetric signatures), then a
     containment filter on integer intersection counts — the division
     n_inter/|A| is one exact f64 op, engine-identical."""
-    sh = shingle_sets(docs, n_shingle).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sets = shingle_array(docs, n_shingle).cache()
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sets.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

@@ -310,7 +310,11 @@ def neardup_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vers_spark.operators.graph import connected_components_star, dedup_survivors
 
     pairs = _minhash_pairs(spark, sf_dir)
-    comp = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    # driver_cap=0: this row CERTIFIES the distributed star plan under the
+    # driver oracle — the scale-adaptive union-find fast path (default cap)
+    # would collapse it to the same code path neardup_components already
+    # certifies, leaving the star alternation without a driver row
+    comp = connected_components_star(pairs, src="doc_a", dst="doc_b", driver_cap=0)
     return dedup_survivors(comp).orderBy("doc_id")
 
 
