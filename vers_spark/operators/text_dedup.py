@@ -68,31 +68,28 @@ def shingle_sets(docs: DataFrame, n_shingle: int = 3, id_col: str = "doc_id", te
     )
 
 
-def _sig_struct(shingles: "F.Column", num_hashes: int, hash_backend: str) -> "F.Column":
-    """STRUCT(h0..h{n-1}) of MinHash values computed row-locally from the
-    per-doc shingle array: one base hash per shingle, then ``num_hashes``
-    affine array-mins — a pure projection, no groupBy. The base-hash array
-    is LET-BOUND via the 1-element-transform trick (functions.text.
-    shingle_hashes): Catalyst does not CSE lambda subtrees, so referencing
-    the md5 transform directly in every array_min would re-hash every
-    shingle ``num_hashes`` times."""
-    base = F.transform(
-        shingles, lambda s: TX.base_hash(s, hash_backend) % F.lit(TX.HASH_PRIME)
+def _sig_wide(sets: DataFrame, num_hashes: int, hash_backend: str) -> DataFrame:
+    """(doc_id, h0..h{n-1}) MinHash signature table from the row-local
+    shingle arrays: explode (NO dedup shuffle — the arrays are already
+    distinct) then ONE groupBy(doc_id) whose 16 min-aggregates share the
+    scalar base-hash subexpression under whole-stage codegen.
+
+    Deliberately NOT a row-local array_min projection: higher-order-function
+    lambdas are CodegenFallback with no subexpression elimination, and
+    CollapseProject inlines a struct-of-16-lambdas once per field reference
+    — measured ~5× slower end-to-end than this aggregate shape (the md5
+    transform re-evaluated per referencing expression). The aggregate keys
+    on doc_id with map-side partial combine, so the exchange carries one
+    17-column row per document — the same bytes the projection shape would
+    have shuffled into the band join anyway."""
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    base = TX.base_hash(F.col("shingle"), hash_backend)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(TX.minhash_value(base, a, b)).alias(f"h{i}")
+            for i, (a, b) in enumerate(TX.MINHASH_COEFFS[:num_hashes])
+        ]
     )
-
-    def mins(b):
-        return F.struct(
-            *[
-                F.array_min(
-                    F.transform(
-                        b, lambda h: (F.lit(a) * h + F.lit(bb)) % F.lit(TX.HASH_PRIME)
-                    )
-                ).alias(f"h{i}")
-                for i, (a, bb) in enumerate(TX.MINHASH_COEFFS[:num_hashes])
-            ]
-        )
-
-    return F.element_at(F.transform(F.array(base), mins), 1)
 
 
 def minhash_signatures(
@@ -109,14 +106,15 @@ def minhash_signatures(
     ``hash_backend``: "md5" (oracle-certified default) | "xxhash64" (the
     100 TB deployment swap — see functions.text.base_hash).
 
-    The signature is a pure PROJECTION over the row-local shingle array
-    (``_sig_struct``): the historical explode → dropDuplicates → groupBy
-    chain shuffled the corpus twice to compute a quantity that only ever
-    depends on one document's own text. Values are bit-identical (same
-    base hash, same affine arithmetic, min over the same distinct set)."""
-    wide = shingle_array(docs, n_shingle, id_col, text_col).select(
-        "doc_id", _sig_struct(F.col("shingles"), num_hashes, hash_backend).alias("_sig")
-    ).select("doc_id", "_sig.*")
+    Shuffle discipline: per-doc shingle dedup is row-local (array_distinct,
+    :func:`shingle_array`) so the historical global dropDuplicates exchange
+    is gone; the one remaining shuffle is the signature aggregate itself
+    (``_sig_wide`` — see its docstring for why an aggregate, not a
+    row-local array_min projection). Values are bit-identical (same base
+    hash, same affine arithmetic, min over the same distinct set)."""
+    wide = _sig_wide(
+        shingle_array(docs, n_shingle, id_col, text_col), num_hashes, hash_backend
+    )
     stack = ", ".join(f"{i}, h{i}" for i in range(num_hashes))
     return wide.selectExpr(
         "doc_id", f"stack({num_hashes}, {stack}) as (h_idx, min_hash)"
@@ -218,19 +216,18 @@ def minhash_neardup_pairs(
     """Full MinHash-LSH dedup pipeline: signatures → bands → candidate pairs →
     exact-Jaccard verification.
 
-    Stage-count discipline (same result as the composable pieces above, fewer
-    shuffles): the shingle set, the signature, and every band key are
-    ROW-LOCAL over the per-doc shingle array — the whole candidate-
-    generation side runs with ZERO exchanges before the band self-join
-    (guide §2.4), and verification attaches the arrays with two joins and
-    intersects locally instead of re-shuffling exploded shingle rows."""
+    Stage-count discipline (same result as the composable pieces above,
+    fewer shuffles): per-doc shingle dedup is row-local (array_distinct —
+    the old global dropDuplicates exchange is gone), signatures are ONE
+    codegen'd aggregate (see ``_sig_wide``), band keys are row-local
+    expressions over the wide signature row, and verification attaches the
+    per-doc shingle arrays with two joins and intersects locally instead of
+    re-shuffling exploded shingle rows (guide §2.4)."""
     # the shingle-array table feeds signatures AND both sides of the
     # verification join — materialize it once (at 100 TB this would be a
     # persisted Parquet intermediate; in-session cache is the same shape)
     sets = shingle_array(docs, n_shingle).cache()
-    wide = sets.select(
-        "doc_id", _sig_struct(F.col("shingles"), num_hashes, hash_backend).alias("_sig")
-    ).select("doc_id", "_sig.*")
+    wide = _sig_wide(sets, num_hashes, hash_backend)
     n_bands = num_hashes // BAND_SIZE
     band_structs = [
         F.struct(
