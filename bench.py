@@ -301,11 +301,18 @@ def _minima(
 
 
 def _journal_sample(
-    timings: dict[str, float], spin: dict[str, float], fps: dict[str, str]
+    timings: dict[str, float],
+    spin: dict[str, float],
+    fps: dict[str, str],
+    spin_base: float = 0.0,
 ) -> None:
     """Append this run's per-line timings (stamped with their code
     fingerprints) to the samples journal so manual runs between driver
-    rounds also feed the minima floor."""
+    rounds also feed the minima floor. ``spin_base`` (ms) records the run's
+    absolute single-thread speed: per-line contention ratios are relative
+    to it, so without it two samples from differently-loaded hosts are not
+    comparable even at ratio 1.0 (r14 lesson — the round-13→14 host ran
+    2-5× slower and the journal couldn't show it)."""
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, ".bench_samples.jsonl"), "a") as fh:
@@ -313,6 +320,7 @@ def _journal_sample(
                 json.dumps(
                     {
                         "ts": round(time.time()),
+                        "spin_base_ms": spin_base,
                         "queries": timings,
                         "contention": spin,
                         "fp": fps,
@@ -416,7 +424,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     fps = _line_fps(qmap, headline)
-    _journal_sample(timings, spin, fps)
+    _journal_sample(timings, spin, fps, spin_base)
     minima = _minima(timings, fps)
     # Field ORDER is load-bearing (VERDICT r9 minor): the driver's artifact
     # keeps only the last ~2,000 chars of stdout, i.e. the TAIL of this line.

@@ -46,16 +46,21 @@ def shingle_array(
     explode + global ``dropDuplicates`` shuffle the old shape paid is pure
     waste — at 100 TB this stage is embarrassingly parallel, zero exchanges
     (guide §2.4: remove shuffles outright). Docs with NULL text yield no
-    row (the explode path dropped them implicitly; the filter keeps that
-    contract explicit)."""
+    row (the explode path dropped them implicitly). The null filter sits on
+    the SOURCE column, not the computed array: a filter on the projected
+    alias would be pushed below the projection with the expression
+    substituted in, evaluating the whole tokenize+shingle+distinct chain
+    twice per row (the guide §4.4 duplication, with built-ins) — and
+    ``shingles`` is null exactly iff ``text`` is null (ws_tokens is a
+    split/trim/lower chain, word_shingles a null-propagating transform)."""
     toks = TX.ws_tokens(F.col(text_col))
     return (
         _cpu_spread(docs)
+        .filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),
             F.array_distinct(TX.word_shingles(toks, n_shingle)).alias("shingles"),
         )
-        .filter(F.col("shingles").isNotNull())
     )
 
 
