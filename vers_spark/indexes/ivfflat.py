@@ -906,34 +906,26 @@ def lloyd_fixed(
     all_clusters = spark.range(k).select(F.col("id").cast("int").alias("cluster_id"))
     for _ in range(iters):
         a = _assign(centroids)
-        # ONE groupBy(cluster_id) with a fixed-point BIGINT sum per
-        # dimension — the historical shape exploded n·dims rows and paid a
-        # second (cluster, dim) shuffle plus a collect_list/array_sort
-        # reassembly per iteration. Per-dim long sums are order-independent
-        # integer arithmetic, so the centroids are bit-identical; map-side
-        # partial aggregation shrinks the exchange to k rows × dims columns
-        # per task (guide §2.3: aggregate before you shuffle).
         sums = (
-            a.groupBy("cluster_id")
+            a.select("cluster_id", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cluster_id", "dim")
             .agg(
+                F.sum(F.round(F.col("x").cast("double") * F.lit(1e8)).cast("long")).alias("sx"),
                 F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.round(
-                            F.element_at("emb", i + 1).cast("double") * F.lit(1e8)
-                        ).cast("long")
-                    ).alias(f"_s{i}")
-                    for i in range(dims)
-                ],
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.max("n").alias("n"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "sx"))),
+                    lambda st: st["sx"],
+                ).alias("csum"),
             )
             .select(
                 "cluster_id",
-                F.array(
-                    *[
-                        F.col(f"_s{i}").cast("double")
-                        / (F.col("n") * F.lit(100000000)).cast("double")
-                        for i in range(dims)
-                    ]
+                F.transform(
+                    "csum",
+                    lambda s: s.cast("double") / (F.col("n") * F.lit(100000000)).cast("double"),
                 ).alias("centroid"),
             )
         )
@@ -1047,66 +1039,32 @@ def lloyd_fixed_multi(
         .select(F.col("id").cast("int").alias("j"))
         .crossJoin(spark.range(k).select(F.col("id").cast("int").alias("cluster_id")))
     )
-    lengths = {ln for _, ln in slices}
-    uniform_len = lengths.pop() if len(lengths) == 1 else None
     for _ in range(iters):
         a = _assign(centroids)
-        if uniform_len is not None:
-            # uniform subspace width (the PQ case): ONE (j, cluster)
-            # groupBy with a fixed-point BIGINT sum per dimension — same
-            # single-shuffle restructure as lloyd_fixed (order-independent
-            # integer sums, bit-identical centroids), replacing the
-            # explode + (j, cluster, dim) shuffle + collect_list reassembly.
-            sums = (
-                a.groupBy("j", "cluster_id")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(
-                            F.round(
-                                F.element_at("emb", i + 1).cast("double") * F.lit(1e8)
-                            ).cast("long")
-                        ).alias(f"_s{i}")
-                        for i in range(uniform_len)
-                    ],
-                )
-                .select(
-                    "j",
-                    "cluster_id",
-                    F.array(
-                        *[
-                            F.col(f"_s{i}").cast("double")
-                            / (F.col("n") * F.lit(100000000)).cast("double")
-                            for i in range(uniform_len)
-                        ]
-                    ).alias("centroid"),
-                )
+        sums = (
+            a.select("j", "cluster_id", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("j", "cluster_id", "dim")
+            .agg(
+                F.sum(F.round(F.col("x").cast("double") * F.lit(1e8)).cast("long")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
             )
-        else:
-            sums = (
-                a.select("j", "cluster_id", F.posexplode("emb").alias("dim", "x"))
-                .groupBy("j", "cluster_id", "dim")
-                .agg(
-                    F.sum(F.round(F.col("x").cast("double") * F.lit(1e8)).cast("long")).alias("sx"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .groupBy("j", "cluster_id")
-                .agg(
-                    F.max("n").alias("n"),
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("dim", "sx"))),
-                        lambda st: st["sx"],
-                    ).alias("csum"),
-                )
-                .select(
-                    "j",
-                    "cluster_id",
-                    F.transform(
-                        "csum",
-                        lambda s: s.cast("double") / (F.col("n") * F.lit(100000000)).cast("double"),
-                    ).alias("centroid"),
-                )
+            .groupBy("j", "cluster_id")
+            .agg(
+                F.max("n").alias("n"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "sx"))),
+                    lambda st: st["sx"],
+                ).alias("csum"),
             )
+            .select(
+                "j",
+                "cluster_id",
+                F.transform(
+                    "csum",
+                    lambda s: s.cast("double") / (F.col("n") * F.lit(100000000)).cast("double"),
+                ).alias("centroid"),
+            )
+        )
         centroids = all_pairs.join(F.broadcast(sums), ["j", "cluster_id"], "left").select(
             "j", "cluster_id", F.coalesce("centroid", zero).alias("centroid")
         )
