@@ -230,8 +230,13 @@ def minhash_neardup_pairs(
     re-shuffling exploded shingle rows (guide §2.4)."""
     # the shingle-array table feeds signatures AND both sides of the
     # verification join — materialize it once (at 100 TB this would be a
-    # persisted Parquet intermediate; in-session cache is the same shape)
-    sets = shingle_array(docs, n_shingle).cache()
+    # persisted Parquet intermediate). localCheckpoint, not .cache(): the
+    # columnar cache builder does a per-value UnsafeArrayData copy for
+    # nested array<string> columns, measured ~20% slower end-to-end than
+    # storing the task outputs as serialized rows (r14 variants study,
+    # tools/r14_minhash_variants.py; no-materialization is 4× worse — the
+    # md5-bound chain would run once per consumer).
+    sets = shingle_array(docs, n_shingle).localCheckpoint(eager=True)
     wide = _sig_wide(sets, num_hashes, hash_backend)
     n_bands = num_hashes // BAND_SIZE
     band_structs = [
@@ -254,7 +259,7 @@ def minhash_neardup_pairs(
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n_shingle: int = 3) -> DataFrame:
     """EXACT n-gram Jaccard similarity join: inverted-index self-join on
     shingle (no hashing, no misses)."""
-    sets = shingle_array(docs, n_shingle).cache()
+    sets = shingle_array(docs, n_shingle).localCheckpoint(eager=True)
     sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -280,7 +285,7 @@ def ngram_jaccard_pairs_prefix(
     inverted-index join (same DuckDB oracle, equality also test-gated)."""
     from pyspark.sql import Window as W
 
-    sets = shingle_array(docs, n_shingle).cache()
+    sets = shingle_array(docs, n_shingle).localCheckpoint(eager=True)
     sh = sets.select(
         "doc_id", F.size("shingles").alias("_n"), F.explode("shingles").alias("shingle")
     )
@@ -383,7 +388,12 @@ def simhash_neardup_pairs(
     ``max_bucket``: same skew guard as :func:`band_candidates` — chunk values
     shared by more than ``max_bucket`` documents are dropped before the
     self-join (default None = exact, the oracle configuration)."""
-    sim = simhash(docs, hash_backend=hash_backend)
+    # the signature table feeds BOTH sides of the banded self-join (the
+    # build side is a BroadcastExchange, which can never reuse the probe
+    # side's shuffle), so without materialization the tokenize + 32-vote
+    # aggregate runs twice (r14 plan: two full signature pipelines).
+    # Materialize once — 2 longs/doc, the shingle-frame discipline.
+    sim = simhash(docs, hash_backend=hash_backend).localCheckpoint(eager=True)
     chunks = sim.select(
         "doc_id",
         "simhash",
@@ -441,7 +451,7 @@ def containment_pairs(
     a one-sided MinHash bound |A∩B|/|A| via asymmetric signatures), then a
     containment filter on integer intersection counts — the division
     n_inter/|A| is one exact f64 op, engine-identical."""
-    sets = shingle_array(docs, n_shingle).cache()
+    sets = shingle_array(docs, n_shingle).localCheckpoint(eager=True)
     sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sets.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
