@@ -944,7 +944,13 @@ def mm_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["media_id", "bands"])
 
-    fps = media.mapInPandas(fingerprint, "media_id long, bands array<int>")
+    # decode+fingerprint feeds both sides of the banded self-join (the
+    # broadcast build side cannot reuse the probe side's work), so without
+    # materialization every payload is synthesized and decoded TWICE
+    # (r14 plan: 4 MapInPandas nodes -> 2)
+    fps = media.mapInPandas(
+        fingerprint, "media_id long, bands array<int>"
+    ).localCheckpoint(eager=True)
     pairs = phash_neardup_pairs(
         fps, max_hamming=g_rows - 1, n_bands=g_rows, n_hint=n_fp
     )
@@ -994,7 +1000,9 @@ def mm_phash_neardup_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["media_id", "bands"],
             )
 
-    fps = roster.mapInPandas(fingerprint, "media_id long, bands array<int>")
+    fps = roster.mapInPandas(
+        fingerprint, "media_id long, bands array<int>"
+    ).localCheckpoint(eager=True)  # one Python pass, not one per join side
     # n_hint: static bound — doc_id < 200 caps the base roster at 200 and
     # the injected dups at 100 (every second), so ≤ 300 fingerprints
     return phash_neardup_pairs(fps, max_hamming=7, n_bands=8, n_hint=300)
@@ -1113,9 +1121,11 @@ def mm_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "bands"])
 
+    # container-walk + JPEG decode runs once, not once per join side
+    # (the mm_image materialization rationale)
     fps = roster.mapInPandas(
         fingerprint, "media_id long, frame_idx int, bands array<int>"
-    )
+    ).localCheckpoint(eager=True)
     pairs = video_pair_overlap(
         fps, max_hamming=g_rows - 1, n_bands=g_rows, n_hint=n_frames
     )
@@ -1169,7 +1179,7 @@ def mm_video_phash_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fps = roster.mapInPandas(
         fingerprint, "media_id long, frame_idx int, bands array<int>"
-    )
+    ).localCheckpoint(eager=True)  # one Python pass, not one per join side
     # n_hint: doc_id < 200 ∧ doc_id ≡ 2 (mod 3) caps the base roster at 67
     # videos (+ ≤ 34 every-second dups) = ≤ 101 videos × 4 frames ≤ 404
     # frame fingerprints — static bound, below the default caps
@@ -1297,7 +1307,13 @@ def mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(m), MC.audio_energy_bands(samples, n_win, b_bits)))
             yield pd.DataFrame(rows, columns=["media_id", "bands"])
 
-    fps = media.mapInPandas(fingerprint, "media_id long, bands array<int>")
+    # decode+fingerprint feeds both sides of the banded self-join (the
+    # broadcast build side cannot reuse the probe side's work), so without
+    # materialization every payload is synthesized and decoded TWICE
+    # (r14 plan: 4 MapInPandas nodes -> 2)
+    fps = media.mapInPandas(
+        fingerprint, "media_id long, bands array<int>"
+    ).localCheckpoint(eager=True)
     pairs = phash_neardup_pairs(
         fps, max_hamming=n_bands - 1, n_bands=n_bands, n_hint=n_fp
     )
@@ -1362,7 +1378,9 @@ def mm_audio_fp_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(m), MC.audio_energy_bands(s)))
             yield pd.DataFrame(rows, columns=["media_id", "bands"])
 
-    fps = roster.mapInPandas(fingerprint, "media_id long, bands array<int>")
+    fps = roster.mapInPandas(
+        fingerprint, "media_id long, bands array<int>"
+    ).localCheckpoint(eager=True)  # one Python pass, not one per join side
     # n_hint: doc_id < 200 ∧ doc_id ≡ 1 (mod 3) → ≤ 67 base + ≤ 34 dups
     # = ≤ 101 fingerprints (static bound, below the default caps)
     return phash_neardup_pairs(fps, max_hamming=7, n_bands=8, n_hint=101)

@@ -56,7 +56,10 @@ def embedding_neardup_pairs(
     forest = LSHForestIndex.build(
         emb, num_trees=num_trees, max_node_size=max_node_size, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    paths = _corpus_paths(forest, emb, id_col, vec_col)
+    # paths feeds both sides of the bucket self-join; unmaterialized, the
+    # dupes anti-join + the array-valued q_vec equi-join inside
+    # _corpus_paths run once per side (r14 plan: 4 corpus scans → 2)
+    paths = _corpus_paths(forest, emb, id_col, vec_col).localCheckpoint(eager=True)
     a = paths.select("tree_id", "path", F.col("query_id").alias("id_a"), F.col("q_vec").alias("va"))
     b = paths.select("tree_id", "path", F.col("query_id").alias("id_b"), F.col("q_vec").alias("vb"))
     cands = (
@@ -90,7 +93,8 @@ def embedding_cosine_neardup_pairs(
     forest = LSHForestIndex.build(
         unit, num_trees=num_trees, max_node_size=max_node_size, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    paths = _corpus_paths(forest, unit, id_col, vec_col)
+    # same both-sides materialization as embedding_neardup_pairs above
+    paths = _corpus_paths(forest, unit, id_col, vec_col).localCheckpoint(eager=True)
     a = paths.select("tree_id", "path", F.col("query_id").alias("id_a"), F.col("q_vec").alias("va"))
     b = paths.select("tree_id", "path", F.col("query_id").alias("id_b"), F.col("q_vec").alias("vb"))
     cands = (

@@ -532,9 +532,20 @@ def evt_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ntile_of_rank(F.col("_rk"), n, 5).alias(alias),
         )
 
-    r_t = tiles(["recency_h"], "r", F.asc("recency_h"), F.asc("user_id"))
-    f_t = tiles(["freq"], "f", F.desc("freq"), F.asc("user_id"))
-    m_t = tiles(["_money"], "m", F.desc("_money"), F.asc("user_id"))
+    # The three quintile branches are independent and each runs two driver
+    # actions (the rank checkpoint + the offsets collect) over the SAME
+    # already-checkpointed per-user frame; submitting them from a small
+    # thread pool lets each branch's jobs back-fill the others' stage tails
+    # (guide §2.6) instead of serializing ~6 driver round-trips. Results
+    # are unchanged: every branch is deterministic in isolation (range
+    # partition + local rank + offsets) and the final join is associative.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_r = pool.submit(tiles, ["recency_h"], "r", F.asc("recency_h"), F.asc("user_id"))
+        fut_f = pool.submit(tiles, ["freq"], "f", F.desc("freq"), F.asc("user_id"))
+        fut_m = pool.submit(tiles, ["_money"], "m", F.desc("_money"), F.asc("user_id"))
+        r_t, f_t, m_t = fut_r.result(), fut_f.result(), fut_m.result()
     scored = m_t.join(r_t, "user_id").join(f_t, "user_id")
     return (
         scored.groupBy("r", "f", "m")

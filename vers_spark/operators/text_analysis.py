@@ -272,17 +272,21 @@ def doc_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    uni = (
+    # Materialize the two corpus aggregates ONCE. The unpruned unigram
+    # table has three consumers (the N total, and the two c_x/c_y join
+    # sides via the prune) and the bigram table has three (the surviving-
+    # word union reads it twice, the scored join once); every broadcast
+    # side rebuilds its whole lineage, so the round-start plan tokenized
+    # the corpus EIGHT times (plans/r14/doc_collocation_pmi_before.txt:
+    # 8 Scan parquet + Generate + partial-agg pipelines). Checkpointing
+    # uni (Heaps-bounded vocabulary) and the min-count-filtered big cuts
+    # that to the 2 fundamental passes (one per n-gram order).
+    uni_plan = (
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cw"))
     )
-    # N = Σ c(w) over the UNPRUNED unigram table — same value as a third
-    # tokenize+explode pass over the corpus, for the cost of one 1-row
-    # aggregate over the (already computed) counts (guide §1.2: don't
-    # compute things twice). Must read uni BEFORE the semi-join prune.
-    total = uni.agg(F.sum("cw").cast("long").alias("n_tokens"))
-    big = (
+    big_plan = (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
@@ -290,12 +294,28 @@ def doc_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
     )
+    # the two corpus passes are independent — overlap their materializing
+    # jobs from driver threads (guide §2.6) so the bigram pass back-fills
+    # the unigram pass's stage tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_u = pool.submit(lambda: uni_plan.localCheckpoint(eager=True))
+        fut_b = pool.submit(lambda: big_plan.localCheckpoint(eager=True))
+        uni, big = fut_u.result(), fut_b.result()
+    # N = Σ c(w) over the UNPRUNED unigram table — same value as a third
+    # tokenize+explode pass over the corpus, for the cost of one 1-row
+    # aggregate over the (already materialized) counts (guide §1.2: don't
+    # compute things twice). Must read uni BEFORE the semi-join prune.
+    total = uni.agg(F.sum("cw").cast("long").alias("n_tokens"))
     surviving = (
         big.select(F.col("w1").alias("w"))
         .unionByName(big.select(F.col("w2").alias("w")))
         .distinct()
     )
-    uni = uni.join(surviving, "w", "left_semi")
+    # the pruned table is read by two join sides; bounded by 2× surviving
+    # bigrams, so the third checkpoint is output-sized
+    uni = uni.join(surviving, "w", "left_semi").localCheckpoint(eager=True)
     scored = (
         big.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c_x"), "w1")
         .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c_y"), "w2")
@@ -468,19 +488,30 @@ def doc_hll_distinct(
         F.bit_count(w.bitwiseAND(-w) - F.lit(1)) + F.lit(1)
     )
     cells = hs.select(
-        (h % HLL_M).cast("int").alias("bucket"), rho.cast("int").alias("rho"), "h"
+        (h % HLL_M).cast("int").alias("bucket"), rho.cast("int").alias("rho")
     ).localCheckpoint(eager=False)
-    regs = cells.groupBy("bucket").agg(F.max("rho").alias("register"))
+    # ONE aggregate pass over the distinct-hash table yields BOTH the
+    # register (max rho) and the per-bucket distinct count, whose sum over
+    # buckets IS exact_n — the r14 plan had three scans of the checkpointed
+    # cells (regs rebuilt under the stats branch AND the hist branch, plus
+    # the exact count), i.e. the register aggregate ran twice and the big
+    # table was passed three times for one 1024-row summary.
+    regs = cells.groupBy("bucket").agg(
+        F.max("rho").alias("register"),
+        F.count(F.lit(1)).cast("long").alias("_bn"),
+    )
     spine = spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
     full = spine.join(F.broadcast(regs), "bucket", "left").select(
-        "bucket", F.coalesce(F.col("register"), F.lit(0)).cast("int").alias("register")
-    )
+        "bucket",
+        F.coalesce(F.col("register"), F.lit(0)).cast("int").alias("register"),
+        F.coalesce(F.col("_bn"), F.lit(0)).cast("long").alias("_bn"),
+    ).localCheckpoint(eager=False)  # 1024 rows, three consumers below
     stats = full.agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - register)"))
         .cast("long")
         .alias("sum_fp")
     )
-    exact = cells.agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    exact = full.agg(F.sum("_bn").cast("long").alias("exact_n"))
     hist = full.groupBy("register").agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
     return (
         hist.crossJoin(F.broadcast(stats))
