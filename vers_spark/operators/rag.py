@@ -483,11 +483,16 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.ws_tokens(F.col("text"))
+    # per feeds BOTH the 1-row stats aggregate (a broadcast build side,
+    # which can never reuse the probe side's work) and the scoring scan —
+    # without materialization the tokenize+5-count pipeline runs twice
+    # (r14 plan: 2 corpus Scan parquet -> 1). The frame is corpus-rows but
+    # only 6 numeric columns wide, so the checkpoint is narrow.
     per = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("dl"),
         *[_tf(toks, t).cast("long").alias(f"tf_{t}") for t in BM25_TERMS],
-    )
+    ).localCheckpoint(eager=True)
     stats = per.agg(
         F.sum("dl").cast("long").alias("sum_dl"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
