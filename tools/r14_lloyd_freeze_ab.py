@@ -27,7 +27,7 @@ from vers_spark.sources.tables import load_table  # noqa: E402
 from vers_spark.indexes.ivfflat import lloyd_fixed  # noqa: E402
 
 
-def build_df(spark, sf_dir: str, materialize: bool):
+def build_df(spark, sf_dir: str, materialize):
     cents, _ = lloyd_fixed(
         load_table(spark, sf_dir, "embeddings"),
         k=8,
@@ -50,15 +50,16 @@ def main() -> None:
 
     # exact-equality gate first (frozen f64 round-trip must be bit-identical)
     a = build_df(spark, sf_dir, False).collect()
-    b = build_df(spark, sf_dir, True).collect()
-    assert len(a) == len(b), (len(a), len(b))
-    for ra, rb in zip(a, b):
-        assert ra == rb, (ra, rb)
-    print(f"equality: {len(a)} rows identical", flush=True)
+    for mat in (True, "last"):
+        b = build_df(spark, sf_dir, mat).collect()
+        assert len(a) == len(b), (len(a), len(b))
+        for ra, rb in zip(a, b):
+            assert ra == rb, (ra, rb)
+    print(f"equality: {len(a)} rows identical across all 3 modes", flush=True)
 
-    times: dict[str, list[float]] = {"lazy": [], "frozen": []}
+    times: dict[str, list[float]] = {"lazy": [], "frozen": [], "last": []}
     for rep in range(reps):
-        for name, mat in (("lazy", False), ("frozen", True)):
+        for name, mat in (("lazy", False), ("frozen", True), ("last", "last")):
             spark.sparkContext.setJobDescription(f"lloyd_{name}_rep{rep}")
             t0 = time.perf_counter()
             build_df(spark, sf_dir, mat).write.format("noop").mode(

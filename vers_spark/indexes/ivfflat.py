@@ -832,7 +832,7 @@ def lloyd_fixed(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    materialize: bool = False,
+    materialize: bool | str = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (centroids, final_assignments):
     centroids(cluster_id int, centroid array<double>, n_assigned long,
@@ -850,7 +850,13 @@ def lloyd_fixed(
       next iteration a LITERAL DataFrame — every job's plan is one
       iteration deep, so MULTI-BRANCH consumers (e.g. PQ's codes + distance
       tables) don't execute the chain once per branch. The DataFrame
-      analogue of checkpointing the model between iterations."""
+      analogue of checkpointing the model between iterations.
+    - "last": one collect AFTER the loop only — the returned centroids are
+      a literal, so the stats branch and every downstream consumer stop
+      re-executing the training chain per branch, while the iterations
+      themselves still pipeline as one fused job (no per-iteration driver
+      round-trip). 9 corpus scans -> 5 for the build query's single action,
+      at the cost of one tiny collect."""
     from vers_spark.functions.text import stable_hash60
 
     spark = data.sparkSession
@@ -899,7 +905,7 @@ def lloyd_fixed(
             "cluster_id int, centroid array<double>",
         )
 
-    if materialize:
+    if materialize is True:
         centroids = _freeze(centroids)
 
     zero = F.array(*[F.lit(0.0) for _ in range(dims)])
@@ -932,8 +938,10 @@ def lloyd_fixed(
         centroids = all_clusters.join(F.broadcast(sums), "cluster_id", "left").select(
             "cluster_id", F.coalesce("centroid", zero).alias("centroid")
         )
-        if materialize:
+        if materialize is True:
             centroids = _freeze(centroids)
+    if materialize == "last":
+        centroids = _freeze(centroids)
 
     final = _assign(centroids)
     stats = (
