@@ -397,6 +397,27 @@ def test_fixed_lloyd_partitioning_invariance(spark, sf_dir):
     assert r1 == r32
 
 
+def test_fixed_lloyd_materialize_parity(spark, sf_dir):
+    """All three materialize modes (lazy / per-iteration freeze / final
+    freeze) return bit-identical centroids, counts, and costs — the freeze
+    is a plan-shape change only (f64 round-trips through Python floats
+    exactly). "last" is what _lloyd_fixed ships with."""
+    from vers_spark.indexes.ivfflat import lloyd_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def snap(mat):
+        cents, _ = lloyd_fixed(emb, k=4, iters=2, materialize=mat)
+        return {
+            r["cluster_id"]: (r["centroid"], r["n_assigned"], r["cost_fp"])
+            for r in cents.collect()
+        }
+
+    lazy = snap(False)
+    assert snap("last") == lazy
+    assert snap(True) == lazy
+
+
 def test_triplet_mining_oracle(spark, sf_dir):
     from tests.oracle import assert_oracle_match
     from vers_spark.operators import index_queries as IQ
