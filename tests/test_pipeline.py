@@ -214,15 +214,26 @@ def test_kcore_hand_graph_and_fixpoint(spark, sf_dir):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["core_degree"] for r in kcore(df, k=2, rounds=4).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 20: 2, 21: 2, 22: 2}
+    # regime parity: the driver-side peel (default, below driver_cap) and
+    # the distributed rounds (driver_cap=0) return the identical node set
+    # and degrees — the same parity contract as connected_components'
+    assert got == {
+        r["node"]: r["core_degree"]
+        for r in kcore(df, k=2, rounds=4, driver_cap=0).collect()
+    }
 
     pairs = _minhash_pairs(spark, sf_dir)
     at_n = {
         (r["node"], r["core_degree"])
         for r in kcore(pairs, KCORE_K, KCORE_ROUNDS, "doc_a", "doc_b").collect()
     }
+    # convergence of the DISTRIBUTED fixed-round peel (driver_cap=0: the
+    # driver regime's early fixpoint break would make this check vacuous)
     extra = {
         (r["node"], r["core_degree"])
-        for r in kcore(pairs, KCORE_K, KCORE_ROUNDS + 1, "doc_a", "doc_b").collect()
+        for r in kcore(
+            pairs, KCORE_K, KCORE_ROUNDS + 1, "doc_a", "doc_b", driver_cap=0
+        ).collect()
     }
     assert at_n == extra and at_n  # converged, and the core is non-trivial
 

@@ -532,7 +532,7 @@ def test_iterative_lineage_bounded(spark, sf_dir):
     assert "ExistingRDD" in cc_plan
     assert len(cc_plan) < 20_000, len(cc_plan)
 
-    kc = kcore(edges, k=3, rounds=6)
+    kc = kcore(edges, k=3, rounds=6, driver_cap=0)  # distributed path
     kc_plan = audit.executed_plan(kc)
     assert "ExistingRDD" in kc_plan
     assert len(kc_plan) < 20_000, len(kc_plan)

@@ -228,6 +228,7 @@ def kcore(
     rounds: int,
     src: str = "src",
     dst: str = "dst",
+    driver_cap: int = 1_000_000,
 ) -> DataFrame:
     """k-core of an undirected graph given as ordered pairs (src < dst):
     iteratively peel nodes of degree < k until the fixpoint; the survivors
@@ -245,16 +246,44 @@ def kcore(
     of the edge list against the survivor set (all on node keys — shuffle
     partitioning is reused across the chain); lineage localCheckpointed
     every 3 rounds. Returns (node, core_degree) for surviving nodes —
-    core_degree is the node's degree INSIDE the k-core."""
+    core_degree is the node's degree INSIDE the k-core.
+
+    ``driver_cap``: the same scale-adaptive regime switch as
+    :func:`connected_components` — at or below the cap the collected edge
+    list peels on the driver (bit-identical output: the peel is a
+    deterministic fixpoint of the edge multiset, independent of execution
+    strategy; parity is pytest-gated), because the distributed path's
+    per-round cost is a degree shuffle + two semi-joins + an eager
+    checkpoint, pure fixed overhead on a few-thousand-edge dup graph.
+    Pass ``driver_cap=0`` to force the distributed rounds."""
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    if driver_cap and e.count() <= driver_cap:
+        rows = [(int(a), int(b)) for a, b in e.collect()]
+        for _ in range(rounds):
+            deg: dict[int, int] = {}
+            for a, b in rows:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            kept = [(a, b) for a, b in rows if deg[a] >= k and deg[b] >= k]
+            if len(kept) == len(rows):
+                break  # fixpoint: every later round is a no-op
+            rows = kept
+        out: dict[int, int] = {}
+        for a, b in rows:
+            out[a] = out.get(a, 0) + 1
+            out[b] = out.get(b, 0) + 1
+        return edges.sparkSession.createDataFrame(
+            list(out.items()), "node long, core_degree long"
+        )
     # EAGER checkpoint per round: each round's plan references the edge set
     # three times (two degree branches + the filter base), and Catalyst does
     # not CSE whole subtrees — lazy lineage would re-expand the upstream
     # pair-generation pipeline ~3x per round (measured 48 s -> ~5 s at
     # sf0.01 on the banded near-dup graph). The edge list is tiny (only
     # dup-pair members), so the per-round materialization is cheap.
-    e = edges.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = (
             e.select(F.col("a").alias("node"))
