@@ -199,7 +199,15 @@ def connected_components_star(
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionAll(smin.select("src", F.col("m").alias("dst")))
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the probe collect directly below is this
+            # frame's first (and sole) consumer, so it materializes the
+            # checkpoint in ITS job — one driver action per round instead
+            # of two. The next round's three references then read the
+            # already-materialized RDD, so the multi-reference re-expansion
+            # hazard (which forces EAGER in kcore, where no action runs
+            # between rounds) cannot arise. Measured 2.83 -> 2.26 s
+            # min-of-5 interleaved on the sf0.1 dup graph, rows identical.
+            .localCheckpoint(eager=False)
         )
         e = ss
         p = e.agg(
