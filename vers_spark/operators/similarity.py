@@ -58,8 +58,11 @@ def embedding_neardup_pairs(
     )
     # paths feeds both sides of the bucket self-join; unmaterialized, the
     # dupes anti-join + the array-valued q_vec equi-join inside
-    # _corpus_paths run once per side (r14 plan: 4 corpus scans → 2)
-    paths = _corpus_paths(forest, emb, id_col, vec_col).localCheckpoint(eager=True)
+    # _corpus_paths run once per side (r14 plan: 4 corpus scans → 2).
+    # LAZY: an eager checkpoint adds a blocking job ahead of the candidate
+    # join and measured behind both alternatives at sf0.1 (r14 A/B); lazy
+    # keeps one execution with no extra action.
+    paths = _corpus_paths(forest, emb, id_col, vec_col).localCheckpoint(eager=False)
     a = paths.select("tree_id", "path", F.col("query_id").alias("id_a"), F.col("q_vec").alias("va"))
     b = paths.select("tree_id", "path", F.col("query_id").alias("id_b"), F.col("q_vec").alias("vb"))
     cands = (
@@ -93,8 +96,8 @@ def embedding_cosine_neardup_pairs(
     forest = LSHForestIndex.build(
         unit, num_trees=num_trees, max_node_size=max_node_size, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    # same both-sides materialization as embedding_neardup_pairs above
-    paths = _corpus_paths(forest, unit, id_col, vec_col).localCheckpoint(eager=True)
+    # same both-sides lazy materialization as embedding_neardup_pairs above
+    paths = _corpus_paths(forest, unit, id_col, vec_col).localCheckpoint(eager=False)
     a = paths.select("tree_id", "path", F.col("query_id").alias("id_a"), F.col("q_vec").alias("va"))
     b = paths.select("tree_id", "path", F.col("query_id").alias("id_b"), F.col("q_vec").alias("vb"))
     cands = (
