@@ -859,9 +859,19 @@ def lloyd_fixed(
       at the cost of one tiny collect."""
     from vers_spark.functions.text import stable_hash60
 
+    from vers_spark.functions.spread import cpu_spread
+
     spark = data.sparkSession
     vecs = data.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
     dims = len(vecs.select("emb").first()[0])
+    # cpu_spread (r15): the assignment fold + posexplode sums are CPU-bound
+    # higher-order expressions but the corpus is byte-tiny, so a single-file
+    # scan runs every iteration's whole fold chain in ONE task (profiled
+    # 2.36 s single-task collect stage at sf0.1); the gate leaves real-scale
+    # scans (≥ cores splits) untouched. Result-exact: the argmin is a
+    # deterministic struct-MIN and the mean updates are fixed-point BIGINT
+    # sums — both partitioning-independent.
+    vecs = cpu_spread(vecs)
 
     h = stable_hash60(F.concat(F.col("id").cast("string"), F.lit(f":ivf:{seed}")))
     ranked = (
@@ -1003,7 +1013,15 @@ def lloyd_fixed_multi(
             for j, (s, ln) in enumerate(slices)
         ]
     )
-    e = data.select(F.col(id_col).alias("id"), F.explode(subs).alias("_sub")).select(
+    from vers_spark.functions.spread import cpu_spread
+
+    # cpu_spread (r15): same single-split-scan trap as lloyd_fixed — the
+    # per-slice fold chains are CPU-bound and the gate keeps real-scale
+    # scans untouched. Spread BEFORE the slice explode so the shuffle moves
+    # each vector once, not R times.
+    e = cpu_spread(
+        data.select(F.col(id_col).alias("id"), F.col(vec_col).alias(vec_col))
+    ).select(F.col("id"), F.explode(subs).alias("_sub")).select(
         "id", F.col("_sub.j").alias("j"), F.col("_sub.emb").alias("emb")
     )
     h = stable_hash60(

@@ -352,6 +352,15 @@ class LSHForestIndex:
         data = corpus.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding")
         )
+        # cpu_spread (r15): a byte-tiny single-file corpus arrives as ONE
+        # scan partition, so the dedup-window map side and the ×num_trees
+        # replicate+shuffle map side each ran single-task (profiled
+        # 0.82-0.94 s stages at sf0.1); the gate keeps real-scale scans
+        # (≥ cores splits) untouched. Result-exact: dedup_exact's
+        # first-id-wins window is partitioning-independent.
+        from vers_spark.functions.spread import cpu_spread
+
+        data = cpu_spread(data)
         # bit-exact-style dedup, first id wins (lsh.rs:113-130)
         data = dedup_exact(data, ["embedding"], ["id"])
 

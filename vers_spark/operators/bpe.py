@@ -48,10 +48,18 @@ EOW = "</w>"  # end-of-word marker symbol (multi-char, never space-split)
 def _vocab_from_docs(docs: DataFrame) -> DataFrame:
     """(seq, freq) from any (… text …) DataFrame: space-padded char sequence
     + end-of-word marker per distinct whitespace token, weighted by corpus
-    frequency."""
+    frequency.
+
+    The corpus scan is cpu_spread first (r15): the lower+split+explode pass
+    is CPU-bound over a byte-tiny single-split scan (profiled as a 1.72 s
+    single-task stage inside bpe_train_merges' auto probe at sf0.1); the
+    gate keeps real-scale scans untouched."""
+    from vers_spark.functions.spread import cpu_spread
+
     tok = F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
     return (
-        docs.select(tok)
+        cpu_spread(docs)
+        .select(tok)
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
@@ -97,9 +105,18 @@ def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def train_merges_on(
-    docs: DataFrame, k: int = N_MERGES, mode: str = "incremental"
+    docs: DataFrame,
+    k: int = N_MERGES,
+    mode: str = "incremental",
+    vocab: DataFrame | None = None,
 ) -> tuple[list, DataFrame]:
     """Run k merge rounds over an arbitrary corpus DataFrame (unmemoized).
+
+    ``vocab`` (r15): a caller that already built the (token, freq, seq)
+    vocabulary — e.g. ``train_merges``'s auto-mode probe, which counted it
+    anyway — passes it in so the tokenize+aggregate pass doesn't run twice;
+    it may also be ``coalesce``d to match its row count (see
+    ``_VOCAB_ROWS_PER_TASK``), which every per-round stage then inherits.
 
     ``mode="recount"`` is the textbook shape: every round re-aggregates
     adjacent-pair counts over the WHOLE vocab — K rounds = K vocab-sized
@@ -126,7 +143,7 @@ def train_merges_on(
     Per-round cost is ∝ affected words + a counts-table join whose delta
     side is tiny, instead of ∝ vocab — the difference between hours and
     minutes at web-scale vocabularies."""
-    vocab = _vocab_from_docs(docs).cache()
+    vocab = (_vocab_from_docs(docs) if vocab is None else vocab).cache()
     merges: list[tuple[int, str, str, int]] = []
     if mode == "recount":
         for step in range(1, k + 1):
@@ -204,6 +221,14 @@ def train_merges_on(
 # win (10x corpus probe: factor 1.38 incremental vs 2.08 recount).
 _RECOUNT_MAX_VOCAB = 100_000
 
+# Rows of cached vocab per task in recount mode (r15): each per-round
+# pair-count stage is an explode+agg over the cached vocab — a few µs of
+# work per row — so partitions below ~this many rows cost more in task
+# launch than they buy in parallelism. The coalesce target derives from the
+# MEASURED vocab row count (train_merges' auto probe), never a fixed
+# partition count, so a 100k-type vocab still fans out to every core.
+_VOCAB_ROWS_PER_TASK = 4_096
+
 
 def train_merges(
     spark: SparkSession, sf_dir: str, k: int = N_MERGES, mode: str = "auto"
@@ -216,10 +241,24 @@ def train_merges(
     key = (sf_dir, k, mode)
     if key not in _TRAIN_CACHE:
         docs = load_table(spark, sf_dir, "documents")
+        vocab = None
         if mode == "auto":
             n_types = _vocab_from_docs(docs).count()
             mode = "recount" if n_types <= _RECOUNT_MAX_VOCAB else "incremental"
-        _TRAIN_CACHE[key] = train_merges_on(docs, k, mode=mode)
+            # r15: recount mode ⟹ the vocab is bounded (≤ _RECOUNT_MAX_VOCAB
+            # rows), yet its aggregate inherits all spark.sql.shuffle
+            # partitions — every one of the K per-round pair-count stages
+            # then launches that many tasks over a few rows each, and task
+            # launch (not work) dominates the round. Coalesce (no shuffle)
+            # to ~_VOCAB_ROWS_PER_TASK rows/task, capped at the core count;
+            # sized by the measured row count, not a local-mode constant.
+            if mode == "recount":
+                parts = max(1, min(
+                    spark.sparkContext.defaultParallelism,
+                    -(-n_types // _VOCAB_ROWS_PER_TASK),
+                ))
+                vocab = _vocab_from_docs(docs).coalesce(parts)
+        _TRAIN_CACHE[key] = train_merges_on(docs, k, mode=mode, vocab=vocab)
     return _TRAIN_CACHE[key]
 
 

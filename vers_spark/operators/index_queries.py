@@ -340,6 +340,13 @@ def _pqf_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims = len(emb.select("embedding").first()[0])
         dsub = dims // _PQF_M
         runs = _pq_fixed(spark, sf_dir)
+        # cpu_spread (r15): the 32 literal-codebook coding folds are
+        # CPU-bound over a byte-tiny single-split scan (profiled 0.75 s
+        # single-task stage at sf0.1); the gate keeps real-scale scans
+        # untouched, and the store stays logically unpartitioned.
+        from vers_spark.functions.spread import cpu_spread
+
+        emb = cpu_spread(emb)
         codes = emb.selectExpr(
             "vec_id AS id",
             *[f"{_pqf_code_sql('embedding', j, runs, dsub)} AS c{j}" for j in range(_PQF_M)],

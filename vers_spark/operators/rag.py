@@ -478,10 +478,17 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy+limit → TakeOrderedAndProject (per-partition partial top-k,
     never a full sort); the rank window runs over the 20 survivors only.
     At 100 TB nothing shuffles except 20-row blocks and one 1-row stats
-    frame."""
+    frame.
+
+    The corpus scan is cpu_spread first (r15): the tokenize+5-term-count
+    pipeline is CPU-bound over a byte-tiny single-split scan (profiled as
+    a 0.52 s single-task checkpoint stage at sf0.1); the gate keeps
+    real-scale scans untouched."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    from vers_spark.functions.spread import cpu_spread
+
+    docs = cpu_spread(load_table(spark, sf_dir, "documents"))
     toks = TX.ws_tokens(F.col("text"))
     # per feeds BOTH the 1-row stats aggregate (a broadcast build side,
     # which can never reuse the probe side's work) and the scoring scan —

@@ -218,8 +218,16 @@ def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (map-side partial combine first) and the small per-language
     top-k window. At 100 TB the aggregate key space (lang × bigram) is the
     pressure point; heavy-hitter bigrams are absorbed by the partial
-    aggregation before the shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    aggregation before the shuffle.
+
+    The corpus scan is cpu_spread first (r15): the tokenize+zip_with chain
+    is CPU-bound but byte-tiny, so a single-file corpus arrives as ONE scan
+    partition and the whole pass ran on one core (profiled 2.05 s
+    single-task stage at sf0.1); the gate keeps real-scale scans (≥ cores
+    splits) untouched."""
+    from vers_spark.functions.spread import cpu_spread
+
+    docs = cpu_spread(load_table(spark, sf_dir, "documents"))
     toks = TX.ws_tokens(F.col("text"))
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -263,8 +271,15 @@ def doc_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary grows ~Heaps with corpus size (a forced broadcast of it is
     a driver-OOM at 100 TB), while the pruned table is bounded by 2x the
     surviving-bigram count; no broadcast hint — AQE picks the strategy
-    from the pruned size."""
-    docs = load_table(spark, sf_dir, "documents")
+    from the pruned size.
+
+    The corpus scan is cpu_spread first (r15): both n-gram passes are
+    CPU-bound over a byte-tiny single-split scan — the unigram pass
+    profiled as a 1.79 s single-task stage at sf0.1; the gate keeps
+    real-scale scans untouched."""
+    from vers_spark.functions.spread import cpu_spread
+
+    docs = cpu_spread(load_table(spark, sf_dir, "documents"))
     toks = TX.ws_tokens(F.col("text"))
     n = F.size(toks)
     bigrams = F.zip_with(
