@@ -50,13 +50,27 @@ def exact_knn(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> DataFrame:
-    """Declarative exact KNN: returns (query_id, neighbour_id, distance, rank)."""
+    """Declarative exact KNN: returns (query_id, neighbour_id, distance, rank).
+
+    Join shape (r15): broadcast the QUERY block and stream the cpu_spread
+    corpus — the blocked path's orientation. Left to itself the planner
+    built the nested-loop broadcast on the (bigger) corpus side, which
+    streams the few-row query side through ONE task running every
+    query×corpus fold single-threaded (profiled 1.30 s single-task stage
+    at sf0.1); the fold work lives on the corpus side's partitions, so
+    that side must be the streamed one. Results are identical — the cross
+    product is the same row set and the rank window's
+    (distance, neighbour_id) order is total per query."""
     if metric not in V.DISTANCE_FNS:
         raise ValueError(f"unknown metric {metric!r}; expected {sorted(V.DISTANCE_FNS)}")
+    from vers_spark.functions.spread import cpu_spread
+
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_vec"))
-    c = corpus.select(F.col(corpus_id).alias("neighbour_id"), F.col(corpus_vec).alias("c_vec"))
+    c = cpu_spread(
+        corpus.select(F.col(corpus_id).alias("neighbour_id"), F.col(corpus_vec).alias("c_vec"))
+    )
     dist = V.DISTANCE_FNS[metric](F.col("q_vec"), F.col("c_vec"))
-    joined = q.crossJoin(c).withColumn("_dist", dist)
+    joined = c.crossJoin(F.broadcast(q)).withColumn("_dist", dist)
     return _ranked(joined, "_dist", k)
 
 
