@@ -242,7 +242,19 @@ class IVFFlatIndex:
                 [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
                 "cluster_id int, centroid array<double>",
             )
-            assignments = IVFFlatIndex._assign(data, cents)
+            # cpu_spread the ASSIGNMENT input only (r15): a single-split
+            # corpus otherwise leaves the assignment — and, through the
+            # localCheckpoint in _serving_assignments, every downstream
+            # serving GEMM (search_blocked / range_join_blocked) — running
+            # in ONE Python task (profiled 1.18 s single-task stage in
+            # ivf_range_search at sf0.1). The TRAIN sample collect above
+            # must NOT be spread: _kmeans_numpy's result depends on the
+            # collected row order, and a repartition would change the
+            # centroids (and every oracle hash downstream). Per-row argmin
+            # assignment is order-independent, so this is result-exact.
+            from vers_spark.functions.spread import cpu_spread
+
+            assignments = IVFFlatIndex._assign(cpu_spread(data), cents)
             params = {
                 "num_clusters": int(num_clusters),
                 "dim": int(cents.shape[1]),

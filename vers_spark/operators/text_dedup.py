@@ -422,17 +422,24 @@ def simhash_neardup_pairs(
     b = chunks.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk_val"
     )
-    cands = (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # Verify BEFORE the dedup exchange (r15): hamming is row-local
+    # (bit_count of xor), so filtering candidate pairs down to the ≤
+    # max_hamming survivors on the join's map side commutes with the
+    # (doc_a, doc_b) dropDuplicates — and the dedup shuffle then carries
+    # only true near-dup pairs instead of every banded collision (profiled
+    # 53 MB shuffle write at sf0.1 with the old order — candidates
+    # colliding in several chunks were shuffled once per collision with
+    # both 8-byte signatures aboard). Same output rows: duplicates agree
+    # on hamming, and dedup-then-filter ≡ filter-then-dedup for a
+    # row-local predicate.
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cands.withColumn("hamming", hamming.cast("int"))
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
