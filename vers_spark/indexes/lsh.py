@@ -1748,13 +1748,6 @@ class LSHForestIndex:
             w = int(pp_len)
         if not 1 <= w <= 16:
             raise ValueError(f"pp_len must be in [1, 16], got {w}")
-        # always re-derive at the target width — a file-loaded store's
-        # existing _pp column may carry a different width
-        self.leaves.drop("_pp").withColumn(
-            "_pp", _pp_of(F.col("tree_id"), F.col("path"), w)
-        ).write.mode("overwrite").partitionBy("tree_id", "_pp").parquet(
-            f"{path}/leaves"
-        )
         # hyperplanes partition by LEVEL (path length): both descent loops
         # (assign_paths, _leaf_order_frontier) join one level per round, so
         # a loaded index's per-level plane lookups partition-prune to one
@@ -1762,9 +1755,32 @@ class LSHForestIndex:
         planes = self.hyperplanes
         if "_lvl" not in planes.columns:
             planes = planes.withColumn("_lvl", F.length("path").cast("int"))
-        planes.write.mode("overwrite").partitionBy("_lvl").parquet(
-            f"{path}/hyperplanes"
-        )
+
+        # The two partitioned writes are independent — overlap their jobs
+        # from driver threads (guide §2.6, r15) so the small planes write
+        # back-fills the leaves write's task tail instead of running after
+        # it. Job descriptions are thread-local; both writes read
+        # checkpointed/derived frames, no shared lineage to race on.
+        # (Leaves always re-derive _pp at the target width — a file-loaded
+        # store's existing _pp column may carry a different width.)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_leaves() -> None:
+            self.leaves.drop("_pp").withColumn(
+                "_pp", _pp_of(F.col("tree_id"), F.col("path"), w)
+            ).write.mode("overwrite").partitionBy("tree_id", "_pp").parquet(
+                f"{path}/leaves"
+            )
+
+        def _write_planes() -> None:
+            planes.write.mode("overwrite").partitionBy("_lvl").parquet(
+                f"{path}/hyperplanes"
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_write_leaves), pool.submit(_write_planes)]
+            for f in futs:
+                f.result()
         os.makedirs(path, exist_ok=True)
         # Persist the hyperplane pack (derived data, bit-reconstructable):
         # cold file-loaded serving otherwise pays the Arrow re-collect of
